@@ -1,0 +1,206 @@
+package graft.extract
+
+import graft.model.{Extracted, Span}
+import scala.collection.mutable
+
+/** Streaming HTML main-content extractor.
+  *
+  * Single forward pass over the input, O(tag-depth) state only — no DOM
+  * tree is materialized (north-star requirement for multi-MB turns). Text
+  * is segmented into blocks at block-level tag boundaries; each block
+  * carries (textLen, linkTextLen, tagDepth). Blocks are classified
+  * Boilerpipe/Readability-style by text length and link density
+  * (re-creating the *behavior* of main-content extraction the reference
+  * delegates to an OCR+LLM chain, ref: src/processing.py:55-148).
+  *
+  * Resilient to malformed input (unclosed tags, truncation mid-tag):
+  * the scanner never throws; best-effort text is emitted, mirroring the
+  * reference's swallow-and-continue (agents/sql_agent/utils.py:113-118).
+  */
+object HtmlExtractor {
+
+  /** Subtrees whose text is never main content. */
+  private val dropTags = Set(
+    "script", "style", "head", "nav", "aside", "footer", "header",
+    "noscript", "svg", "form", "button", "iframe", "select", "option")
+
+  /** Tags that terminate the current text block. */
+  private val blockTags = Set(
+    "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "td", "th", "tr", "table", "blockquote", "pre", "article", "section",
+    "main", "body", "html", "br", "hr", "figure", "figcaption", "dl",
+    "dt", "dd")
+
+  /** Void elements — never pushed on the open stack. */
+  private val voidTags = Set(
+    "br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+    "embed", "source", "track", "wbr")
+
+  private val namedEntities = Map(
+    "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
+    "apos" -> '\'', "nbsp" -> ' ')
+
+  /** Minimum trimmed block length to be kept as content. */
+  val MinBlockLen = 25
+
+  /** Maximum link density (link chars / text chars) for a content block. */
+  val MaxLinkDensity = 0.33
+
+  private final class Block {
+    val sb = new StringBuilder
+    var linkChars = 0
+    var lastWasSpace = true // collapse whitespace runs; drop leading ws
+    def appendText(s: String, inLink: Boolean): Unit = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isWhitespace(c)) {
+          if (!lastWasSpace) { sb.append(' '); if (inLink) linkChars += 1; lastWasSpace = true }
+        } else {
+          sb.append(c); if (inLink) linkChars += 1; lastWasSpace = false
+        }
+        i += 1
+      }
+    }
+    def text: String = { // trim trailing single space left by collapse
+      val s = sb.toString
+      if (s.nonEmpty && s.charAt(s.length - 1) == ' ') s.substring(0, s.length - 1) else s
+    }
+  }
+
+  def extract(html: String): Extracted = {
+    val n = html.length
+    val blocks = mutable.ArrayBuffer.empty[(String, Int)] // (text, linkChars)
+    var cur = new Block
+    // O(depth) state
+    val openStack = mutable.ArrayBuffer.empty[String]
+    var dropDepth = 0 // >0 while inside a dropped subtree
+    var anchorDepth = 0
+
+    def flush(): Unit = {
+      val t = cur.text
+      if (t.nonEmpty) blocks += ((t, cur.linkChars))
+      cur = new Block
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        // comment?
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1).isLetter || html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!')) {
+          // parse tag
+          val closing = html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          // scan to '>' honoring quoted attribute values
+          var quote: Char = 0
+          var selfClose = false
+          var k = j
+          var done = false
+          while (k < n && !done) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') { selfClose = k > j && html.charAt(k - 1) == '/'; done = true }
+            k += 1
+          }
+          val tagEnd = if (done) k else n // truncated mid-tag: consume rest
+          if (name.nonEmpty) {
+            if (!closing) {
+              if (name == "a") anchorDepth += 1
+              if (blockTags.contains(name)) flush()
+              if (dropTags.contains(name)) dropDepth += 1
+              if (!voidTags.contains(name) && !selfClose && name != "a") openStack += name
+              // raw-text elements: skip to the closing tag verbatim
+              if (name == "script" || name == "style") {
+                val close = indexOfIgnoreCase(html, s"</$name", tagEnd)
+                if (close >= 0) {
+                  val gt = html.indexOf('>', close)
+                  i = if (gt < 0) n else gt + 1
+                  dropDepth -= 1
+                  if (openStack.nonEmpty && openStack.last == name) openStack.remove(openStack.length - 1)
+                } else {
+                  i = n // unterminated script/style: rest is dropped
+                }
+              } else i = tagEnd
+            } else {
+              if (name == "a" && anchorDepth > 0) anchorDepth -= 1
+              if (blockTags.contains(name)) flush()
+              if (dropTags.contains(name) && dropDepth > 0) dropDepth -= 1
+              // pop to matching open tag if present (tolerates misnesting)
+              val idx = openStack.lastIndexOf(name)
+              if (idx >= 0) openStack.remove(idx, openStack.length - idx)
+              i = tagEnd
+            }
+          } else i = tagEnd
+        } else {
+          // stray '<' treated as text
+          if (dropDepth == 0) cur.appendText("<", anchorDepth > 0)
+          i += 1
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntity(html, i)
+        if (dropDepth == 0) cur.appendText(decoded, anchorDepth > 0)
+        i = next
+      } else {
+        // bulk-append plain text run up to next special char
+        var j = i
+        while (j < n && { val ch = html.charAt(j); ch != '<' && ch != '&' }) j += 1
+        if (dropDepth == 0) cur.appendText(html.substring(i, j), anchorDepth > 0)
+        i = j
+      }
+    }
+    flush()
+
+    // classify: keep long, low-link-density blocks
+    val kept = blocks.filter { case (t, link) =>
+      t.length >= MinBlockLen && link.toDouble / t.length <= MaxLinkDensity
+    }
+    val out = new StringBuilder
+    val spans = mutable.ArrayBuffer.empty[Span]
+    kept.foreach { case (t, _) =>
+      if (out.nonEmpty) out.append("\n\n")
+      val s = out.length
+      out.append(t)
+      spans += Span("content", s, out.length)
+    }
+    Extracted(out.toString, spans.toSeq, None)
+  }
+
+  /** Case-insensitive indexOf without copying the haystack. */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = s.length; val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && Character.toLowerCase(s.charAt(i + j)) == needle.charAt(j)) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode one entity at `html(i) == '&'`; returns (text, nextIndex). */
+  private def decodeEntity(html: String, i: Int): (String, Int) = {
+    val n = html.length
+    val semi = html.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ("&", i + 1)
+    val body = html.substring(i + 1, semi)
+    if (body.startsWith("#x") || body.startsWith("#X")) {
+      try (Character.toChars(Integer.parseInt(body.substring(2), 16)).mkString, semi + 1)
+      catch { case _: Exception => ("&", i + 1) }
+    } else if (body.startsWith("#")) {
+      try (Character.toChars(Integer.parseInt(body.substring(1))).mkString, semi + 1)
+      catch { case _: Exception => ("&", i + 1) }
+    } else namedEntities.get(body) match {
+      case Some(ch) => (ch.toString, semi + 1)
+      case None     => ("&", i + 1)
+    }
+  }
+}

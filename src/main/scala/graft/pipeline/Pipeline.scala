@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import graft.extract.Extract
+import graft.model.{ExtractedTurn, LineageRow, Turn}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+/** The extraction pipeline (SURVEY.md §7.1):
+  *
+  * turns → salted repartition (skew-aware) → sortWithinPartitions
+  * (conv_id, turn_idx) → ONE fused `mapPartitions(Extract.turn)` stage →
+  * Dataset[ExtractedTurn].
+  *
+  * Salting: long conversations (the Zipf tail) are split across partitions
+  * with `salt = pmod(turn_idx, S)`; short conversations keep salt 0 so they
+  * stay co-located. Extraction is per-turn pure, so splitting a
+  * conversation across a salt boundary is safe; all *ordering-sensitive*
+  * derivation happens inside a single turn (SURVEY.md §7.5 risk 3). AQE
+  * skew handling covers joins but NOT mapPartitions skew — hence manual
+  * salting (SURVEY.md §4.2). The per-conv count pre-aggregation only reads
+  * the `conv_id` column (column pruning keeps the extra scan cheap at
+  * scale).
+  *
+  * Per-partition lineage (north rule): one LineageRow per input partition
+  * (partition id, input snapshot, turn count, extraction-failure count,
+  * bytes processed) collected via an accumulator during the output action.
+  */
+object Pipeline {
+
+  val DefaultSaltBuckets = 16
+  val DefaultLongConvThreshold = 256L
+
+  /** Salt + repartition + stable in-partition order. */
+  def salted(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      saltBuckets: Int = DefaultSaltBuckets,
+      longConvThreshold: Long = DefaultLongConvThreshold,
+      numPartitions: Option[Int] = None
+  ): Dataset[Turn] = {
+    import spark.implicits._
+    val longConvs = turns
+      .groupBy($"conv_id").count()
+      .filter($"count" >= longConvThreshold)
+      .select($"conv_id".as("lc_conv_id"))
+    val salted = turns
+      .join(broadcast(longConvs), $"conv_id" === $"lc_conv_id", "left")
+      .withColumn(
+        "salt",
+        when($"lc_conv_id".isNotNull, pmod($"turn_idx", lit(saltBuckets))).otherwise(lit(0)))
+    val repart = numPartitions match {
+      case Some(n) => salted.repartition(n, $"conv_id", $"salt")
+      case None    => salted.repartition($"conv_id", $"salt")
+    }
+    repart
+      .sortWithinPartitions($"conv_id", $"turn_idx")
+      .drop("lc_conv_id", "salt")
+      .as[Turn]
+  }
+
+  /** Fused single-stage extraction over an already-partitioned input. */
+  def extractStage(spark: SparkSession, turns: Dataset[Turn]): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    turns.mapPartitions(_.map(Extract.turn))
+  }
+
+  /** Full pipeline: salt → sort → extract. */
+  def run(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      saltBuckets: Int = DefaultSaltBuckets,
+      longConvThreshold: Long = DefaultLongConvThreshold
+  ): Dataset[ExtractedTurn] =
+    extractStage(spark, salted(spark, turns, saltBuckets, longConvThreshold))
+
+  /** Pipeline with lineage side-output. The returned thunk yields the
+    * LineageRows observed by completed tasks — call it AFTER an action on
+    * the returned Dataset. Accumulators are at-least-once under task retry;
+    * `lineage()` dedups by partition id (last write wins), which is exact
+    * because the metric values per partition are deterministic.
+    */
+  def runWithLineage(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      inputSnapshot: String,
+      saltBuckets: Int = DefaultSaltBuckets,
+      longConvThreshold: Long = DefaultLongConvThreshold
+  ): (Dataset[ExtractedTurn], () => Seq[LineageRow]) = {
+    import spark.implicits._
+    val acc: CollectionAccumulator[LineageRow] =
+      spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$inputSnapshot")
+    val prepared = salted(spark, turns, saltBuckets, longConvThreshold)
+    val out = prepared.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var turnCount = 0L
+      var failureCount = 0L
+      var bytes = 0L
+      val mapped = it.map { t =>
+        val e = Extract.turn(t)
+        turnCount += 1
+        if (e.failure.isDefined) failureCount += 1
+        bytes += e.n_chars_in.toLong
+        e
+      }
+      new Iterator[ExtractedTurn] {
+        def hasNext: Boolean = mapped.hasNext
+        def next(): ExtractedTurn = {
+          val e = mapped.next()
+          // on exhaustion, emit this partition's lineage row exactly once
+          if (!mapped.hasNext) acc.add(LineageRow(pid, inputSnapshot, turnCount, failureCount, bytes))
+          e
+        }
+      }
+    }
+    val lineage = () => {
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.toSeq
+        .groupBy(_.partition_id).map(_._2.last).toSeq
+        .sortBy(_.partition_id)
+    }
+    (out, lineage)
+  }
+}

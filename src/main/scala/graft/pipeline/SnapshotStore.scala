@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import graft.model.Turn
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Checkpoint/resume over deterministic conv_id buckets — the Iceberg
+  * snapshot emulation (SURVEY.md §4.2; no Iceberg jar in this sandbox, so
+  * snapshot semantics are Parquet partition dirs + an atomically-renamed
+  * JSON manifest behind this class; a real Iceberg catalog slots in behind
+  * the same interface).
+  *
+  * Idempotency model mirrors the reference's at-least-once + idempotent
+  * re-ingest (`INSERT OR IGNORE` / MERGE, ref: agents/sql_agent/
+  * json_to_db.py:38, agents/knowledge_graph_agent/utils.py:175): output is
+  * written per `bucket = pmod(xxhash64(conv_id), nBuckets)` with dynamic
+  * partition overwrite, so re-processing a bucket is a byte-identical
+  * overwrite, and the manifest only registers a bucket after its data is
+  * durably written (temp+rename = atomic on POSIX; SURVEY.md §7.5 risk 7).
+  */
+final class SnapshotStore(root: String, nBuckets: Int) {
+
+  private val dataDir = s"$root/data"
+  private val lineageDir = s"$root/lineage"
+  private val manifestPath = Paths.get(s"$root/_manifest.json")
+
+  def completedBuckets(): Set[Int] =
+    if (!Files.exists(manifestPath)) Set.empty
+    else {
+      val s = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      // manifest format: {"n_buckets":N,"completed":[i,...]}
+      val m = """"completed"\s*:\s*\[([^\]]*)\]""".r
+      m.findFirstMatchIn(s) match {
+        case Some(g) if g.group(1).trim.nonEmpty =>
+          g.group(1).split(',').map(_.trim.toInt).toSet
+        case _ => Set.empty
+      }
+    }
+
+  private def writeManifest(completed: Set[Int], inputSnapshot: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val json =
+      s"""{"input_snapshot":"$inputSnapshot","n_buckets":$nBuckets,"completed":[${completed.toSeq.sorted.mkString(",")}]}"""
+    val tmp = Paths.get(s"$root/_manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Process all pending buckets in batches of `bucketsPerBatch`; each batch
+    * is extraction + durable write + manifest update. `failAfterBatches`
+    * simulates a mid-job kill (for the resume test). Returns the number of
+    * batches executed in THIS call.
+    */
+  def process(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      inputSnapshot: String,
+      bucketsPerBatch: Int = 4,
+      failAfterBatches: Option[Int] = None
+  ): Int = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    var completed = completedBuckets()
+    val pending = (0 until nBuckets).filterNot(completed.contains)
+    var batches = 0
+    pending.grouped(bucketsPerBatch).foreach { batch =>
+      failAfterBatches.foreach { k =>
+        if (batches >= k) throw new RuntimeException(s"simulated kill after $k batches")
+      }
+      val slice = turns
+        .withColumn("bucket", pmod(xxhash64($"conv_id"), lit(nBuckets.toLong)).cast("int"))
+        .filter($"bucket".isin(batch: _*))
+        .drop("bucket")
+        .as[Turn]
+      val (extracted, lineage) =
+        Pipeline.runWithLineage(spark, slice, inputSnapshot)
+      extracted
+        .withColumn("bucket", pmod(xxhash64($"conv_id"), lit(nBuckets.toLong)).cast("int"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(dataDir)
+      val rows = lineage()
+      if (rows.nonEmpty)
+        spark.createDataset(rows).write.mode(SaveMode.Append).parquet(lineageDir)
+      completed = completed ++ batch
+      writeManifest(completed, inputSnapshot)
+      batches += 1
+    }
+    batches
+  }
+
+  def readExtracted(spark: SparkSession): DataFrame = spark.read.parquet(dataDir)
+  def readLineage(spark: SparkSession): DataFrame = spark.read.parquet(lineageDir)
+}
