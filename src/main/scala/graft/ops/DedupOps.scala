@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.text.TextAlgos
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — exact and
+  * near-duplicate, each designed for 100 TB scale:
+  *
+  *  - exact: groupBy on a 256-bit content hash, NOT on the full text, so
+  *    the shuffle carries 32 bytes + ids per row instead of documents
+  *    (the reference's content-signature MERGE dedup,
+  *    ref: agents/knowledge_graph_agent/utils.py:66-91,175-185).
+  *  - MinHash+LSH: signature + band keys computed in ONE narrow map pass;
+  *    only (band_key, doc_id, signature) shuffles; candidate pairs from
+  *    equi-self-join on band key; exact Jaccard verification re-derives
+  *    shingles from the two candidate texts only.
+  *  - SimHash: 64-bit fingerprint; Hamming<=3 found exactly via the
+  *    4-segment pigeonhole blocking (any pair within distance 3 shares at
+  *    least one intact 16-bit segment).
+  *  - n-gram Jaccard: blocked by (lang, token-count bucket) to avoid the
+  *    quadratic cross join.
+  *  - embedding cosine: hyperplane-LSH bucket join + exact cosine verify.
+  */
+object DedupOps {
+
+  import RelationalOps.table
+
+  /** Exact dedup on sha256(text): one row per distinct content, keeping
+    * the smallest doc_id as representative (deterministic winner).
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  val MinhashK = 64
+  val LshBands = 16
+  val ShingleW = 3
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * Output: (doc_a, doc_b, jaccard_x1000) for verified pairs
+    * (jaccard >= threshold/1000), doc_a < doc_b.
+    */
+  def minhashPairs(spark: SparkSession, dir: String, thresholdX1000: Int = 700): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+
+    // one narrow pass: doc -> band keys
+    val bands = docs.as[(Long, String)].flatMap { case (id, text) =>
+      val sh = TextAlgos.shingleHashes(TextAlgos.tokenize(text), ShingleW)
+      val sig = TextAlgos.minhash(sh, MinhashK)
+      TextAlgos.bandKeys(sig, LshBands).map(bk => (bk, id))
+    }.toDF("band_key", "doc_id")
+
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val candidates = a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // verify: join texts back (two broadcast-friendly equi joins at small
+    // scale; at 100 TB candidates are a tiny fraction so these joins are
+    // shuffle-on-candidates, not on the corpus)
+    val verified = candidates
+      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .as[(Long, Long, String, String)]
+      .map { case (ia, ib, ta, tb) =>
+        val sa = TextAlgos.shingleHashes(TextAlgos.tokenize(ta), ShingleW)
+        val sb = TextAlgos.shingleHashes(TextAlgos.tokenize(tb), ShingleW)
+        (ia, ib, TextAlgos.jaccardX1000(sa, sb))
+      }
+      .toDF("doc_a", "doc_b", "jaccard_x1000")
+    verified.filter(col("jaccard_x1000") >= thresholdX1000)
+  }
+
+  /** SimHash near-dup pairs: exact Hamming<=maxDist via segment blocking. */
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sims = TextOps.simhashDf(spark, dir).as[(Long, Long)]
+    // 4 x 16-bit segments; distance<=3 implies >=1 equal segment
+    val segs = sims.flatMap { case (id, sh) =>
+      (0 until 4).map(s => (s, (sh >>> (s * 16)) & 0xffffL, id, sh))
+    }.toDF("seg_idx", "seg_val", "doc_id", "simhash")
+    val a = segs.as("a")
+    val b = segs.as("b")
+    a.join(b,
+        col("a.seg_idx") === col("b.seg_idx") &&
+          col("a.seg_val") === col("b.seg_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** n-gram Jaccard near-dup pairs with (lang, token-bucket) blocking. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, thresholdX1000: Int = 600): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("bucket", (col("n_tokens") / 16).cast("int"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("text"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (ia, ib, ta, tb) =>
+        val sa = TextAlgos.shingleHashes(TextAlgos.tokenize(ta), ShingleW)
+        val sb = TextAlgos.shingleHashes(TextAlgos.tokenize(tb), ShingleW)
+        (ia, ib, TextAlgos.jaccardX1000(sa, sb))
+      }
+      .toDF("doc_a", "doc_b", "jaccard_x1000")
+      .filter(col("jaccard_x1000") >= thresholdX1000)
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucketing + exact cosine
+    * verification (cosine scaled to integer x10000 for engine-independent
+    * output).
+    */
+  def embeddingDupPairs(spark: SparkSession, dir: String, thresholdX10000: Int = 9500, nPlanes: Int = 8): DataFrame = {
+    import spark.implicits._
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val bucketed = vecs.map { case (id, v) => (TextAlgos.hyperplaneBucket(v, nPlanes), id, v) }
+      .toDF("bucket", "vec_id", "embedding")
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (ia, ib, va, vb) =>
+        (ia, ib, math.floor(TextAlgos.cosine(va, vb) * 10000).toLong)
+      }
+      .toDF("vec_a", "vec_b", "cosine_x10000")
+      .filter(col("cosine_x10000") >= thresholdX10000)
+  }
+}

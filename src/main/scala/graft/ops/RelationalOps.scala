@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SQL-expressible relational operators from SURVEY.md §2, over the
+  * driver's TPC-H-ish parquet tables. Every query here has a DuckDB
+  * oracle in SparkEntry.oracleSql; numeric aggregates go through exact
+  * decimal arithmetic and are cast to double at the end, so results are
+  * independent of partial-aggregation order (float sums are not).
+  */
+object RelationalOps {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** A1: hash aggregation with partial+final combine (the reference's
+    * per-document GROUP BY policy, ref: agents/sql_agent/utils.py:5).
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+
+  /** J1/J2: fact-to-dimension registry joins; dimensions are broadcast
+    * (the reference's "ALWAYS join with doc_info" policy,
+    * ref: agents/sql_agent/utils.py:1-7).
+    */
+  def q2RegistryJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val customer = table(spark, dir, "customer")
+    val nation = table(spark, dir, "nation")
+    val region = table(spark, dir, "region")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+  }
+
+  /** P1: range-membership validation — the reference's material-usage
+    * check (`allowed_range_min <= actual <= allowed_range_max`,
+    * ref: src/validation/material_usage.py:1-10) as a native between().
+    */
+  def q3RangeValidation(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .withColumn("quantity_within_range", col("l_quantity").between(lit(10.0), lit(40.0)))
+      .groupBy(col("l_returnflag"), col("quantity_within_range"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** W1/W3: row_number ordering — top order per customer (stable
+    * tiebreak on key, mirroring sorted-bbox numbering,
+    * ref: src/signature_module/signature_extraction.py:67-80).
+    */
+  def q4WindowTopPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** J7: anti join — the cascading-delete shape (rows NOT matching a key
+    * set, ref: agents/delete_document.py:6-51).
+    */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val bigOrders = table(spark, dir, "orders").filter(col("o_totalprice") > 300000.0)
+    customer
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers_without_orders"))
+  }
+
+  /** J8: semi join — existence check (ref: agents/sql_agent/utils.py:27-35
+    * table_exists membership shape).
+    */
+  def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+    val lineitem = table(spark, dir, "lineitem")
+    part
+      .join(lineitem, col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts_used"))
+  }
+
+  /** O4: top-k with deterministic tiebreak (the NL->SQL agent's top_k=50,
+    * ref: agents/sql_agent/langchain_sql_agent.py:37).
+    */
+  def q7TopK(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(50)
+
+  /** Reviewer names used for positional backfill (analogue of the
+    * reference's performed_by/checked_by name lists,
+    * ref: src/processing.py:98-104).
+    */
+  val reviewerNames: Seq[String] = (0 until 16).map(i => f"reviewer_$i%02d")
+
+  /** J5/F13: positional (as-of-index) assignment with modular cycling —
+    * pure projection, no shuffle (ref: src/processing.py:163-168 cycles
+    * name lists modulo length over sequential row index).
+    */
+  def q8PositionalCycling(spark: SparkSession, dir: String): DataFrame = {
+    val names = array(reviewerNames.map(lit): _*)
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        element_at(names, (pmod(col("l_linenumber") - 1, lit(16)) + 1).cast("int"))
+          .as("performed_by"))
+  }
+
+  /** F4/J6: content-signature hashing — sha256 over pipe-joined fields
+    * (ref: agents/knowledge_graph_agent/utils.py:66-91 builds a sha256
+    * signature over sorted scalar members for MERGE dedup).
+    */
+  def q9SignatureHash(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        sha2(concat_ws("|", col("c_custkey"), col("c_name"), col("c_mktsegment")), 256)
+          .as("signature"))
+
+  /** U2: except/difference via anti join on the key (document-delete
+    * semantics, ref: agents/delete_document.py:29-40).
+    */
+  def q10SetDifference(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val negative = customer.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(negative, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** F14: JSON shredding of a string column with an explicit schema
+    * (ref: json.loads + schema-guided parse, src/processing.py:135-136).
+    */
+  def q11JsonShred(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("sum_k"))
+
+  /** T1-analogue batch time windowing over the events stream table. */
+  def q12TimeWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  /** A5/J4: per-group argmin via min_by — nearest-neighbor distance shape
+    * (ref: signature_detect.py:96-108 best-match per detected signature).
+    * Here: cheapest supplier-part pairing per brand by retail price.
+    */
+  def q13ArgMin(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        min_by(col("p_partkey"), struct(col("p_retailprice"), col("p_partkey"))).as("cheapest_part"),
+        min(col("p_retailprice")).as("min_price"))
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.model._
+import graft.synth.Synth
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Nested-record shredding, registry, rules and delete — the relational
+  * sink side of the engine (ref: agents/sql_agent/json_to_db.py:49-83
+  * recursive gather_schema -> one table per nested path with
+  * `{parent}_{key}` naming; agents/sql_agent/utils.py:74-119 shredded
+  * inserts; agents/delete_document.py:6-51 cascading delete;
+  * agents/workflow_agent/workflows.json rule evaluation).
+  *
+  * Keys: every row carries `conv_id` (the reference tags every child row
+  * with doc_id) and parent-child linkage uses deterministic sha256 path
+  * keys, NOT monotonically_increasing_id / lastrowid — reproducible across
+  * reruns and partitionings (SURVEY.md J3).
+  */
+object ShredOps {
+
+  /** Deterministic structured records derived from the synthetic corpus —
+    * the analogue of the golden extracted JSONs (FIXTURES.md §3). Some
+    * material rows are deliberately out of range.
+    */
+  def structuredRecords(spark: SparkSession, nConvs: Long): Dataset[StructuredRecord] = {
+    import spark.implicits._
+    spark.range(nConvs).map { c =>
+      val nRows = 2 + Synth.draw(c, -2, 0x200, 4)
+      val rows = (0 until nRows).map { i =>
+        val std = 100.0 + Synth.draw(c, i, 0x201, 400)
+        val lo = std * 0.95
+        val hi = std * 1.05
+        // ~25% of rows out of range (error-injected golden variants)
+        val actual =
+          if (Synth.draw(c, i, 0x202, 4) == 0) hi + 1.0 + Synth.draw(c, i, 0x203, 50)
+          else lo + (hi - lo) * (Synth.draw(c, i, 0x204, 100) / 100.0)
+        MaterialUsageRow(
+          material_name = s"mat-${Synth.draw(c, i, 0x205, 12)}",
+          standard_quantity = std,
+          allowed_range_min = lo,
+          allowed_range_max = hi,
+          actual_quantity = math.round(actual * 100.0) / 100.0,
+          performed_by = RelationalOps.reviewerNames(Synth.draw(c, i, 0x206, 16)),
+          checked_by = RelationalOps.reviewerNames(Synth.draw(c, i, 0x207, 16)))
+      }
+      val steps = (0 until 1 + Synth.draw(c, -2, 0x210, 3)).map { s =>
+        ProcedureStep(
+          step_no = s + 1,
+          description = s"step-$s",
+          temperature_records = (0 until 2 + Synth.draw(c, s, 0x211, 3)).map { t =>
+            TemperatureRecord(s"t$t", 20.0 + Synth.draw(c, s * 31 + t, 0x212, 15))
+          })
+      }
+      StructuredRecord(
+        conv_id = f"conv-$c%06d",
+        batch_details = BatchDetails(
+          product_name = s"product-${Synth.draw(c, -2, 0x220, 8)}",
+          batch_no = f"B$c%05d",
+          batch_started_on = new java.sql.Timestamp(1735689600000L + c * 86400000L),
+          batch_completed_on = new java.sql.Timestamp(1735689600000L + c * 86400000L + 3600000L * (4 + Synth.draw(c, -2, 0x221, 20)))),
+        material_usage_rows = rows,
+        steps = steps,
+        equipment_no = (0 until 1 + Synth.draw(c, -2, 0x222, 3)).map(i => s"EQ-${Synth.draw(c, i, 0x223, 30)}"))
+    }
+  }
+
+  /** Shred: `main_table_material_usage_rows` child (one row per element,
+    * tagged with conv_id + a deterministic row key), with the P1 derived
+    * validation column (ref: src/validation/material_usage.py:1-10).
+    */
+  def shredMaterialUsage(records: DataFrame): DataFrame =
+    records
+      .select(col("conv_id"), posexplode(col("material_usage_rows")).as(Seq("pos", "row")))
+      .select(
+        col("conv_id"),
+        sha2(concat_ws("|", col("conv_id"), lit("material_usage_rows"), col("pos")), 256).as("row_key"),
+        col("pos"),
+        col("row.material_name").as("material_name"),
+        col("row.standard_quantity").as("standard_quantity"),
+        col("row.allowed_range_min").as("allowed_range_min"),
+        col("row.allowed_range_max").as("allowed_range_max"),
+        col("row.actual_quantity").as("actual_quantity"),
+        col("row.performed_by").as("performed_by"),
+        col("row.checked_by").as("checked_by"))
+      .withColumn(
+        "quantity_within_range",
+        col("actual_quantity").between(col("allowed_range_min"), col("allowed_range_max")))
+
+  /** Shred the 3-deep nesting: steps[] -> temperature_records[] becomes
+    * `main_table_steps_temperature_records` with parent path keys.
+    */
+  def shredTemperatureRecords(records: DataFrame): DataFrame =
+    records
+      .select(col("conv_id"), posexplode(col("steps")).as(Seq("step_pos", "step")))
+      .select(
+        col("conv_id"),
+        sha2(concat_ws("|", col("conv_id"), lit("steps"), col("step_pos")), 256).as("step_key"),
+        col("step.step_no").as("step_no"),
+        posexplode(col("step.temperature_records")).as(Seq("rec_pos", "rec")))
+      .select(
+        col("conv_id"), col("step_key"), col("step_no"),
+        col("rec_pos"),
+        col("rec.time_point").as("time_point"),
+        col("rec.temperature_c").as("temperature_c"))
+
+  /** Flatten array<string> to CSV (ref: db_init_llm.py:297-299 joins
+    * equipment_no lists with commas for the SQL sink).
+    */
+  def flattenEquipment(records: DataFrame): DataFrame =
+    records.select(
+      col("conv_id"),
+      array_join(col("equipment_no"), ",").as("equipment_csv"),
+      size(col("equipment_no")).as("n_equipment"))
+
+  /** J2: conversation registry with deterministic dense ids
+    * (reproducible, unlike lastrowid / monotonically_increasing_id;
+    * ref: json_to_db.py:36-47).
+    *
+    * Scale-safe two-phase assignment: a single global-order row_number
+    * would funnel all keys through ONE partition, so instead ids are
+    * row_number within a hash bucket plus a driver-computed prefix-sum
+    * offset per bucket (the bucket-count table is tiny). Ids are dense,
+    * deterministic, and ordered by (bucket, conv_id).
+    */
+  val RegistryBuckets = 64
+
+  def registry(records: DataFrame): DataFrame = {
+    val distinctConvs = records.select(col("conv_id")).distinct()
+      .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(RegistryBuckets.toLong)).cast("int"))
+    val counts = distinctConvs.groupBy(col("bucket")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets =
+      if (counts.isEmpty) Map.empty[Int, Long]
+      else counts.scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+        .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toMap
+    val spark = records.sparkSession
+    val offsetDf = spark.createDataFrame(
+      offsets.toSeq.map { case (b, off) => (b, off) }).toDF("bucket", "offset")
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("conv_id"))
+    distinctConvs
+      .withColumn("local_rn", row_number().over(wb))
+      .join(broadcast(offsetDf), "bucket")
+      .withColumn("reg_id", (col("offset") + col("local_rn")).cast("long"))
+      .select(col("conv_id"), col("reg_id"))
+  }
+
+  /** T5/P1-negation: rule evaluation — the persisted example workflow
+    * ("actual quantities within allowed range",
+    * ref: agents/workflow_agent/workflows.json:1-8). Violations roll up
+    * per conversation; "notify" = rows in this alerts table.
+    */
+  def ruleViolations(records: DataFrame): DataFrame =
+    shredMaterialUsage(records)
+      .filter(!col("quantity_within_range"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_violations"),
+        max(col("actual_quantity") - col("allowed_range_max")).as("worst_overage"))
+
+  /** J7: cascading delete of a conversation across all child tables. */
+  def deleteConv(child: DataFrame, convIds: DataFrame): DataFrame =
+    child.join(convIds, Seq("conv_id"), "left_anti")
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.text.TextAlgos
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float] column).
+  *
+  * - bruteTopK: the exact baseline — broadcast the (small) query set,
+  *   score every (query, vector) pair with a typed map, take top-k per
+  *   query with a window. One scan of the corpus, no corpus-side shuffle
+  *   except the final per-query top-k (k rows per query survive the
+  *   partial TakeOrdered).
+  * - lshTopK: the scale path — sign-bit hyperplane buckets; only same-
+  *   bucket pairs are scored. Recall<1, cost ~ corpus/2^planes per query.
+  *   (IVF with learned centroids would slot in the same shape: assign ->
+  *   equi-join on cell id -> exact score.)
+  */
+object SimilarityOps {
+
+  import RelationalOps.table
+
+  val DefaultK = 3
+  val NQueries = 8
+
+  /** Exact brute-force cosine top-k. Output (query_id, neighbor_id, rank,
+    * cosine_x10000), self-matches excluded, ties broken by neighbor id.
+    */
+  def bruteTopK(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    import spark.implicits._
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val queries = vecs.filter(_._1 < NQueries).collect() // tiny, broadcast in closure
+    val scored = vecs.flatMap { case (id, v) =>
+      queries.iterator
+        .filter(_._1 != id)
+        .map { case (qid, qv) => (qid, id, math.floor(TextAlgos.cosine(qv, v) * 10000).toLong) }
+    }.toDF("query_id", "neighbor_id", "cosine_x10000")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_x10000").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_x10000"))
+  }
+
+  /** LSH-bucketed ANN: score only vectors sharing the query's hyperplane
+    * bucket. Same output shape as bruteTopK (rank within bucket).
+    */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = DefaultK, nPlanes: Int = 6): DataFrame = {
+    import spark.implicits._
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val queries = vecs.filter(_._1 < NQueries).collect()
+      .map { case (id, v) => (id, v, TextAlgos.hyperplaneBucket(v, nPlanes)) }
+    val scored = vecs.flatMap { case (id, v) =>
+      val bucket = TextAlgos.hyperplaneBucket(v, nPlanes)
+      queries.iterator
+        .filter { case (qid, _, qb) => qid != id && qb == bucket }
+        .map { case (qid, qv, _) => (qid, id, math.floor(TextAlgos.cosine(qv, v) * 10000).toLong) }
+    }.toDF("query_id", "neighbor_id", "cosine_x10000")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_x10000").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_x10000"))
+  }
+}

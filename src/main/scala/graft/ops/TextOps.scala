@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.text.TextAlgos
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline toolkit (language-ID, quality scoring, token
+  * counting, fingerprinting). Heuristic ops are codegen'd column
+  * expressions; per-doc algorithmic ops (simhash, winnowing) are narrow
+  * typed maps — no shuffle, linear scale-out.
+  */
+object TextOps {
+
+  import RelationalOps.table
+
+  /** Token-count statistics per language (whitespace tokenization —
+    * deterministic and oracle-expressible; a BPE-ish regex variant is
+    * `tokenCountBpe` below).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"),
+        min(col("n_tokens")).cast("long").as("min_tokens"))
+
+  /** Per-document quality metrics, all integer (engine-independent):
+    * char count, token count, punctuation count, mean word length x100,
+    * and a pass/fail quality gate (length + word-shape heuristics in the
+    * spirit of Gopher/C4 quality rules).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("n_punct", (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
+      .withColumn("n_letter_chars", length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("mean_wordlen_x100", floor(col("n_letter_chars") * 100.0 / col("n_tokens")).cast("long"))
+      .withColumn(
+        "quality_pass",
+        col("n_tokens").between(10, 100000) &&
+          col("mean_wordlen_x100").between(150L, 1200L))
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("n_punct"),
+        col("mean_wordlen_x100"), col("quality_pass"))
+
+  private val langStopwords: Seq[(String, String)] = Seq(
+    // (lang, regex of high-frequency function words)
+    ("en", "\\b(the|and|of|to|in|is|that|for)\\b"),
+    ("fr", "\\b(le|la|les|et|de|un|une|est)\\b"),
+    ("es", "\\b(el|la|los|las|y|de|que|es)\\b"),
+    ("de", "\\b(der|die|das|und|ist|von|zu|mit)\\b"))
+
+  /** Language identification by stopword-profile scoring: count hits per
+    * language's function-word list, argmax with a deterministic tie order
+    * (en > fr > es > de > unknown). Integer scores — oracle-expressible.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = langStopwords.foldLeft(table(spark, dir, "documents")) {
+      case (df, (lang, re)) =>
+        df.withColumn(s"score_$lang", size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long"))
+    }
+    val best = langStopwords.map(_._1).foldLeft(lit(0)) { (acc, lang) =>
+      greatest(acc, col(s"score_$lang"))
+    }
+    val predicted = langStopwords.reverse.foldLeft(lit("unknown")) {
+      case (acc, (lang, _)) => when(col(s"score_$lang") === col("best_score") && col("best_score") > 0, lang).otherwise(acc)
+    }
+    base
+      .withColumn("best_score", best)
+      .withColumn("predicted_lang", predicted)
+      .select(col("doc_id"), col("lang"),
+        col("score_en"), col("score_fr"), col("score_es"), col("score_de"),
+        col("predicted_lang"))
+  }
+
+  /** BPE-ish token counting: alternation of word pieces, numbers and
+    * punctuation runs (a deterministic regex stand-in for a subword
+    * tokenizer; real BPE would be a broadcast vocab + typed map).
+    */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn(
+        "n_bpe_tokens",
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .select(col("doc_id"), col("n_bpe_tokens"))
+
+  /** Document fingerprinting via winnowing (rolling k-gram hashes, min per
+    * window) — near-duplicate detection primitive. Typed map, no shuffle.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val fps = TextAlgos.winnow(TextAlgos.tokenize(text), k = 5, w = 4)
+        (id, fps.length, if (fps.isEmpty) 0L else fps.min, if (fps.isEmpty) 0L else fps.reduce(_ ^ _))
+      }
+      .toDF("doc_id", "n_fingerprints", "min_fingerprint", "xor_fingerprint")
+  }
+
+  /** 64-bit SimHash per document (typed map; used by DedupOps.simhashDedup). */
+  def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextAlgos.simhash(TextAlgos.tokenize(text))) }
+      .toDF("doc_id", "simhash")
+  }
+}

