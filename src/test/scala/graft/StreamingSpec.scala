@@ -1,0 +1,114 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.streaming.StreamingExtract
+import graft.synth.SynthDataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Structured Streaming facade: file-source extraction drains to the same
+  * results as the batch pipeline; watermarked windows aggregate correctly;
+  * stateful per-conversation status tracks counts.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+
+  private val nConvs = 40L
+
+  test("AvailableNow stream extracts exactly the batch pipeline's rows, and restart is exactly-once") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+
+    // land the corpus as two separate file batches (two "tasks")
+    val turns = SynthDataset.turns(spark, nConvs)
+    turns.filter(_.turn_idx % 2 == 0).write.parquet(in)
+    turns.filter(_.turn_idx % 2 == 1).write.mode("append").parquet(in)
+
+    StreamingExtract.runAvailableNow(spark, in, out, ck).awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select($"conv_id", $"turn_idx", $"kind", $"extracted_text", $"failure")
+    val batch = Pipeline.run(spark, turns).toDF()
+      .select($"conv_id", $"turn_idx", $"kind", $"extracted_text", $"failure")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+
+    // restart with the same checkpoint: no new files -> no new rows
+    StreamingExtract.runAvailableNow(spark, in, out, ck).awaitTermination()
+    assert(spark.read.parquet(out).count() === batch.count())
+
+    // a third landing batch is picked up incrementally, rows only appended once
+    turns.filter(_.turn_idx % 2 == 1).limit(0).write.mode("append").parquet(in) // no-op file
+    spark.createDataset(Seq(
+      graft.model.Turn("conv-extra", 0, "user", "plain text turn for stream restart", null,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))))
+      .write.mode("append").parquet(in)
+    StreamingExtract.runAvailableNow(spark, in, out, ck).awaitTermination()
+    assert(spark.read.parquet(out).count() === batch.count() + 1)
+  }
+
+  test("watermarked windowed failure aggregation matches batch recomputation") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-w").toString
+    val in = s"$base/in"
+    val turns = SynthDataset.turns(spark, nConvs)
+    turns.write.parquet(in)
+
+    val stream = StreamingExtract.failureWindows(
+      StreamingExtract.readTurnStream(spark, in), "10 minutes", "5 minutes")
+    val q = stream.writeStream
+      .format("memory").queryName("fw").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Append mode only emits windows the watermark has passed; with a
+    // single drain the final windows may be withheld, so compare the
+    // emitted subset against the batch truth.
+    val got = spark.table("fw")
+      .select($"window.start".as("ws"), $"role", $"n_turns", $"n_failures")
+
+    val truth = Pipeline.run(spark, turns).toDF()
+      .join(turns.toDF().select($"conv_id", $"turn_idx", $"ts"), Seq("conv_id", "turn_idx"))
+      .groupBy(window($"ts", "5 minutes").getField("start").as("ws"), $"role")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when($"failure".isNotNull, 1L).otherwise(0L)).as("n_failures"))
+
+    assert(got.count() > 0, "watermark should have closed at least one window")
+    assert(got.join(truth, Seq("ws", "role"), "left_anti").isEmpty,
+      "every emitted window row must match the batch truth")
+    val mismatched = got.alias("g").join(truth.alias("t"), Seq("ws", "role"))
+      .filter($"g.n_turns" =!= $"t.n_turns" || $"g.n_failures" =!= $"t.n_failures")
+    assert(mismatched.isEmpty)
+  }
+
+  test("flatMapGroupsWithState conversation status converges to true per-conv counts") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-s").toString
+    val in = s"$base/in"
+    val turns = SynthDataset.turns(spark, nConvs)
+    turns.write.parquet(in)
+
+    val q = StreamingExtract.conversationStatus(
+      StreamingExtract.readTurnStream(spark, in), idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("cs").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // last status row per conversation = final state after the drain
+    val last = spark.table("cs")
+      .groupBy($"conv_id")
+      .agg(max($"n_turns").as("n_turns"), max($"n_failures").as("n_failures"),
+        max($"max_turn_idx").as("max_turn_idx"))
+    val truth = Pipeline.run(spark, turns).toDF()
+      .groupBy($"conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when($"failure".isNotNull, 1L).otherwise(0L)).as("n_failures"),
+        max($"turn_idx").cast("int").as("max_turn_idx"))
+    assert(last.count() === nConvs)
+    assert(last.except(truth).isEmpty && truth.except(last).isEmpty)
+  }
+}
