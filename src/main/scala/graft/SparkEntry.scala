@@ -66,6 +66,7 @@ object SparkEntry {
     "q22_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q23_ngram_jaccard_pairs" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "q24_embedding_dup_pairs" -> ((s, d) => DedupOps.embeddingDupPairs(s, d)),
+    "q36_dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // --- similarity search (embeddings table) ---
     "q25_ann_brute_topk" -> ((s, d) => SimilarityOps.bruteTopK(s, d)),
     "q26_ann_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),

@@ -124,6 +124,68 @@ object DedupOps {
       .filter(col("jaccard_x1000") >= thresholdX1000)
   }
 
+  /** Near-duplicate cluster assignment: connected components over the
+    * MinHash-verified pair graph, by iterative min-label propagation.
+    * Output: (doc_id, cluster_id, is_canonical) for EVERY document —
+    * singletons get their own id; `is_canonical` marks the one kept row
+    * per cluster (min doc_id), i.e. the "keep" set of a dedup pass.
+    *
+    * Scale notes: label propagation converges in O(cluster diameter)
+    * rounds — near-dup clusters are dense (most are cliques from a shared
+    * template), so diameter is small; `maxIters` bounds the worst case.
+    * Each round shuffles only (doc_id, label) pairs plus the edge list —
+    * never document text. `localCheckpoint` truncates the logical plan
+    * each round so the plan doesn't grow linearly with iterations (the
+    * classic iterative-Spark pitfall).
+    */
+  def dedupClusters(
+      spark: SparkSession,
+      dir: String,
+      thresholdX1000: Int = 700,
+      maxIters: Int = 20): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    val edges = minhashPairs(spark, dir, thresholdX1000)
+      .select(col("doc_a"), col("doc_b"))
+    // symmetric, deduped edge list; small relative to the corpus
+    val sym = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = docs.withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // each node offers its label to every neighbor; keep the min of
+      // (own label, offered labels)
+      val offered = sym
+        .join(labels, sym("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
+        .union(offered)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+
+    val canonical = labels
+      .groupBy(col("label"))
+      .agg(min(col("doc_id")).as("canonical_doc"))
+    labels
+      .join(canonical, "label")
+      .select(
+        col("doc_id"),
+        col("label").as("cluster_id"),
+        (col("doc_id") === col("canonical_doc")).as("is_canonical"))
+  }
+
   /** Embedding near-dup pairs: hyperplane-LSH bucketing + exact cosine
     * verification (cosine scaled to integer x10000 for engine-independent
     * output).

@@ -90,6 +90,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters: exactly the connected components of the pair graph") {
+    import spark.implicits._
+    val clusters = DedupOps.dedupClusters(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val pairs = DedupOps.minhashPairs(spark, dir).as[(Long, Long, Int)].collect()
+    val allDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long].collect()
+
+    // local union-find truth
+    val parent = scala.collection.mutable.Map(allDocs.map(d => d -> d): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truthCluster = allDocs.map(d => d -> find(d)).toMap
+
+    assert(clusters.length == allDocs.length, "every document gets a cluster row")
+    clusters.foreach { case (doc, cid, canonical) =>
+      assert(cid == truthCluster(doc), s"doc $doc: cluster $cid != ${truthCluster(doc)}")
+      val expectCanonical = truthCluster.collect { case (d, c) if c == cid => d }.min == doc
+      assert(canonical == expectCanonical)
+    }
+    // there is at least one multi-doc cluster in the corpus (else the test is vacuous)
+    assert(clusters.groupBy(_._2).exists(_._2.length > 1))
+  }
+
   test("shredding: child row counts equal nested array sizes; range check correct") {
     import spark.implicits._
     val recs = ShredOps.structuredRecords(spark, 50).cache()
