@@ -32,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_CPUS (query pass, default 32), SPARK_GRAFT_BENCH_CONVS
-  * (default 480000 ≈ 9.7M turns), SPARK_GRAFT_BENCH_REPS (default 2),
+  * (default 480000 ≈ 9.7M turns), SPARK_GRAFT_BENCH_REPS (default 3),
   * SPARK_GRAFT_SCALING_LOW/HIGH (default 4/16), SPARK_GRAFT_SCALING=0 to
   * skip the scaling passes.
   */
@@ -79,7 +79,7 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val lowCpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_LOW", "4").toInt
     val highCpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_HIGH", "16").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
 
     def bestRun(spark: SparkSession): (Long, Double) = {

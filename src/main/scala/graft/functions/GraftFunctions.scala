@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.text.TextAlgos
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: 64-bit SimHash of a text column.
+  *
+  * Why an Expression and not a typed map / UDF: the dedup path computes
+  * simhash over the full `documents` table; a typed `Dataset.map` forces
+  * a SerializeFromObject/DeserializeToObject boundary that materializes
+  * EVERY column of the row as JVM objects, and a Scala UDF boxes its
+  * input/output per row. A codegen'd unary expression converts only the
+  * one string column, inside the same WholeStageCodegen stage as the
+  * surrounding scan/projection — at 100 TB the difference is a full
+  * row-ser/de pass over the corpus.
+  *
+  * The hash itself is the same `TextAlgos.simhash` used everywhere else
+  * (token 64-bit hashes, bitwise majority vote), so expression and typed
+  * paths are bit-identical — asserted in FunctionsSpec.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgos.simhashUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Scala top-level objects expose static forwarders, so generated Java
+    // can call TextAlgos directly — no boxing, stays in codegen.
+    defineCodeGen(ctx, ev, c => s"graft.text.TextAlgos.simhashUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Registration for graft's native SQL functions. Use either
+  * `GraftFunctions.register(spark)` (idempotent, runtime) or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  * build time.
+  */
+object GraftFunctions {
+
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash64].getName, null, "graft_simhash64",
+    "_FUNC_(text) - 64-bit SimHash fingerprint of the token stream.", "")
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("graft_simhash64")
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(
+        id, simhashInfo,
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_simhash64 takes exactly one argument")
+          SimHash64(children.head)
+        })
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook: makes `graft_simhash64` available to
+  * every session when the config carries
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(
+        classOf[SimHash64].getName, null, "graft_simhash64",
+        "_FUNC_(text) - 64-bit SimHash fingerprint of the token stream.", ""),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
+}

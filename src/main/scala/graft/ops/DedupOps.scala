@@ -99,13 +99,23 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** n-gram Jaccard near-dup pairs with (lang, token-bucket) blocking. */
+  /** n-gram Jaccard near-dup pairs with (lang, token-bucket) blocking.
+    * Shingle sets are computed ONCE per document in a narrow pass and the
+    * self-join carries the (sorted, deduped) hash arrays — not the text —
+    * so the per-pair work is a linear merge over two sorted arrays
+    * instead of re-tokenizing both documents for every candidate pair
+    * (O(docs·len + pairs·shingles) vs O(pairs·len)).
+    */
   def ngramJaccardPairs(spark: SparkSession, dir: String, thresholdX1000: Int = 600): DataFrame = {
     import spark.implicits._
     val docs = table(spark, dir, "documents")
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-      .withColumn("bucket", (col("n_tokens") / 16).cast("int"))
-      .select(col("doc_id"), col("lang"), col("bucket"), col("text"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val toks = TextAlgos.tokenize(text)
+        (id, lang, toks.length / 16, TextAlgos.shingleHashes(toks, ShingleW))
+      }
+      .toDF("doc_id", "lang", "bucket", "shingles")
     val a = docs.as("a")
     val b = docs.as("b")
     a.join(b,
@@ -113,13 +123,9 @@ object DedupOps {
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.text").as("text_a"), col("b.text").as("text_b"))
-      .as[(Long, Long, String, String)]
-      .map { case (ia, ib, ta, tb) =>
-        val sa = TextAlgos.shingleHashes(TextAlgos.tokenize(ta), ShingleW)
-        val sb = TextAlgos.shingleHashes(TextAlgos.tokenize(tb), ShingleW)
-        (ia, ib, TextAlgos.jaccardX1000(sa, sb))
-      }
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (ia, ib, sa, sb) => (ia, ib, TextAlgos.jaccardX1000(sa, sb)) }
       .toDF("doc_a", "doc_b", "jaccard_x1000")
       .filter(col("jaccard_x1000") >= thresholdX1000)
   }

@@ -103,13 +103,14 @@ object TextOps {
       .toDF("doc_id", "n_fingerprints", "min_fingerprint", "xor_fingerprint")
   }
 
-  /** 64-bit SimHash per document (typed map; used by DedupOps.simhashDedup). */
+  /** 64-bit SimHash per document via the native `graft_simhash64`
+    * Catalyst expression (graft.functions.SimHash64): stays inside
+    * WholeStageCodegen — only the text column is converted, no typed
+    * ser/de boundary (vs the previous `Dataset.map` version).
+    */
   def simhashDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, TextAlgos.simhash(TextAlgos.tokenize(text))) }
-      .toDF("doc_id", "simhash")
+      .select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
   }
 }

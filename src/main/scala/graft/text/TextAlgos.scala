@@ -117,6 +117,13 @@ object TextAlgos {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Codegen entry point for the `graft_simhash64` Catalyst expression
+    * (graft.functions.SimHash64): called from generated Java via the
+    * static forwarder, one UTF8String→String conversion, no boxing.
+    */
+  def simhashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    simhash(tokenize(s.toString))
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * k-gram rolling hashes, min per sliding window of `w`, deduplicated.
     */
