@@ -67,6 +67,8 @@ object SparkEntry {
     "q23_ngram_jaccard_pairs" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "q24_embedding_dup_pairs" -> ((s, d) => DedupOps.embeddingDupPairs(s, d)),
     "q36_dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
+    "q37_class_balance" -> ((s, d) => RelationalOps.q14ClassBalance(s, d)),
+    "q38_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     // --- similarity search (embeddings table) ---
     "q25_ann_brute_topk" -> ((s, d) => SimilarityOps.bruteTopK(s, d)),
     "q26_ann_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
@@ -205,6 +207,18 @@ object SparkEntry {
     "q20_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
+    "q37_class_balance" ->
+      """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         bounds AS (SELECT min(cnt) AS min_cnt, max(cnt) AS max_cnt FROM counts),
+         r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+               FROM documents)
+         SELECT r.doc_id, r.lang,
+                CAST(floor(b.max_cnt / b.min_cnt) +
+                     (CASE WHEN r.rn <= b.max_cnt % b.min_cnt THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_copies_to_max
+         FROM r CROSS JOIN bounds b
+         WHERE r.rn <= b.min_cnt""",
     "q25_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
          s AS (SELECT qid AS query_id, vec_id AS neighbor_id,

@@ -81,4 +81,50 @@ object MultimodalOps {
       .toDF()
       .select(col("doc_id"), col("n_bytes"), col("top_byte"), col("byte_checksum"))
   }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Frame sampling over an opaque binary "video" payload: fixed-size
+    * windows at a stride, each "decoded" (STUB: checksum) — the
+    * partition-local fan-out shape of real frame extraction (one input
+    * row → k frame rows, no shuffle). `resizeTo` then downsamples each
+    * frame payload by integer striding — the stand-in for an image
+    * resize kernel with the same signature (bytes → smaller bytes).
+    */
+  def frameSample(
+      spark: SparkSession,
+      dir: String,
+      frameBytes: Int = 64,
+      stride: Int = 48): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val n = payload.length
+          val starts = 0 until math.max(1, n - frameBytes + 1) by stride
+          starts.iterator.zipWithIndex.map { case (s, fi) =>
+            val end = math.min(n, s + frameBytes)
+            var ck = 0L
+            var i = s
+            while (i < end) { ck = ck * 131 + (payload(i) & 0xff); i += 1 }
+            Frame(id, fi, end - s, ck)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** STUB resize: keep every `factor`-th byte (real kernel would be a
+    * codec call; the Spark-side contract — binary in, binary out, same
+    * row — is the point).
+    */
+  def resizeTo(payloads: DataFrame, factor: Int): DataFrame = {
+    val resize = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else Array.tabulate(b.length / factor)(i => b(i * factor))
+    }
+    payloads.withColumn("payload", resize(col("payload")))
+  }
 }

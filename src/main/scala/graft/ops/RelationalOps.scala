@@ -174,4 +174,42 @@ object RelationalOps {
       .agg(
         min_by(col("p_partkey"), struct(col("p_retailprice"), col("p_partkey"))).as("cheapest_part"),
         min(col("p_retailprice")).as("min_price"))
+
+  /** A8: deterministic class balancing (ref: signature_model_data.py:
+    * 125-148 — oversample via augmentation / undersample via random pick
+    * to a per-class target; here made reproducible). Undersamples every
+    * language class to the min class size (row_number over doc_id order,
+    * no RNG), and emits `n_copies_to_max` — the exact per-row replication
+    * factor that an `explode(array_repeat(...))` oversample to the max
+    * class size would use (asserted in OpsSpec). The two grouped counts
+    * are tiny broadcasts; the only full-data shuffle is the window over
+    * `lang`.
+    */
+  def q14ClassBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(
+      min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
+    val rn = row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id")))
+    docs
+      .withColumn("rn", rn)
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(bounds))
+      .filter(col("rn") <= col("min_cnt"))
+      .select(
+        col("doc_id"), col("lang"),
+        (floor(col("max_cnt") / col("min_cnt")) +
+          when(col("rn") <= col("max_cnt") % col("min_cnt"), 1L).otherwise(0L))
+          .cast("long").as("n_copies_to_max"))
+  }
+
+  /** A8 oversample mechanics: replicate each balanced row `n_copies_to_max`
+    * times via explode(array_repeat(...)) — every class ends at exactly
+    * the max class size.
+    */
+  def oversample(balanced: DataFrame): DataFrame =
+    balanced
+      .withColumn("copy", explode(array_repeat(lit(1), col("n_copies_to_max").cast("int"))))
+      .drop("copy", "n_copies_to_max")
 }

@@ -117,6 +117,23 @@ class OpsSpec extends AnyFunSuite {
     assert(clusters.groupBy(_._2).exists(_._2.length > 1))
   }
 
+  test("class balance: undersample equalizes to min; oversample reaches exactly max") {
+    import spark.implicits._
+    val balanced = RelationalOps.q14ClassBalance(spark, dir).cache()
+    val perLang = balanced.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.toSet.size == 1, s"classes not equalized: $perLang")
+
+    val trueCounts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.head == trueCounts.values.min)
+
+    val over = RelationalOps.oversample(balanced)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(over.values.toSet == Set(trueCounts.values.max),
+      s"oversample should reach max class size: $over vs max ${trueCounts.values.max}")
+    balanced.unpersist()
+  }
+
   test("shredding: child row counts equal nested array sizes; range check correct") {
     import spark.implicits._
     val recs = ShredOps.structuredRecords(spark, 50).cache()
