@@ -207,6 +207,27 @@ object SparkEntry {
     "q20_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
+    "q23_ngram_jaccard_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id, lang, len(toks) // 16 AS bucket,
+                  CASE WHEN len(toks) < 3 THEN []
+                       ELSE list_distinct(list_transform(range(1, len(toks)-1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.sh, b.sh)) AS inter,
+                  len(a.sh) AS na, len(b.sh) AS nb
+           FROM s a JOIN s b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT doc_a, doc_b,
+                  CAST(CASE WHEN na = 0 AND nb = 0 THEN 1000
+                            WHEN na = 0 OR nb = 0 THEN 0
+                            ELSE inter * 1000 // (na + nb - inter) END AS INT) AS jaccard_x1000
+           FROM p)
+         SELECT doc_a, doc_b, jaccard_x1000 FROM j WHERE jaccard_x1000 >= 600""",
     "q37_class_balance" ->
       """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
          bounds AS (SELECT min(cnt) AS min_cnt, max(cnt) AS max_cnt FROM counts),
