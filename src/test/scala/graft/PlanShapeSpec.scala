@@ -1,0 +1,60 @@
+package graft
+
+import graft.model.Turn
+import graft.ops.RelationalOps
+import graft.pipeline.Pipeline
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-plan regressions: the properties that matter at 100 TB must
+  * be visible in the plan, not assumed — broadcast for dimension joins,
+  * column pruning into the parquet scan, top-k without a global sort,
+  * and the extraction pipeline's single shuffle.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("registry join broadcasts every dimension (no sort-merge shuffle)") {
+    val p = plan(RelationalOps.q2RegistryJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to SMJ:\n$p")
+  }
+
+  test("aggregation scan prunes to exactly the referenced columns") {
+    val p = plan(RelationalOps.q1Agg(spark, dir))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_returnflag:string,l_linestatus:string>"),
+      s"scan should read 4 of 16 lineitem columns:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(RelationalOps.q7TopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("window top-per-key gets a partial WindowGroupLimit before the shuffle") {
+    val p = plan(RelationalOps.q4WindowTopPerKey(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"missing rank-limit pushdown:\n$p")
+  }
+
+  test("extraction pipeline: one data shuffle; pre-agg scan prunes to conv_id") {
+    import spark.implicits._
+    // parquet-backed input so scan pruning is observable
+    val tmp = Files.createTempDirectory("graft-plan").toString + "/turns"
+    graft.synth.SynthDataset.turns(spark, 20L).write.parquet(tmp)
+    val turns = spark.read.parquet(tmp).as[Turn]
+    val p = plan(Pipeline.run(spark, turns).toDF())
+    // the long-conv pre-aggregation must scan only conv_id
+    assert(p.contains("ReadSchema: struct<conv_id:string>"),
+      s"pre-agg scan reads more than conv_id:\n$p")
+    // exactly one full-data exchange: the salted repartition. (The tiny
+    // pre-agg side has its own partial/final agg exchange + broadcast.)
+    val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"long-conv join should broadcast:\n$p")
+  }
+}
