@@ -97,7 +97,9 @@ object SparkEntry {
         .groupBy(col("conv_id")).agg(count(lit(1)).as("n_rows"))
     }),
     "q35_equipment_csv" -> ((s, _) =>
-      ShredOps.flattenEquipment(ShredOps.structuredRecords(s, 200).toDF()))
+      ShredOps.flattenEquipment(ShredOps.structuredRecords(s, 200).toDF())),
+    "q39_shred_all" -> ((s, _) =>
+      ShredOps.shredAllSummary(ShredOps.structuredRecords(s, 200).toDF()))
   )
 
   private val reviewerList =
@@ -174,6 +176,7 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "q15_quality_score" ->
       """SELECT doc_id, n_chars_m, n_tokens, n_punct, mean_wordlen_x100,
+                CAST(floor(n_stopwords * 1000.0 / n_tokens) AS BIGINT) AS stopword_x1000,
                 (n_tokens BETWEEN 10 AND 100000) AND (mean_wordlen_x100 BETWEEN 150 AND 1200) AS quality_pass
          FROM (
            SELECT doc_id,
@@ -181,7 +184,8 @@ object SparkEntry {
                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
                   CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100.0
-                             / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS mean_wordlen_x100
+                             / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS mean_wordlen_x100,
+                  len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS n_stopwords
            FROM documents) t""",
     "q16_lang_id" ->
       """SELECT doc_id, lang, score_en, score_fr, score_es, score_de,

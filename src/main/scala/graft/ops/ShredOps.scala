@@ -162,4 +162,74 @@ object ShredOps {
   /** J7: cascading delete of a conversation across all child tables. */
   def deleteConv(child: DataFrame, convIds: DataFrame): DataFrame =
     child.join(convIds, Seq("conv_id"), "left_anti")
+
+  /** Generic recursive shredder — the schema-driven generalization of the
+    * fixed-path shreds above, mirroring the reference's `gather_schema`
+    * walk (ref: agents/sql_agent/json_to_db.py:49-83):
+    *
+    *  - struct field `k` → child table `{parent}_{k}`, parent keeps a
+    *    deterministic `{k}_key` pointer (the reference's `{key}_id`
+    *    back-pointer, json_to_db.py:57-59 — but sha256 path keys instead
+    *    of lastrowid, reproducible across reruns/partitionings);
+    *  - array<struct> field `k` → child table `{parent}_{k}`, one row per
+    *    element with (parent_key, pos, row_key);
+    *  - array<scalar> → CSV string in the parent (db_init_llm.py:297-299);
+    *  - scalars stay in place; every row of every table carries `conv_id`
+    *    (the reference tags every child row with doc_id).
+    *
+    * All shredding is projections + explode — narrow, shuffle-free, one
+    * pass over the input per table.
+    */
+  def shredAll(records: DataFrame, rootName: String = "main_table"): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.types._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+
+    // df carries conv_id + row_key + payload fields
+    def walk(df: DataFrame, name: String): Unit = {
+      val payload = df.schema.fields.filterNot(f => f.name == "conv_id" || f.name == "row_key")
+      var parent = df
+      payload.foreach { f =>
+        f.dataType match {
+          case _: StructType =>
+            val childKey = sha2(concat_ws("|", col("row_key"), lit(f.name)), 256)
+            val child = df.select(
+              col("conv_id"), childKey.as("row_key"), col(f.name + ".*"))
+            walk(child, s"${name}_${f.name}")
+            parent = parent.withColumn(s"${f.name}_key", childKey).drop(f.name)
+          case ArrayType(_: StructType, _) =>
+            val child = df
+              .select(
+                col("conv_id"), col("row_key").as("parent_key"),
+                posexplode(col(f.name)).as(Seq("pos", "elem")))
+              .select(
+                col("conv_id"),
+                sha2(concat_ws("|", col("parent_key"), lit(f.name), col("pos")), 256).as("row_key"),
+                col("parent_key"), col("pos"), col("elem.*"))
+            walk(child, s"${name}_${f.name}")
+            parent = parent.drop(f.name)
+          case ArrayType(_, _) =>
+            parent = parent.withColumn(
+              f.name, array_join(col(f.name).cast("array<string>"), ","))
+          case _ => ()
+        }
+      }
+      out += ((name, parent))
+    }
+
+    walk(
+      records.withColumn(
+        "row_key", sha2(concat_ws("|", col("conv_id"), lit(rootName)), 256)),
+      rootName)
+    out.toSeq
+  }
+
+  /** Shape summary of a full shred — one row per produced table. */
+  def shredAllSummary(records: DataFrame, rootName: String = "main_table"): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    shredAll(records, rootName)
+      .map { case (t, df) => (t, df.count(), df.schema.fields.length) }
+      .toDF("table_name", "n_rows", "n_cols")
+      .coalesce(1).orderBy(col("table_name"))
+  }
 }

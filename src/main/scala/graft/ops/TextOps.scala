@@ -40,12 +40,16 @@ object TextOps {
       .withColumn("n_punct", (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
       .withColumn("n_letter_chars", length(regexp_replace(col("text"), "\\s", "")))
       .withColumn("mean_wordlen_x100", floor(col("n_letter_chars") * 100.0 / col("n_tokens")).cast("long"))
+      .withColumn("n_stopwords",
+        size(regexp_extract_all(col("text"), lit("\\b(the|and|of|to|in|is|that|for)\\b"), lit(0))).cast("long"))
+      .withColumn("stopword_x1000",
+        floor(col("n_stopwords") * 1000.0 / col("n_tokens")).cast("long"))
       .withColumn(
         "quality_pass",
         col("n_tokens").between(10, 100000) &&
           col("mean_wordlen_x100").between(150L, 1200L))
       .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("n_punct"),
-        col("mean_wordlen_x100"), col("quality_pass"))
+        col("mean_wordlen_x100"), col("stopword_x1000"), col("quality_pass"))
 
   private val langStopwords: Seq[(String, String)] = Seq(
     // (lang, regex of high-frequency function words)

@@ -151,6 +151,42 @@ class OpsSpec extends AnyFunSuite {
     mat.unpersist(); recs.unpersist()
   }
 
+  test("generic shredAll: table set, row counts, FK linkage, CSV flatten") {
+    import spark.implicits._
+    val recs = ShredOps.structuredRecords(spark, 40).toDF().cache()
+    val tables = ShredOps.shredAll(recs).toMap
+    assert(tables.keySet == Set(
+      "main_table", "main_table_batch_details",
+      "main_table_material_usage_rows", "main_table_steps",
+      "main_table_steps_temperature_records"))
+
+    val main = tables("main_table")
+    assert(main.count() == 40)
+    // nested fields replaced: struct -> pointer, array<struct> -> gone,
+    // array<string> -> CSV
+    assert(main.columns.contains("batch_details_key"))
+    assert(!main.columns.contains("material_usage_rows") && !main.columns.contains("steps"))
+    assert(main.select($"equipment_no").as[String].collect().forall(!_.contains("[")))
+
+    // child counts equal nested sizes
+    val wantRows = recs.select(explode($"material_usage_rows")).count()
+    assert(tables("main_table_material_usage_rows").count() == wantRows)
+    val wantTemps = recs
+      .select(explode($"steps").as("s")).select(explode($"s.temperature_records")).count()
+    assert(tables("main_table_steps_temperature_records").count() == wantTemps)
+
+    // FK: every batch_details row joins back to exactly one main row
+    val joined = main.select($"conv_id", $"batch_details_key")
+      .join(tables("main_table_batch_details").withColumnRenamed("row_key", "batch_details_key"),
+        Seq("conv_id", "batch_details_key"))
+    assert(joined.count() == 40)
+    // FK: temperature child rows join their step parents on parent_key
+    val stepJoin = tables("main_table_steps_temperature_records").select($"parent_key")
+      .join(tables("main_table_steps").select($"row_key".as("parent_key")), Seq("parent_key"))
+    assert(stepJoin.count() == wantTemps)
+    recs.unpersist()
+  }
+
   test("registry: dense deterministic ids 1..N") {
     import spark.implicits._
     val df = ShredOps.structuredRecords(spark, 80).toDF()
