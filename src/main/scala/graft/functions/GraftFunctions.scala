@@ -46,6 +46,43 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: floor(cosine(a, b) * 10000) over two
+  * `array<float>` columns — the ANN scoring kernel as a codegen'd binary
+  * expression. Works directly on `ArrayData` (primitive float copy, no
+  * per-element boxing, no typed ser/de boundary), with accumulation
+  * order identical to `TextAlgos.cosine` so results match the typed path
+  * exactly.
+  */
+case class CosineX10000(left: Expression, right: Expression) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine_x10000 requires two ${want.catalogString} arguments, " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine_x10000"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgos.cosineX10000ArrayData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.TextAlgos.cosineX10000ArrayData($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineX10000 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for graft's native SQL functions. Use either
   * `GraftFunctions.register(spark)` (idempotent, runtime) or
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session
@@ -57,15 +94,28 @@ object GraftFunctions {
     classOf[SimHash64].getName, null, "graft_simhash64",
     "_FUNC_(text) - 64-bit SimHash fingerprint of the token stream.", "")
 
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineX10000].getName, null, "graft_cosine_x10000",
+    "_FUNC_(a, b) - floor(cosine_similarity(a, b) * 10000) over array<float>.", "")
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("graft_simhash64")
-    if (!registry.functionExists(id)) {
+    val simhashId = FunctionIdentifier("graft_simhash64")
+    if (!registry.functionExists(simhashId)) {
       registry.registerFunction(
-        id, simhashInfo,
+        simhashId, simhashInfo,
         (children: Seq[Expression]) => {
           require(children.size == 1, "graft_simhash64 takes exactly one argument")
           SimHash64(children.head)
+        })
+    }
+    val cosineId = FunctionIdentifier("graft_cosine_x10000")
+    if (!registry.functionExists(cosineId)) {
+      registry.registerFunction(
+        cosineId, cosineInfo,
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_cosine_x10000 takes exactly two arguments")
+          CosineX10000(children.head, children(1))
         })
     }
   }
@@ -83,5 +133,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[SimHash64].getName, null, "graft_simhash64",
         "_FUNC_(text) - 64-bit SimHash fingerprint of the token stream.", ""),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_x10000"),
+      new ExpressionInfo(
+        classOf[CosineX10000].getName, null, "graft_cosine_x10000",
+        "_FUNC_(a, b) - floor(cosine_similarity(a, b) * 10000) over array<float>.", ""),
+      (children: Seq[Expression]) => CosineX10000(children.head, children(1))))
   }
 }

@@ -202,16 +202,12 @@ object DedupOps {
       .as[(Long, Array[Float])]
     val bucketed = vecs.map { case (id, v) => (TextAlgos.hyperplaneBucket(v, nPlanes), id, v) }
       .toDF("bucket", "vec_id", "embedding")
+    graft.functions.GraftFunctions.register(spark)
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (ia, ib, va, vb) =>
-        (ia, ib, math.floor(TextAlgos.cosine(va, vb) * 10000).toLong)
-      }
-      .toDF("vec_a", "vec_b", "cosine_x10000")
+        expr("graft_cosine_x10000(a.embedding, b.embedding)").as("cosine_x10000"))
       .filter(col("cosine_x10000") >= thresholdX10000)
   }
 }

@@ -27,17 +27,27 @@ object SimilarityOps {
 
   /** Exact brute-force cosine top-k. Output (query_id, neighbor_id, rank,
     * cosine_x10000), self-matches excluded, ties broken by neighbor id.
+    *
+    * Pure-DataFrame formulation: broadcast-nested-loop join of the tiny
+    * query set against the corpus, scored by the codegen'd
+    * `graft_cosine_x10000` expression (graft.functions.CosineX10000) —
+    * the whole scan+score stage stays inside WholeStageCodegen with no
+    * typed ser/de boundary, and the per-query top-k survives as a
+    * partial WindowGroupLimit before the shuffle.
     */
   def bruteTopK(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
-    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val queries = vecs.filter(_._1 < NQueries).collect() // tiny, broadcast in closure
-    val scored = vecs.flatMap { case (id, v) =>
-      queries.iterator
-        .filter(_._1 != id)
-        .map { case (qid, qv) => (qid, id, math.floor(TextAlgos.cosine(qv, v) * 10000).toLong) }
-    }.toDF("query_id", "neighbor_id", "cosine_x10000")
+    val queries = vecs
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val scored = vecs
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        expr("graft_cosine_x10000(q_embedding, embedding)").as("cosine_x10000"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_x10000").desc, col("neighbor_id").asc)
     scored

@@ -124,6 +124,15 @@ object TextAlgos {
   def simhashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
     simhash(tokenize(s.toString))
 
+  /** Codegen entry point for `graft_cosine_x10000`
+    * (graft.functions.CosineX10000): identical accumulation order to
+    * `cosine`, so expression and typed paths are bit-identical.
+    */
+  def cosineX10000ArrayData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long =
+    math.floor(cosine(a.toFloatArray(), b.toFloatArray()) * 10000).toLong
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * k-gram rolling hashes, min per sliding window of `w`, deduplicated.
     */

@@ -37,6 +37,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("SerializeFromObject"), "typed-map boundary crept back in")
   }
 
+  test("graft_cosine_x10000 equals the typed cosine path; null-safe; codegen'd") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val sample = vecs.limit(20).as[(Long, Array[Float])].collect()
+    val viaExpr = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" < 20 && $"b.vec_id" < 20)
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        expr("graft_cosine_x10000(a.embedding, b.embedding)").as("c"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (ia, ib, c) => (ia, ib) -> c }.toMap
+    val byId = sample.toMap
+    viaExpr.foreach { case ((ia, ib), c) =>
+      assert(c == math.floor(TextAlgos.cosine(byId(ia), byId(ib)) * 10000).toLong)
+    }
+    val rows = Seq((Array(1f, 0f), null: Array[Float])).toDF("a", "b")
+      .select(expr("graft_cosine_x10000(a, b)")).collect()
+    assert(rows(0).isNullAt(0))
+    val plan = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(expr("graft_cosine_x10000(a.embedding, b.embedding)"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"))
+  }
+
   test("GraftExtensions injects the function via spark.sql.extensions") {
     // separate session sharing the context, extensions applied
     val s2 = org.apache.spark.sql.SparkSession.builder()
