@@ -82,9 +82,14 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
 
-    def bestRun(spark: SparkSession): (Long, Double) = {
-      extractionRun(spark, corpusDir) // warmup: JIT + codegen, full size
-      (1 to reps).map(_ => extractionRun(spark, corpusDir)).minBy(_._2)
+    // One timed pass in its own context. JIT state survives context
+    // restarts (same JVM), so only the first pass per level warms up.
+    def timedPass(passCpus: Int, warm: Boolean): (Long, Double) = {
+      val s = session(passCpus)
+      if (warm) extractionRun(s, corpusDir) // warmup: JIT + codegen, full size
+      val r = extractionRun(s, corpusDir)
+      s.stop()
+      r
     }
 
     // materialize at full width (fast), then the two scaling levels
@@ -92,19 +97,34 @@ object Bench {
     materializeCorpus(sMat, nConvs, corpusDir)
     sMat.stop()
 
+    // INTERLEAVE low/high passes (L,H,L,H,...) instead of running each
+    // level's reps back-to-back: this host's steal bursts last minutes,
+    // so a block design lets one burst hit a single level and skew the
+    // ratio (observed: same build measured 0.45-1.13 efficiency across
+    // block-design runs). Steal noise is one-sided (runs only ever get
+    // SLOWER), so min-of-K converges to the burst-free time; keep
+    // sampling until BOTH levels' minima are stable for a full round
+    // (neutral criterion — does not look at the ratio), up to maxReps.
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "8").toInt
     val (high, low) = if (doScaling) {
-      val sH = session(highCpus)
-      val h = bestRun(sH)
-      sH.stop()
-      val sL = session(lowCpus)
-      val l = bestRun(sL)
-      sL.stop()
-      (h, Some(l))
+      val ls = collection.mutable.Buffer.empty[(Long, Double)]
+      val hs = collection.mutable.Buffer.empty[(Long, Double)]
+      var r = 0
+      var stable = false
+      // stop only when each level's min has been REPRODUCED — at least
+      // two passes within 2% of that level's best. A single outlier
+      // (lucky or burst-inflated) never terminates the loop by itself.
+      def confirmed(ts: collection.Seq[Double]): Boolean =
+        ts.count(_ <= ts.min * 1.02) >= 2
+      while (r < maxReps && !stable) {
+        ls += timedPass(lowCpus, warm = r == 0)
+        hs += timedPass(highCpus, warm = r == 0)
+        stable = r + 1 >= reps && confirmed(ls.map(_._2)) && confirmed(hs.map(_._2))
+        r += 1
+      }
+      (hs.minBy(_._2), Some(ls.minBy(_._2)))
     } else {
-      val sH = session(highCpus)
-      val h = bestRun(sH)
-      sH.stop()
-      (h, None)
+      (timedPass(highCpus, warm = true), None)
     }
     val (nTurns, tHigh) = high
     val rateHigh = nTurns / tHigh

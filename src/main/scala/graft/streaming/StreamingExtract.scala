@@ -115,6 +115,24 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming exact dedup: drop turns whose (conv_id, turn_idx) was
+    * already seen within the watermark window — the streaming counterpart
+    * of the reference's `INSERT OR IGNORE` idempotent re-ingest
+    * (ref: agents/sql_agent/json_to_db.py:38). State is bounded by the
+    * watermark: a key older than `watermark` is evicted, so re-delivery
+    * beyond that horizon must be handled by the idempotent sink (same
+    * trade the reference makes with at-least-once Celery redelivery).
+    */
+  def dedupedTurnStream(
+      turns: Dataset[Turn],
+      watermark: String = "10 minutes"): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+      .as[Turn]
+  }
+
   /** Run the extraction stream to a parquet sink with checkpointing,
     * draining all available input then stopping (Trigger.AvailableNow).
     * Restartable: the checkpoint dir makes re-runs exactly-once over new

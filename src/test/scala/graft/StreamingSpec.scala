@@ -84,6 +84,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatched.isEmpty)
   }
 
+  test("streaming dedup drops redelivered turns within the watermark") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-d").toString
+    val in = s"$base/in"
+    val turns = SynthDataset.turns(spark, 10L)
+    turns.write.parquet(in)                      // original delivery
+    turns.write.mode("append").parquet(in)       // full redelivery (at-least-once)
+
+    val q = StreamingExtract.dedupedTurnStream(
+      StreamingExtract.readTurnStream(spark, in))
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("dd").count() === turns.count(),
+      "each (conv_id, turn_idx) must survive exactly once")
+    assert(spark.table("dd").select($"conv_id", $"turn_idx").distinct().count() === turns.count())
+  }
+
   test("flatMapGroupsWithState conversation status converges to true per-conv counts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-s").toString
