@@ -213,7 +213,10 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "q23_ngram_jaccard_pairs" ->
       """WITH t AS (
-           SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           SELECT doc_id, lang,
+                  list_filter(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                              tk -> tk <> '') AS toks
+           FROM documents),
          s AS (
            SELECT doc_id, lang, len(toks) // 16 AS bucket,
                   CASE WHEN len(toks) < 3 THEN []

@@ -111,31 +111,48 @@ object HtmlExtractor {
             k += 1
           }
           val tagEnd = if (done) k else n // truncated mid-tag: consume rest
+          // restore anchor/drop state for every entry popped off the open
+          // stack — this is what makes mis-nested closes (</div> closing
+          // an unclosed <a> or <nav>) recover instead of poisoning the
+          // rest of the document
+          def popRange(from: Int): Unit = {
+            var p = openStack.length - 1
+            while (p >= from) {
+              val popped = openStack(p)
+              if (popped == "a" && anchorDepth > 0) anchorDepth -= 1
+              if (dropTags.contains(popped) && dropDepth > 0) dropDepth -= 1
+              p -= 1
+            }
+            openStack.remove(from, openStack.length - from)
+          }
           if (name.nonEmpty) {
             if (!closing) {
-              if (name == "a") anchorDepth += 1
               if (blockTags.contains(name)) flush()
-              if (dropTags.contains(name)) dropDepth += 1
-              if (!voidTags.contains(name) && !selfClose && name != "a") openStack += name
+              val effectivelyVoid = voidTags.contains(name) || selfClose
+              if (!effectivelyVoid) {
+                if (name == "a") anchorDepth += 1
+                if (dropTags.contains(name)) dropDepth += 1
+                openStack += name
+              }
               // raw-text elements: skip to the closing tag verbatim
-              if (name == "script" || name == "style") {
+              // (skip only when actually open — a self-closed <script/>
+              // has no raw-text body)
+              if ((name == "script" || name == "style") && !effectivelyVoid) {
                 val close = indexOfIgnoreCase(html, s"</$name", tagEnd)
                 if (close >= 0) {
                   val gt = html.indexOf('>', close)
                   i = if (gt < 0) n else gt + 1
-                  dropDepth -= 1
-                  if (openStack.nonEmpty && openStack.last == name) openStack.remove(openStack.length - 1)
+                  popRange(openStack.length - 1) // pops the script/style itself
                 } else {
                   i = n // unterminated script/style: rest is dropped
                 }
               } else i = tagEnd
             } else {
-              if (name == "a" && anchorDepth > 0) anchorDepth -= 1
               if (blockTags.contains(name)) flush()
-              if (dropTags.contains(name) && dropDepth > 0) dropDepth -= 1
-              // pop to matching open tag if present (tolerates misnesting)
+              // pop to matching open tag if present (tolerates misnesting;
+              // popRange restores anchor/drop state for skipped entries)
               val idx = openStack.lastIndexOf(name)
-              if (idx >= 0) openStack.remove(idx, openStack.length - idx)
+              if (idx >= 0) popRange(idx)
               i = tagEnd
             }
           } else i = tagEnd

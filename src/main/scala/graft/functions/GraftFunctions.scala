@@ -132,12 +132,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(
         classOf[SimHash64].getName, null, "graft_simhash64",
         "_FUNC_(text) - 64-bit SimHash fingerprint of the token stream.", ""),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash64 takes exactly one argument")
+        SimHash64(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine_x10000"),
       new ExpressionInfo(
         classOf[CosineX10000].getName, null, "graft_cosine_x10000",
         "_FUNC_(a, b) - floor(cosine_similarity(a, b) * 10000) over array<float>.", ""),
-      (children: Seq[Expression]) => CosineX10000(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine_x10000 takes exactly two arguments")
+        CosineX10000(children.head, children(1))
+      }))
   }
 }

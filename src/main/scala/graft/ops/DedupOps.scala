@@ -48,11 +48,19 @@ object DedupOps {
     import spark.implicits._
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
 
-    // one narrow pass: doc -> band keys
+    // one narrow pass: doc -> band keys. Docs with fewer tokens than one
+    // shingle (empty shingle set) are EXCLUDED: their minhash signature is
+    // the degenerate all-MaxValue vector, so every short doc would share
+    // every band key — a quadratic candidate explosion in one skewed
+    // band group, with every pair "verifying" at jaccard 1000. Identical
+    // short docs are exactDedup's job, not near-dup detection's.
     val bands = docs.as[(Long, String)].flatMap { case (id, text) =>
       val sh = TextAlgos.shingleHashes(TextAlgos.tokenize(text), ShingleW)
-      val sig = TextAlgos.minhash(sh, MinhashK)
-      TextAlgos.bandKeys(sig, LshBands).map(bk => (bk, id))
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val sig = TextAlgos.minhash(sh, MinhashK)
+        TextAlgos.bandKeys(sig, LshBands).iterator.map(bk => (bk, id))
+      }
     }.toDF("band_key", "doc_id")
 
     val a = bands.as("a")
@@ -63,10 +71,14 @@ object DedupOps {
 
     // verify: join texts back (two broadcast-friendly equi joins at small
     // scale; at 100 TB candidates are a tiny fraction so these joins are
-    // shuffle-on-candidates, not on the corpus)
+    // shuffle-on-candidates, not on the corpus). Explicit select before
+    // the typed map: using-column joins REORDER columns (the second join
+    // yields (doc_b, doc_a, ...)), and a positional .as[tuple] would bind
+    // doc_a/doc_b swapped.
     val verified = candidates
       .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
       .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
       .as[(Long, Long, String, String)]
       .map { case (ia, ib, ta, tb) =>
         val sa = TextAlgos.shingleHashes(TextAlgos.tokenize(ta), ShingleW)
@@ -100,11 +112,11 @@ object DedupOps {
   }
 
   /** n-gram Jaccard near-dup pairs with (lang, token-bucket) blocking.
-    * Shingle sets are computed ONCE per document in a narrow pass and the
-    * self-join carries the (sorted, deduped) hash arrays — not the text —
-    * so the per-pair work is a linear merge over two sorted arrays
-    * instead of re-tokenizing both documents for every candidate pair
-    * (O(docs·len + pairs·shingles) vs O(pairs·len)).
+    * Shingle hash sets are computed ONCE per document in a narrow pass
+    * and the self-join carries the deduped hash arrays — not the text —
+    * so the per-pair work is a hash-set intersection over precomputed
+    * arrays instead of re-tokenizing both documents for every candidate
+    * pair (O(docs·len + pairs·shingles) vs O(pairs·len)).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, thresholdX1000: Int = 600): DataFrame = {
     import spark.implicits._

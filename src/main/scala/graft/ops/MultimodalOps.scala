@@ -103,7 +103,10 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           val n = payload.length
-          val starts = 0 until math.max(1, n - frameBytes + 1) by stride
+          // windows start every `stride` bytes until the payload is
+          // exhausted — the final (possibly partial) frame covers the
+          // tail, so every byte lands in at least one frame
+          val starts = 0 until math.max(1, n) by stride
           starts.iterator.zipWithIndex.map { case (s, fi) =>
             val end = math.min(n, s + frameBytes)
             var ck = 0L

@@ -105,13 +105,20 @@ object Pipeline {
         e
       }
       new Iterator[ExtractedTurn] {
-        def hasNext: Boolean = mapped.hasNext
-        def next(): ExtractedTurn = {
-          val e = mapped.next()
-          // on exhaustion, emit this partition's lineage row exactly once
-          if (!mapped.hasNext) acc.add(LineageRow(pid, inputSnapshot, turnCount, failureCount, bytes))
-          e
+        // emit the partition's lineage row exactly once, when the
+        // consumer observes exhaustion — this also covers EMPTY
+        // partitions (zero-count row), which a next()-side emission
+        // would miss ("one LineageRow per input partition" contract)
+        private var lineageEmitted = false
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h && !lineageEmitted) {
+            acc.add(LineageRow(pid, inputSnapshot, turnCount, failureCount, bytes))
+            lineageEmitted = true
+          }
+          h
         }
+        def next(): ExtractedTurn = mapped.next()
       }
     }
     val lineage = () => {

@@ -81,9 +81,17 @@ final class SnapshotStore(root: String, nBuckets: Int) {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(dataDir)
+      // lineage is keyed by batch and written with dynamic partition
+      // overwrite (same idempotency model as the data): a crash between
+      // this write and the manifest update re-runs the batch, which
+      // REPLACES its lineage partition instead of appending a duplicate
       val rows = lineage()
       if (rows.nonEmpty)
-        spark.createDataset(rows).write.mode(SaveMode.Append).parquet(lineageDir)
+        spark.createDataset(rows)
+          .withColumn("batch_id", lit(batch.min))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("batch_id")
+          .parquet(lineageDir)
       completed = completed ++ batch
       writeManifest(completed, inputSnapshot)
       batches += 1

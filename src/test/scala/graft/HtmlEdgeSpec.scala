@@ -1,0 +1,47 @@
+package graft
+
+import graft.extract.HtmlExtractor
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for malformed-HTML recovery paths (code-review
+  * findings): self-closed raw-text/drop elements and mis-nested closes
+  * must not poison the remainder of the document.
+  */
+class HtmlEdgeSpec extends AnyFunSuite {
+
+  private val para = "<p>twenty-five-plus characters of real article body text here</p>"
+  private val expected = "twenty-five-plus characters of real article body text here"
+
+  test("self-closed <script/> does not swallow the rest of the document") {
+    val r = HtmlExtractor.extract(s"""<script src="x.js"/>$para""")
+    assert(r.text == expected)
+  }
+
+  test("self-closed drop tag (<nav/>) does not open a drop scope") {
+    val r = HtmlExtractor.extract(s"""<nav/>$para""")
+    assert(r.text == expected)
+  }
+
+  test("unclosed <a> terminated by an ancestor close recovers link accounting") {
+    val r = HtmlExtractor.extract(
+      s"""<div><a href="/x">home</div>$para""")
+    assert(r.text == expected, "post-</div> text must not count as link chars")
+  }
+
+  test("mis-nested close of a drop tag restores dropDepth") {
+    val r = HtmlExtractor.extract(
+      s"""<div><aside>sidebar junk</div>$para""")
+    assert(r.text.contains(expected.take(30)),
+      s"text after recovered drop scope must survive, got: '${r.text}'")
+  }
+
+  test("stray close tags are no-ops") {
+    val r = HtmlExtractor.extract(s"""</nav></a></div>$para""")
+    assert(r.text == expected)
+  }
+
+  test("unterminated real <script> still drops its payload") {
+    val r = HtmlExtractor.extract(s"""$para<script>var x = 1;""")
+    assert(r.text == expected)
+  }
+}

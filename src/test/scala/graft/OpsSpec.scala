@@ -79,7 +79,7 @@ class OpsSpec extends AnyFunSuite {
   test("minhash pairs are verified near-dups; no pair below threshold") {
     import spark.implicits._
     val pairs = DedupOps.minhashPairs(spark, dir).as[(Long, Long, Int)].collect()
-    pairs.foreach { case (_, _, j) => assert(j >= 700) }
+    pairs.foreach { case (a, b, j) => assert(j >= 700 && a < b, s"pair ordering violated: ($a,$b)") }
     // recompute jaccard locally for each reported pair
     val texts = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
