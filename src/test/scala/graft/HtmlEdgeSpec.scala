@@ -44,4 +44,29 @@ class HtmlEdgeSpec extends AnyFunSuite {
     val r = HtmlExtractor.extract(s"""$para<script>var x = 1;""")
     assert(r.text == expected)
   }
+
+  test("multi-MB turn: single pass, O(depth) state, linear-ish time") {
+    // north star: "streaming DOM tokenizer" must handle multi-MB turns
+    // without materializing a DOM. 4 MB document, 50k paragraphs.
+    val sb = new StringBuilder("<html><body>")
+    (0 until 50000).foreach { i =>
+      sb.append(s"<div><p>paragraph $i with enough characters to clear the minimum block length</p></div>")
+    }
+    sb.append("</body></html>")
+    val html = sb.toString
+    assert(html.length > 4_000_000)
+    val t0 = System.nanoTime()
+    val r = HtmlExtractor.extract(html)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.spans.length == 50000)
+    assert(r.text.startsWith("paragraph 0 with"))
+    assert(sec < 10.0, f"4MB doc took $sec%.1f s — not streaming-linear")
+  }
+
+  test("pathological nesting depth does not blow the stack") {
+    val depth = 200000
+    val html = "<div>" * depth + "<p>deep but fine: enough characters to keep this block</p>"
+    val r = HtmlExtractor.extract(html)
+    assert(r.text.contains("deep but fine"))
+  }
 }
