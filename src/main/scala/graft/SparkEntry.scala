@@ -99,7 +99,9 @@ object SparkEntry {
     "q35_equipment_csv" -> ((s, _) =>
       ShredOps.flattenEquipment(ShredOps.structuredRecords(s, 200).toDF())),
     "q39_shred_all" -> ((s, _) =>
-      ShredOps.shredAllSummary(ShredOps.structuredRecords(s, 200).toDF()))
+      ShredOps.shredAllSummary(ShredOps.structuredRecords(s, 200).toDF())),
+    // --- composed curation pipeline (quality -> lang -> dedup -> balance) ---
+    "q40_curation" -> ((s, d) => CurationOps.curate(s, d))
   )
 
   private val reviewerList =
@@ -247,6 +249,40 @@ object SparkEntry {
                   AS n_copies_to_max
          FROM r CROSS JOIN bounds b
          WHERE r.rn <= b.min_cnt""",
+    "q40_curation" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                  CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100.0
+                             / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS mwl,
+                  len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+                  len(regexp_extract_all(text, '\b(le|la|les|et|de|un|une|est)\b')) AS s_fr,
+                  len(regexp_extract_all(text, '\b(el|la|los|las|y|de|que|es)\b')) AS s_es,
+                  len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|zu|mit)\b')) AS s_de
+           FROM documents),
+         langed AS (
+           SELECT doc_id, text, n_tokens, mwl,
+                  CASE WHEN s_en = best AND best > 0 THEN 'en'
+                       WHEN s_fr = best AND best > 0 THEN 'fr'
+                       WHEN s_es = best AND best > 0 THEN 'es'
+                       WHEN s_de = best AND best > 0 THEN 'de'
+                       ELSE 'unknown' END AS predicted_lang
+           FROM (SELECT *, greatest(0, s_en, s_fr, s_es, s_de) AS best FROM base)),
+         good AS (
+           SELECT * FROM langed
+           WHERE n_tokens BETWEEN 10 AND 100000 AND mwl BETWEEN 150 AND 1200),
+         canon AS (
+           SELECT doc_id, predicted_lang
+           FROM (SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS c FROM good)
+           WHERE doc_id = c),
+         b AS (
+           SELECT min(cnt) AS min_cnt
+           FROM (SELECT predicted_lang, count(*) AS cnt FROM canon GROUP BY 1)),
+         r AS (
+           SELECT doc_id, predicted_lang,
+                  row_number() OVER (PARTITION BY predicted_lang ORDER BY doc_id) AS rn
+           FROM canon)
+         SELECT doc_id, predicted_lang FROM r CROSS JOIN b WHERE rn <= b.min_cnt""",
     "q25_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
          s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
