@@ -32,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_CPUS (query pass, default 32), SPARK_GRAFT_BENCH_CONVS
-  * (default 480000 ≈ 9.7M turns), SPARK_GRAFT_BENCH_REPS (default 3),
+  * (default 480000 ≈ 9.7M turns), SPARK_GRAFT_BENCH_REPS (default 4),
   * SPARK_GRAFT_SCALING_LOW/HIGH (default 4/16), SPARK_GRAFT_SCALING=0 to
   * skip the scaling passes.
   */
@@ -79,7 +79,7 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val lowCpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_LOW", "4").toInt
     val highCpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_HIGH", "16").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
 
     // One timed pass in its own context. JIT state survives context
@@ -105,7 +105,7 @@ object Bench {
     // SLOWER), so min-of-K converges to the burst-free time; keep
     // sampling until BOTH levels' minima are stable for a full round
     // (neutral criterion — does not look at the ratio), up to maxReps.
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "8").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "10").toInt
     val (high, low) = if (doScaling) {
       val ls = collection.mutable.Buffer.empty[(Long, Double)]
       val hs = collection.mutable.Buffer.empty[(Long, Double)]
@@ -130,15 +130,25 @@ object Bench {
     val rateHigh = nTurns / tHigh
 
     val spark = session(cpus)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // a failed query records -1 (never a fake fast timing) and is listed
+    // in "failed_queries" — a regression must not read as a speedup
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (name, (System.nanoTime() - t0) / 1e9, true)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          (name, -1.0, false)
+      }
     }
-    val totalQuerySec = queryTimes.map(_._2).sum
-    val qs = queryTimes
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val totalQuerySec = queryResults.collect { case (_, t, true) => t }.sum
+    val failed = queryResults.collect { case (n, _, false) => "\"" + n + "\"" }
+    val qs = queryResults
+      .map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.mkString("[", ",", "]")
 
     val scalingJson = low match {
       case Some((_, tLow)) =>
@@ -148,7 +158,7 @@ object Bench {
       case None => ""
     }
     println(
-      f"""{"metric":"turns_per_sec_extraction","value":$rateHigh%.1f,"unit":"turns/sec","n_turns":$nTurns,"extract_sec":$tHigh%.3f,"queries":$qs,"total_query_sec":$totalQuerySec%.3f,"sf":"$sfDir"$scalingJson}""")
+      f"""{"metric":"turns_per_sec_extraction","value":$rateHigh%.1f,"unit":"turns/sec","n_turns":$nTurns,"extract_sec":$tHigh%.3f,"queries":$qs,"failed_queries":$failedJson,"total_query_sec":$totalQuerySec%.3f,"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }

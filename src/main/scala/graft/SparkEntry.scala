@@ -270,7 +270,8 @@ object SparkEntry {
            FROM (SELECT *, greatest(0, s_en, s_fr, s_es, s_de) AS best FROM base)),
          good AS (
            SELECT * FROM langed
-           WHERE n_tokens BETWEEN 10 AND 100000 AND mwl BETWEEN 150 AND 1200),
+           WHERE n_tokens BETWEEN 10 AND 100000 AND mwl BETWEEN 150 AND 1200
+             AND predicted_lang <> 'unknown'),
          canon AS (
            SELECT doc_id, predicted_lang
            FROM (SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS c FROM good)

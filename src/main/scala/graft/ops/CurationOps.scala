@@ -9,43 +9,38 @@ import org.apache.spark.sql.functions._
   * DataFrame plan (one scan of `documents`, no intermediate
   * materialization):
   *
-  *   quality gate (q15 semantics) → language ID (q16 semantics) →
-  *   exact-dedup keep-set (q20: min doc_id per sha256) →
-  *   per-language class balancing (q37: deterministic undersample)
+  *   quality gate (the q15 builder) → language ID (the q16 builder) →
+  *   drop undetected-language docs → exact-dedup keep-set (q20: min
+  *   doc_id per sha256) → per-language class balancing (q37 semantics:
+  *   deterministic undersample to the min REAL-language class size —
+  *   'unknown' is dropped, not balanced against, so a tiny unknown
+  *   bucket cannot decimate the keep-list).
+  *
+  * Column semantics are shared with the standalone queries via
+  * `TextOps.withQualityColumns` / `TextOps.withPredictedLang` — one
+  * definition, no copy-paste drift.
   *
   * Output: the curated (doc_id, predicted_lang) keep-list.
   *
   * Scale shape: one full-column scan; the dedup window shuffles
   * (content_hash, doc_id, predicted_lang) only — 32-byte hashes, not
-  * text; the class counts and the min-count bound are tiny broadcasts.
+  * text. The final balancing window partitions by predicted_lang (≤4
+  * groups), which funnels the keep-set through ≤4 tasks; that is
+  * acceptable because its input is the post-dedup projection at ~20
+  * bytes/row, but for corpora where even that is too much, swap the
+  * exact first-k-by-doc_id rule for hash-threshold sampling (no global
+  * order, fully parallel) — kept exact here for oracle verifiability.
   */
 object CurationOps {
 
   import RelationalOps.table
 
   def curate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-      // quality metrics (identical expressions to TextOps.qualityScore)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
-      .withColumn("mean_wordlen_x100",
-        floor(length(regexp_replace(col("text"), "\\s", "")) * 100.0 / col("n_tokens")).cast("long"))
-      // language scores (identical to TextOps.langId)
-      .withColumn("score_en", size(regexp_extract_all(col("text"), lit("\\b(the|and|of|to|in|is|that|for)\\b"), lit(0))).cast("long"))
-      .withColumn("score_fr", size(regexp_extract_all(col("text"), lit("\\b(le|la|les|et|de|un|une|est)\\b"), lit(0))).cast("long"))
-      .withColumn("score_es", size(regexp_extract_all(col("text"), lit("\\b(el|la|los|las|y|de|que|es)\\b"), lit(0))).cast("long"))
-      .withColumn("score_de", size(regexp_extract_all(col("text"), lit("\\b(der|die|das|und|ist|von|zu|mit)\\b"), lit(0))).cast("long"))
-      .withColumn("best_score", greatest(lit(0L), col("score_en"), col("score_fr"), col("score_es"), col("score_de")))
-      .withColumn("predicted_lang",
-        when(col("score_en") === col("best_score") && col("best_score") > 0, "en")
-          .when(col("score_fr") === col("best_score") && col("best_score") > 0, "fr")
-          .when(col("score_es") === col("best_score") && col("best_score") > 0, "es")
-          .when(col("score_de") === col("best_score") && col("best_score") > 0, "de")
-          .otherwise("unknown"))
+    val docs = TextOps.withPredictedLang(
+      TextOps.withQualityColumns(table(spark, dir, "documents")))
       .withColumn("content_hash", sha2(col("text"), 256))
 
-    val good = docs.filter(
-      col("n_tokens").between(10L, 100000L) &&
-        col("mean_wordlen_x100").between(150L, 1200L))
+    val good = docs.filter(col("quality_pass") && col("predicted_lang") =!= "unknown")
 
     // exact-dedup keep-set among quality survivors: min doc_id per hash
     val canonical = good

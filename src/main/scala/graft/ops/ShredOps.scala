@@ -136,8 +136,7 @@ object ShredOps {
       else counts.scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
         .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toMap
     val spark = records.sparkSession
-    val offsetDf = spark.createDataFrame(
-      offsets.toSeq.map { case (b, off) => (b, off) }).toDF("bucket", "offset")
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("bucket", "offset")
     val wb = Window.partitionBy(col("bucket")).orderBy(col("conv_id"))
     distinctConvs
       .withColumn("local_rn", row_number().over(wb))
@@ -216,20 +215,34 @@ object ShredOps {
       out += ((name, parent))
     }
 
+    // Root key covers the FULL row content, not just conv_id: duplicate
+    // deliveries of distinct records for one conv get distinct key
+    // chains, while byte-identical duplicate rows intentionally collide
+    // (the reference's INSERT OR IGNORE / MERGE idempotency,
+    // json_to_db.py:38).
+    val payloadCols = records.columns.filterNot(_ == "conv_id").map(col).toSeq
     walk(
       records.withColumn(
-        "row_key", sha2(concat_ws("|", col("conv_id"), lit(rootName)), 256)),
+        "row_key",
+        sha2(concat_ws("|", col("conv_id"), lit(rootName),
+          sha2(to_json(struct(payloadCols: _*)), 256)), 256)),
       rootName)
     out.toSeq
   }
 
-  /** Shape summary of a full shred — one row per produced table. */
+  /** Shape summary of a full shred — one row per produced table. The
+    * input is cached for the duration: each table's count would otherwise
+    * re-derive its full explode chain from the source.
+    */
   def shredAllSummary(records: DataFrame, rootName: String = "main_table"): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
-    shredAll(records, rootName)
+    val cached = records.cache()
+    try shredAll(cached, rootName)
       .map { case (t, df) => (t, df.count(), df.schema.fields.length) }
       .toDF("table_name", "n_rows", "n_cols")
       .coalesce(1).orderBy(col("table_name"))
+      .localCheckpoint() // materialize before unpersisting the input
+    finally cached.unpersist()
   }
 }

@@ -28,13 +28,13 @@ object TextOps {
         max(col("n_tokens")).cast("long").as("max_tokens"),
         min(col("n_tokens")).cast("long").as("min_tokens"))
 
-  /** Per-document quality metrics, all integer (engine-independent):
-    * char count, token count, punctuation count, mean word length x100,
-    * and a pass/fail quality gate (length + word-shape heuristics in the
-    * spirit of Gopher/C4 quality rules).
+  /** Shared quality-metric column builder — the ONE definition of the
+    * gate; `qualityScore` (q15) and `CurationOps.curate` (q40) both use
+    * it, so the composed pipeline can never drift from the standalone
+    * query's semantics.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+  def withQualityColumns(df: DataFrame): DataFrame =
+    df
       .withColumn("n_chars_m", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
       .withColumn("n_punct", (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
@@ -48,6 +48,14 @@ object TextOps {
         "quality_pass",
         col("n_tokens").between(10, 100000) &&
           col("mean_wordlen_x100").between(150L, 1200L))
+
+  /** Per-document quality metrics, all integer (engine-independent):
+    * char count, token count, punctuation count, mean word length x100,
+    * stopword ratio, and a pass/fail quality gate (length + word-shape
+    * heuristics in the spirit of Gopher/C4 quality rules).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQualityColumns(table(spark, dir, "documents"))
       .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("n_punct"),
         col("mean_wordlen_x100"), col("stopword_x1000"), col("quality_pass"))
 
@@ -58,12 +66,13 @@ object TextOps {
     ("es", "\\b(el|la|los|las|y|de|que|es)\\b"),
     ("de", "\\b(der|die|das|und|ist|von|zu|mit)\\b"))
 
-  /** Language identification by stopword-profile scoring: count hits per
-    * language's function-word list, argmax with a deterministic tie order
-    * (en > fr > es > de > unknown). Integer scores — oracle-expressible.
+  /** Shared language-ID column builder (adds score_* and predicted_lang)
+    * — the ONE definition used by `langId` (q16) and `CurationOps.curate`
+    * (q40). Argmax with a deterministic tie order (en > fr > es > de >
+    * unknown). Integer scores — oracle-expressible.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val base = langStopwords.foldLeft(table(spark, dir, "documents")) {
+  def withPredictedLang(df0: DataFrame): DataFrame = {
+    val base = langStopwords.foldLeft(df0) {
       case (df, (lang, re)) =>
         df.withColumn(s"score_$lang", size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long"))
     }
@@ -76,10 +85,14 @@ object TextOps {
     base
       .withColumn("best_score", best)
       .withColumn("predicted_lang", predicted)
+  }
+
+  /** Language identification by stopword-profile scoring (q16). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withPredictedLang(table(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         col("score_en"), col("score_fr"), col("score_es"), col("score_de"),
         col("predicted_lang"))
-  }
 
   /** BPE-ish token counting: alternation of word pieces, numbers and
     * punctuation runs (a deterministic regex stand-in for a subword

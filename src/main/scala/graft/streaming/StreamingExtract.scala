@@ -31,14 +31,13 @@ object StreamingExtract {
       .as[Turn]
   }
 
-  /** Per-turn extraction as a streaming map — identical semantics to the
-    * batch `Pipeline.extractStage`; no shuffle is introduced, so the
-    * stream stays in the narrow, scalable regime (per-file tasks).
+  /** Per-turn extraction as a streaming map — literally the batch
+    * `Pipeline.extractStage` (shared code, not a parallel copy); no
+    * shuffle is introduced, so the stream stays in the narrow, scalable
+    * regime (per-file tasks).
     */
-  def extractStream(turns: Dataset[Turn]): Dataset[ExtractedTurn] = {
-    import turns.sparkSession.implicits._
-    turns.mapPartitions(_.map(Extract.turn))
-  }
+  def extractStream(turns: Dataset[Turn]): Dataset[ExtractedTurn] =
+    graft.pipeline.Pipeline.extractStage(turns.sparkSession, turns)
 
   /** Per-turn outcome carrying event time — `ExtractedTurn` deliberately
     * has no `ts`, so windowed aggregation maps to this instead. */
@@ -69,8 +68,15 @@ object StreamingExtract {
     * index) maintained with `flatMapGroupsWithState` — the stateful
     * analogue of the reference's per-document task status record
     * (PENDING/SUCCESS/FAILURE, app.py:172-186). Emits one updated status
-    * row per conversation per micro-batch. ProcessingTimeTimeout evicts
-    * conversations idle past `idleTimeoutMs` (bounded state at scale).
+    * row per conversation per micro-batch.
+    *
+    * State bounding: with a CONTINUOUS trigger, pass a positive
+    * `idleTimeoutMs` — ProcessingTimeTimeout then evicts conversations
+    * idle past it (bounded state). The default is 0 (NoTimeout) because
+    * pending processing-time timeouts are incompatible with this
+    * module's `Trigger.AvailableNow` drain (the drain loop never
+    * terminates while timeouts are pending); under AvailableNow the
+    * state lives only for the bounded drain, so eviction is not needed.
     */
   final case class ConvState(nTurns: Long, nFailures: Long, maxTurnIdx: Int)
   final case class ConvStatus(
@@ -82,11 +88,8 @@ object StreamingExtract {
 
   def conversationStatus(
       turns: Dataset[Turn],
-      idleTimeoutMs: Long = 60000L): Dataset[ConvStatus] = {
+      idleTimeoutMs: Long = 0L): Dataset[ConvStatus] = {
     import turns.sparkSession.implicits._
-    // idleTimeoutMs <= 0 disables eviction (NoTimeout): needed under
-    // Trigger.AvailableNow, where pending processing-time timeouts keep
-    // the drain loop alive indefinitely.
     val timeoutConf =
       if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
