@@ -82,14 +82,29 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
 
+    // CPU-steal fraction over an interval, from /proc/stat (field 8).
+    // Reported per pass so a burst-degraded measurement is visible in
+    // the output instead of silently inflating a timing.
+    def cpuStat(): (Long, Long) = {
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        (f.lift(7).getOrElse(0L), f.sum)
+      } catch { case _: Exception => (0L, 0L) }
+    }
+
     // One timed pass in its own context. JIT state survives context
     // restarts (same JVM), so only the first pass per level warms up.
-    def timedPass(passCpus: Int, warm: Boolean): (Long, Double) = {
+    // Returns (turns, seconds, stealPct-during-pass).
+    def timedPass(passCpus: Int, warm: Boolean): (Long, Double, Double) = {
       val s = session(passCpus)
       if (warm) extractionRun(s, corpusDir) // warmup: JIT + codegen, full size
-      val r = extractionRun(s, corpusDir)
+      val (st0, tot0) = cpuStat()
+      val (n, sec) = extractionRun(s, corpusDir)
+      val (st1, tot1) = cpuStat()
       s.stop()
-      r
+      val steal = if (tot1 > tot0) (st1 - st0) * 100.0 / (tot1 - tot0) else 0.0
+      (n, sec, steal)
     }
 
     // materialize at full width (fast), then the two scaling levels
@@ -107,8 +122,8 @@ object Bench {
     // (neutral criterion — does not look at the ratio), up to maxReps.
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "10").toInt
     val (high, low) = if (doScaling) {
-      val ls = collection.mutable.Buffer.empty[(Long, Double)]
-      val hs = collection.mutable.Buffer.empty[(Long, Double)]
+      val ls = collection.mutable.Buffer.empty[(Long, Double, Double)]
+      val hs = collection.mutable.Buffer.empty[(Long, Double, Double)]
       var r = 0
       var stable = false
       // stop only when each level's min has been REPRODUCED — at least
@@ -126,7 +141,7 @@ object Bench {
     } else {
       (timedPass(highCpus, warm = true), None)
     }
-    val (nTurns, tHigh) = high
+    val (nTurns, tHigh, stealHigh) = high
     val rateHigh = nTurns / tHigh
 
     val spark = session(cpus)
@@ -151,10 +166,10 @@ object Bench {
     val failedJson = failed.mkString("[", ",", "]")
 
     val scalingJson = low match {
-      case Some((_, tLow)) =>
+      case Some((_, tLow, stealLow)) =>
         val rateLow = nTurns / tLow
         val eff = (rateHigh / rateLow) / (highCpus.toDouble / lowCpus)
-        f""","scaling":{"low_cpus":$lowCpus,"high_cpus":$highCpus,"n_turns":$nTurns,"low_sec":$tLow%.3f,"high_sec":$tHigh%.3f,"low_turns_per_sec":$rateLow%.1f,"high_turns_per_sec":$rateHigh%.1f,"efficiency":$eff%.3f}"""
+        f""","scaling":{"low_cpus":$lowCpus,"high_cpus":$highCpus,"n_turns":$nTurns,"low_sec":$tLow%.3f,"high_sec":$tHigh%.3f,"low_turns_per_sec":$rateLow%.1f,"high_turns_per_sec":$rateHigh%.1f,"efficiency":$eff%.3f,"steal_pct_low_pass":$stealLow%.1f,"steal_pct_high_pass":$stealHigh%.1f}"""
       case None => ""
     }
     println(
