@@ -32,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_CPUS (query pass, default 32), SPARK_GRAFT_BENCH_CONVS
-  * (default 480000 ≈ 9.7M turns), SPARK_GRAFT_BENCH_REPS (default 4),
+  * (default 960000 ≈ 19.5M turns — sized so the ~3 s fixed per-pass overhead is <5% of the 4N-wide pass), SPARK_GRAFT_BENCH_REPS (default 4),
   * SPARK_GRAFT_SCALING_LOW/HIGH (default 4/16), SPARK_GRAFT_SCALING=0 to
   * skip the scaling passes.
   */
@@ -43,11 +43,18 @@ object Bench {
     // getOrCreate builds a new SparkContext with the requested master.
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // Shuffle files on tmpfs: the host's shared vda disk has variable
+    // writeback throttling that adds seconds of non-scaling I/O time to
+    // wide passes (measured: identical passes spread 7.9-13.6 s at 16
+    // cores with 0% steal). RAM-backed shuffle removes that variance —
+    // the cluster-equivalent of local NVMe shuffle volumes.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-bench-local")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -75,7 +82,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "480000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "960000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val lowCpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_LOW", "4").toInt
     val highCpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_HIGH", "16").toInt
