@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Convs in the verify-scale synthetic corpus (extraction queries). */
-  private val VerifyConvs = 150L
+  val VerifyConvs = 150L
+
+  /** Structured records in the verify-scale shredding corpus. */
+  val VerifyRecords = 200L
 
   /** Flagship: full extraction pipeline over the synthetic transcript
     * corpus — per-conversation failure rollup (SURVEY.md §7.2 minimum
@@ -76,30 +79,33 @@ object SparkEntry {
     "q27_media_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     // --- extraction pipeline (synthetic corpus; golden-tested) ---
     "q28_extract_turns" -> ((s, _) => {
+      // text_sha makes the DuckDB compare a PER-TURN TEXT EQUALITY check
+      // against the generator's by-construction expectations (north rule)
       Pipeline.run(s, SynthDataset.turns(s, VerifyConvs))
         .select(col("conv_id"), col("turn_idx"), col("kind"),
-          length(col("extracted_text")).as("n_chars_out"), col("failure"))
+          length(col("extracted_text")).as("n_chars_out"),
+          sha2(col("extracted_text"), 256).as("text_sha"), col("failure"))
     }),
     "q29_extract_failures_per_conv" -> ((s, _) => entry(s)),
     // --- shredding / registry / rules (structured records; golden-tested) ---
     "q30_shred_material_usage" -> ((s, _) =>
-      ShredOps.shredMaterialUsage(ShredOps.structuredRecords(s, 200).toDF())),
+      ShredOps.shredMaterialUsage(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
     "q31_shred_temperature" -> ((s, _) =>
-      ShredOps.shredTemperatureRecords(ShredOps.structuredRecords(s, 200).toDF())),
+      ShredOps.shredTemperatureRecords(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
     "q32_rule_violations" -> ((s, _) =>
-      ShredOps.ruleViolations(ShredOps.structuredRecords(s, 200).toDF())),
+      ShredOps.ruleViolations(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
     "q33_registry" -> ((s, _) =>
-      ShredOps.registry(ShredOps.structuredRecords(s, 200).toDF())),
+      ShredOps.registry(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
     "q34_delete_anti" -> ((s, _) => {
-      val recs = ShredOps.structuredRecords(s, 200).toDF()
+      val recs = ShredOps.structuredRecords(s, VerifyRecords).toDF()
       val toDelete = recs.filter(col("conv_id") < "conv-000010").select(col("conv_id"))
       ShredOps.deleteConv(ShredOps.shredMaterialUsage(recs), toDelete)
         .groupBy(col("conv_id")).agg(count(lit(1)).as("n_rows"))
     }),
     "q35_equipment_csv" -> ((s, _) =>
-      ShredOps.flattenEquipment(ShredOps.structuredRecords(s, 200).toDF())),
+      ShredOps.flattenEquipment(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
     "q39_shred_all" -> ((s, _) =>
-      ShredOps.shredAllSummary(ShredOps.structuredRecords(s, 200).toDF())),
+      ShredOps.shredAllSummary(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
     // --- composed curation pipeline (quality -> lang -> dedup -> balance) ---
     "q40_curation" -> ((s, d) => CurationOps.curate(s, d))
   )
@@ -284,6 +290,85 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY predicted_lang ORDER BY doc_id) AS rn
            FROM canon)
          SELECT doc_id, predicted_lang FROM r CROSS JOIN b WHERE rn <= b.min_cnt""",
+    // --- synthetic-corpus oracles. `__SYNTH__` is rewritten by
+    // graft.Verify to the absolute path of the materialized synthetic
+    // inputs (golden_turns = raw payloads + BY-CONSTRUCTION expected
+    // extraction from the generator; records = nested structured records).
+    "q28_extract_turns" ->
+      """SELECT conv_id, turn_idx, kind,
+         CAST(length(expected_text) AS INTEGER) AS n_chars_out,
+         sha256(expected_text) AS text_sha,
+         expected_failure AS failure
+         FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')""",
+    "q29_extract_failures_per_conv" ->
+      """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN expected_failure IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failures,
+         CAST(sum(length(expected_text)) AS BIGINT) AS extracted_chars
+         FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
+         GROUP BY 1""",
+    "q30_shred_material_usage" ->
+      """SELECT conv_id,
+         sha256(concat_ws('|', conv_id, 'material_usage_rows', pos)) AS row_key,
+         CAST(pos AS INTEGER) AS pos,
+         r.material_name AS material_name,
+         r.standard_quantity AS standard_quantity,
+         r.allowed_range_min AS allowed_range_min,
+         r.allowed_range_max AS allowed_range_max,
+         r.actual_quantity AS actual_quantity,
+         r.performed_by AS performed_by,
+         r.checked_by AS checked_by,
+         r.actual_quantity BETWEEN r.allowed_range_min AND r.allowed_range_max AS quantity_within_range
+         FROM (SELECT conv_id, generate_subscripts(material_usage_rows, 1) - 1 AS pos,
+                      unnest(material_usage_rows) AS r
+               FROM read_parquet('__SYNTH__/records.parquet/*.parquet'))""",
+    "q31_shred_temperature" ->
+      """SELECT conv_id, step_key, step_no, CAST(rec_pos AS INTEGER) AS rec_pos,
+         rec.time_point AS time_point, rec.temperature_c AS temperature_c
+         FROM (
+           SELECT conv_id, step_key, step_no,
+                  generate_subscripts(trs, 1) - 1 AS rec_pos, unnest(trs) AS rec
+           FROM (
+             SELECT conv_id,
+                    sha256(concat_ws('|', conv_id, 'steps', step_pos)) AS step_key,
+                    step.step_no AS step_no, step.temperature_records AS trs
+             FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos,
+                          unnest(steps) AS step
+                   FROM read_parquet('__SYNTH__/records.parquet/*.parquet'))))""",
+    "q32_rule_violations" ->
+      """SELECT conv_id, count(*) AS n_violations,
+         max(r.actual_quantity - r.allowed_range_max) AS worst_overage
+         FROM (SELECT conv_id, unnest(material_usage_rows) AS r
+               FROM read_parquet('__SYNTH__/records.parquet/*.parquet'))
+         WHERE NOT (r.actual_quantity BETWEEN r.allowed_range_min AND r.allowed_range_max)
+         GROUP BY 1""",
+    "q33_registry" ->
+      """SELECT conv_id, row_number() OVER (ORDER BY conv_id) AS reg_id
+         FROM (SELECT DISTINCT conv_id
+               FROM read_parquet('__SYNTH__/records.parquet/*.parquet'))""",
+    "q34_delete_anti" ->
+      """SELECT conv_id, count(*) AS n_rows
+         FROM (SELECT conv_id, unnest(material_usage_rows) AS r
+               FROM read_parquet('__SYNTH__/records.parquet/*.parquet'))
+         WHERE conv_id >= 'conv-000010'
+         GROUP BY 1""",
+    "q35_equipment_csv" ->
+      """SELECT conv_id, array_to_string(equipment_no, ',') AS equipment_csv,
+         CAST(len(equipment_no) AS INTEGER) AS n_equipment
+         FROM read_parquet('__SYNTH__/records.parquet/*.parquet')""",
+    "q39_shred_all" ->
+      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet'))
+         SELECT * FROM (
+           SELECT 'main_table' AS table_name, CAST(count(*) AS BIGINT) AS n_rows, 4 AS n_cols FROM r
+           UNION ALL
+           SELECT 'main_table_batch_details', CAST(count(*) AS BIGINT), 6 FROM r
+           UNION ALL
+           SELECT 'main_table_material_usage_rows', CAST(sum(len(material_usage_rows)) AS BIGINT), 11 FROM r
+           UNION ALL
+           SELECT 'main_table_steps', CAST(sum(len(steps)) AS BIGINT), 6 FROM r
+           UNION ALL
+           SELECT 'main_table_steps_temperature_records',
+                  CAST(sum(list_sum(list_transform(steps, s -> len(s.temperature_records)))) AS BIGINT), 6 FROM r
+         ) ORDER BY table_name""",
     "q25_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
          s AS (SELECT qid AS query_id, vec_id AS neighbor_id,

@@ -2,7 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries whose input is the deterministic synthetic corpus (extraction,
+  * shredding, registry, rules) have no sf-dir table DuckDB could read, so
+  * this main ALSO materializes those inputs — the golden turn table (raw
+  * payload + by-construction expected extraction) and the nested
+  * structured records — to `<outDir>/_synth/`, and rewrites the
+  * `__SYNTH__` placeholder in `SparkEntry.oracleSql` to that absolute
+  * path before dumping oracle_sql.json. The expectations come from the
+  * generator (Synth embeds the expected main content when it builds each
+  * payload), NOT from running the extractor, so the DuckDB compare is an
+  * independent check of the Spark pipeline output.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,6 +27,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val synthDir = Paths.get(outDir).toAbsolutePath.normalize.toString + "/_synth"
+    try {
+      import spark.implicits._
+      synth.SynthDataset.golden(spark, SparkEntry.VerifyConvs)
+        .toDF().coalesce(1).write.mode("overwrite")
+        .parquet(s"$synthDir/golden_turns.parquet")
+      ops.ShredOps.structuredRecords(spark, SparkEntry.VerifyRecords)
+        .toDF().coalesce(1).write.mode("overwrite")
+        .parquet(s"$synthDir/records.parquet")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] synth materialization failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +59,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SYNTH__", synthDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -118,29 +118,34 @@ object ShredOps {
     * (reproducible, unlike lastrowid / monotonically_increasing_id;
     * ref: json_to_db.py:36-47).
     *
-    * Scale-safe two-phase assignment: a single global-order row_number
-    * would funnel all keys through ONE partition, so instead ids are
-    * row_number within a hash bucket plus a driver-computed prefix-sum
-    * offset per bucket (the bucket-count table is tiny). Ids are dense,
-    * deterministic, and ordered by (bucket, conv_id).
+    * Scale-safe two-phase assignment of the GLOBAL rank by conv_id: a
+    * single global-order row_number would funnel all keys through ONE
+    * partition, so instead keys are range-partitioned (contiguous,
+    * ordered key ranges per partition), each partition numbers its own
+    * keys, and a driver-computed prefix sum over the tiny per-partition
+    * count table supplies the offsets. `reg_id = offset(part) + local_rn`
+    * equals row_number over the global conv_id order for ANY choice of
+    * range boundaries, so the output is deterministic even though
+    * repartitionByRange samples boundaries; the localCheckpoint pins one
+    * sampled boundary set so the count pass and the final pass agree.
     */
-  val RegistryBuckets = 64
-
   def registry(records: DataFrame): DataFrame = {
-    val distinctConvs = records.select(col("conv_id")).distinct()
-      .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(RegistryBuckets.toLong)).cast("int"))
-    val counts = distinctConvs.groupBy(col("bucket")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets =
-      if (counts.isEmpty) Map.empty[Int, Long]
-      else counts.scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
-        .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toMap
     val spark = records.sparkSession
-    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("bucket", "offset")
-    val wb = Window.partitionBy(col("bucket")).orderBy(col("conv_id"))
-    distinctConvs
-      .withColumn("local_rn", row_number().over(wb))
-      .join(broadcast(offsetDf), "bucket")
+    val ranged = records.select(col("conv_id")).distinct()
+      .repartitionByRange(col("conv_id"))
+      .withColumn("part", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("part")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (p, n)) => (p, acc + n)
+    }.sliding(2).collect { case Array((_, off), (p, _)) => (p, off) }.toMap
+    val offsetDf = spark.createDataFrame(
+      if (offsets.isEmpty) Seq((0, 0L)) else offsets.toSeq).toDF("part", "offset")
+    val wp = Window.partitionBy(col("part")).orderBy(col("conv_id"))
+    ranged
+      .withColumn("local_rn", row_number().over(wp))
+      .join(broadcast(offsetDf), "part")
       .withColumn("reg_id", (col("offset") + col("local_rn")).cast("long"))
       .select(col("conv_id"), col("reg_id"))
   }

@@ -195,6 +195,10 @@ class OpsSpec extends AnyFunSuite {
     assert(reg1 == reg2, "registry must be deterministic")
     assert(reg1.values.toSeq.sorted == (1L to 80L), "ids must be dense 1..N")
     assert(reg1.size == 80)
+    // reg_id is the GLOBAL rank by conv_id (oracle: row_number over order)
+    val expected = reg1.keys.toSeq.sorted.zipWithIndex
+      .map { case (c, i) => (c, i + 1L) }.toMap
+    assert(reg1 == expected, "reg_id must equal global rank by conv_id")
   }
 
   test("rule violations match local recomputation; delete removes convs") {
