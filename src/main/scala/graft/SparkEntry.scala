@@ -68,10 +68,19 @@ object SparkEntry {
     "q21_minhash_pairs" -> ((s, d) => DedupOps.minhashPairs(s, d)),
     "q22_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q23_ngram_jaccard_pairs" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
-    "q24_embedding_dup_pairs" -> ((s, d) => DedupOps.embeddingDupPairs(s, d)),
+    // threshold 0.45 (not the 0.95 of a real near-dup corpus): the
+    // driver's embeddings are near-random (max pairwise cosine ~0.51 at
+    // verify scale), so the verify-time threshold is set where the data
+    // actually HAS pairs — the planted-near-dup ScalaTest covers the
+    // 0.95 regime. nPlanes=6 matches the DuckDB oracle's inlined planes.
+    "q24_embedding_dup_pairs" -> ((s, d) =>
+      DedupOps.embeddingDupPairs(s, d, thresholdX10000 = 4500, nPlanes = 6)),
     "q36_dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
     "q37_class_balance" -> ((s, d) => RelationalOps.q14ClassBalance(s, d)),
-    "q38_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
+    // frame boundaries only (the stub per-frame checksum uses wrapping
+    // i64 arithmetic DuckDB can't express; it stays covered by OpsSpec)
+    "q38_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"))),
     // --- similarity search (embeddings table) ---
     "q25_ann_brute_topk" -> ((s, d) => SimilarityOps.bruteTopK(s, d)),
     "q26_ann_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
@@ -112,6 +121,23 @@ object SparkEntry {
 
   private val reviewerList =
     RelationalOps.reviewerNames.map(n => s"'$n'").mkString("[", ", ", "]")
+
+  /** Embedding dim of the driver's `embeddings` table. */
+  private val EmbeddingDims = 64
+
+  /** DuckDB expression computing the sign-bit hyperplane bucket of a
+    * DOUBLE[] column — the plane coefficients are inlined as literals
+    * generated from the SAME `TextAlgos.hyperplaneCoef` the engine uses
+    * (Double.toString round-trips exactly), so the oracle replicates the
+    * engine's bucketing bit-for-bit.
+    */
+  private def bucketSqlExpr(vCol: String, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val lits = (0 until EmbeddingDims)
+        .map(d => graft.text.TextAlgos.hyperplaneCoef(p, d).toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vCol, $lits) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** DuckDB-runnable oracle SQL (same parquet tables registered by name).
     * Omitted for operators DuckDB can't express (extraction, minhash,
@@ -290,6 +316,48 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY predicted_lang ORDER BY doc_id) AS rn
            FROM canon)
          SELECT doc_id, predicted_lang FROM r CROSS JOIN b WHERE rn <= b.min_cnt""",
+    "q24_embedding_dup_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e)
+         SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                CAST(floor(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cosine_x10000
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= 4500""",
+    "q26_ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+         s AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+                      CAST(floor(list_cosine_similarity(q.qv, b.v) * 10000) AS BIGINT) AS cosine_x10000
+               FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+           FROM s) t
+         WHERE rank <= 3""",
+    "q27_media_features" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+         u AS (SELECT doc_id,
+                      unnest(list_transform(range(octet_length(blob)),
+                             i -> CAST('0x' || substr(hex(blob), i*2+1, 2) AS INT))) AS byte
+               FROM b),
+         h AS (SELECT doc_id, byte, count(*) AS c FROM u GROUP BY 1, 2),
+         top AS (SELECT doc_id, byte AS top_byte FROM (
+                   SELECT doc_id, byte,
+                          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, byte ASC) AS rn
+                   FROM h) WHERE rn = 1),
+         s AS (SELECT doc_id, CAST(sum(byte) AS BIGINT) AS byte_sum FROM u GROUP BY 1)
+         SELECT b.doc_id, CAST(octet_length(b.blob) AS INTEGER) AS n_bytes,
+                CAST(coalesce(top.top_byte, 0) AS INTEGER) AS top_byte,
+                coalesce(s.byte_sum, 0) AS byte_sum
+         FROM b LEFT JOIN top USING (doc_id) LEFT JOIN s USING (doc_id)""",
+    "q38_frame_sample" ->
+      """SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+                CAST(least(n, s + 64) - s AS INTEGER) AS n_bytes
+         FROM (
+           SELECT doc_id, octet_length(encode(text)) AS n,
+                  unnest(range(0, greatest(octet_length(encode(text)), 1), 48)) AS s,
+                  generate_subscripts(range(0, greatest(octet_length(encode(text)), 1), 48), 1) - 1 AS fi
+           FROM documents)""",
     // --- synthetic-corpus oracles. `__SYNTH__` is rewritten by
     // graft.Verify to the absolute path of the materialized synthetic
     // inputs (golden_turns = raw payloads + BY-CONSTRUCTION expected

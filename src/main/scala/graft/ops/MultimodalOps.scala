@@ -25,28 +25,31 @@ object MultimodalOps {
       doc_id: Long,
       n_bytes: Int,
       top_byte: Int,
-      byte_checksum: Long,
+      byte_sum: Long,
       batch_size_seen: Int)
 
   /** STUB decoder: deterministic byte-level "features" standing in for an
     * image/audio decode. Replace with a real codec when available — the
     * signature (Array[Byte] => features) and the batching shape stay.
+    * The summary statistic is a plain byte SUM (not a wrapping product
+    * hash) so the output is expressible in overflow-checked engines and
+    * the DuckDB oracle can recompute it.
     */
   private def fakeDecode(payload: Array[Byte]): (Int, Int, Long) = {
     val hist = new Array[Int](256)
-    var checksum = 0L
+    var byteSum = 0L
     var i = 0
     while (i < payload.length) {
       val b = payload(i) & 0xff
       hist(b) += 1
-      checksum = checksum * 31 + b
+      byteSum += b
       i += 1
     }
     var top = 0
     var ti = 0
     var b = 0
     while (b < 256) { if (hist(b) > top) { top = hist(b); ti = b }; b += 1 }
-    (payload.length, ti, checksum)
+    (payload.length, ti, byteSum)
   }
 
   /** Build a binary media column (payload = utf-8 bytes of text — the
@@ -79,7 +82,7 @@ object MultimodalOps {
         }
       }
       .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("top_byte"), col("byte_checksum"))
+      .select(col("doc_id"), col("n_bytes"), col("top_byte"), col("byte_sum"))
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)

@@ -58,19 +58,30 @@ object SimilarityOps {
 
   /** LSH-bucketed ANN: score only vectors sharing the query's hyperplane
     * bucket. Same output shape as bruteTopK (rank within bucket).
+    *
+    * Pure-DataFrame formulation like bruteTopK — no driver-side collect
+    * of the query vectors: buckets come from one narrow typed pass, the
+    * (tiny) bucketed query set is broadcast, the bucket equi-join prunes
+    * the candidate space to ~corpus/2^planes per query, and scoring is
+    * the codegen'd `graft_cosine_x10000` expression.
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = DefaultK, nPlanes: Int = 6): DataFrame = {
     import spark.implicits._
-    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.functions.GraftFunctions.register(spark)
+    val bucketed = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val queries = vecs.filter(_._1 < NQueries).collect()
       .map { case (id, v) => (id, v, TextAlgos.hyperplaneBucket(v, nPlanes)) }
-    val scored = vecs.flatMap { case (id, v) =>
-      val bucket = TextAlgos.hyperplaneBucket(v, nPlanes)
-      queries.iterator
-        .filter { case (qid, _, qb) => qid != id && qb == bucket }
-        .map { case (qid, qv, _) => (qid, id, math.floor(TextAlgos.cosine(qv, v) * 10000).toLong) }
-    }.toDF("query_id", "neighbor_id", "cosine_x10000")
+      .toDF("vec_id", "embedding", "bucket")
+    val queries = bucketed
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"), col("bucket"))
+    val scored = bucketed
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        expr("graft_cosine_x10000(q_embedding, embedding)").as("cosine_x10000"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_x10000").desc, col("neighbor_id").asc)
     scored

@@ -181,6 +181,14 @@ object TextAlgos {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Deterministic hyperplane coefficient in [-1, 1) for (plane, dim) —
+    * exposed so the DuckDB oracle SQL can inline the exact same literals
+    * (Double.toString is shortest-roundtrip in Java 17, so the SQL parse
+    * recovers the identical double).
+    */
+  def hyperplaneCoef(p: Int, d: Int): Double =
+    (mix64(p.toLong * 0x632be59bd9b4e019L ^ d.toLong * 0x9e3779b97f4a7c15L) >> 11).toDouble / (1L << 52).toDouble
+
   /** Sign-bit LSH bucket of a vector under `nPlanes` deterministic random
     * hyperplanes (plane coefficients derived from mix64 of (plane, dim)).
     */
@@ -191,9 +199,7 @@ object TextAlgos {
       var dot = 0.0
       var d = 0
       while (d < v.length) {
-        // deterministic pseudo-gaussian coefficient in [-1, 1)
-        val coef = (mix64(p.toLong * 0x632be59bd9b4e019L ^ d.toLong * 0x9e3779b97f4a7c15L) >> 11).toDouble / (1L << 52).toDouble
-        dot += coef * v(d)
+        dot += hyperplaneCoef(p, d) * v(d)
         d += 1
       }
       if (dot >= 0) bucket |= (1 << p)

@@ -228,8 +228,80 @@ class OpsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
     docs.foreach { case (id, text) =>
-      assert(feats(id)._1 == text.getBytes("UTF-8").length)
+      val bytes = text.getBytes("UTF-8")
+      val counts = bytes.groupBy(b => b & 0xff).view.mapValues(_.length).toMap
+      val expectTop =
+        if (bytes.isEmpty) 0
+        else counts.toSeq.minBy { case (b, c) => (-c, b) }._1
+      assert(feats(id)._1 == bytes.length)
+      assert(feats(id)._2 == expectTop, s"doc $id top byte")
+      assert(feats(id)._3 == bytes.map(b => (b & 0xff).toLong).sum, s"doc $id byte sum")
     }
+  }
+
+  test("frame sample: windows at stride, tail frame covers every byte") {
+    import spark.implicits._
+    val frames = MultimodalOps.frameSample(spark, dir)
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val starts = 0 until math.max(1, n) by 48
+      val expected = starts.zipWithIndex.map { case (s, fi) =>
+        val end = math.min(n, s + 64)
+        var ck = 0L
+        var i = s
+        while (i < end) { ck = ck * 131 + (bytes(i) & 0xff); i += 1 }
+        (id, fi, end - s, ck)
+      }
+      assert(frames(id).toSeq == expected, s"doc $id frames")
+      // every byte is covered: the last frame reaches the end of payload
+      assert(math.min(n, starts.last + 64) == n, s"doc $id tail coverage")
+    }
+  }
+
+  test("embedding dup pairs: exactly the same-bucket pairs above threshold (planted near-dups)") {
+    import spark.implicits._
+    // planted corpus: 24 base vectors + a jittered near-copy of each of
+    // the first 8 (cosine > 0.95 to its base) — written to a temp dir so
+    // the operator runs its real parquet-scan path
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(32) { d =>
+        ((TextAlgos.mix64(seed * 1013L + d) >> 11).toDouble / (1L << 52).toDouble).toFloat
+      }
+      v
+    }
+    val bases = (0L until 24L).map(i => (i, unit(i)))
+    val dups = (0L until 8L).map { i =>
+      val b = bases(i.toInt)._2
+      val jit = b.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * ((TextAlgos.mix64(900 + i * 37 + d) >> 11).toDouble / (1L << 52).toDouble).toFloat
+      }
+      (100L + i, jit)
+    }
+    val all = bases ++ dups
+    val tmp = java.nio.file.Files.createTempDirectory("graft-embdup").toString
+    all.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val threshold = 9500
+    val nPlanes = 4
+    val got = DedupOps.embeddingDupPairs(spark, tmp, threshold, nPlanes)
+      .as[(Long, Long, Long)].collect().toSet
+    // local truth: brute-force all pairs, same bucket + exact cosine
+    val expected = (for {
+      (ia, va) <- all
+      (ib, vb) <- all
+      if ia < ib
+      if TextAlgos.hyperplaneBucket(va, nPlanes) == TextAlgos.hyperplaneBucket(vb, nPlanes)
+      c = math.floor(TextAlgos.cosine(va, vb) * 10000).toLong
+      if c >= threshold
+    } yield (ia, ib, c)).toSet
+    assert(got == expected)
+    // the planted near-dups must actually be found (non-vacuous test)
+    assert(expected.size >= 4, s"only ${expected.size} planted pairs survived bucketing")
   }
 
   test("lang id: scores nonnegative, predicted in domain, en beats others on English text") {
