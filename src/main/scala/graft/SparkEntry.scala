@@ -261,7 +261,8 @@ object SparkEntry {
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   len(list_intersect(a.sh, b.sh)) AS inter,
                   len(a.sh) AS na, len(b.sh) AS nb
-           FROM s a JOIN s b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           FROM s a JOIN s b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+                            AND len(a.sh) > 0 AND len(b.sh) > 0),
          j AS (
            SELECT doc_a, doc_b,
                   CAST(CASE WHEN na = 0 AND nb = 0 THEN 1000

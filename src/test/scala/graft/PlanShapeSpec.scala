@@ -41,6 +41,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"missing rank-limit pushdown:\n$p")
   }
 
+  test("n-gram Jaccard candidates join on content-derived band keys, not length blocks") {
+    val p = plan(graft.ops.DedupOps.ngramJaccardPairs(spark, dir))
+    // the candidate self-join must be keyed by the MinHash band key — a
+    // (lang, length-bucket)-only join is quadratic in the biggest block
+    assert(p.contains("band_key"), s"candidate join lost the band-key blocking:\n$p")
+  }
+
   test("extraction pipeline: one data shuffle; pre-agg scan prunes to conv_id") {
     import spark.implicits._
     // parquet-backed input so scan pruning is observable
