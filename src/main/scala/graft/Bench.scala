@@ -96,7 +96,10 @@ object Bench {
       try {
         val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
         val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-        (f.lift(7).getOrElse(0L), f.sum)
+        // sum fields 1-8 only (user..steal): guest/guest_nice (9-10) are
+        // already folded into user/nice by the kernel — double-counting
+        // them understates steal_pct on guest-heavy hosts
+        (f.lift(7).getOrElse(0L), f.take(8).sum)
       } catch { case _: Exception => (0L, 0L) }
     }
 
@@ -160,7 +163,9 @@ object Bench {
         fn(spark, sfDir).count()
         (name, (System.nanoTime() - t0) / 1e9, true)
       } catch {
-        case e: Exception =>
+        // Throwable, not Exception: a LinkageError/OOM in one query must
+        // record -1 for that query, not abort the whole bench
+        case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           (name, -1.0, false)
       }

@@ -223,6 +223,12 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    // silent truncation would split a >maxIters-diameter chain into
+    // multiple clusters with no signal — surface it loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: label propagation did not converge in $maxIters rounds " +
+          "(a connected component has diameter > maxIters); raise maxIters")
 
     val canonical = labels
       .groupBy(col("label"))

@@ -187,20 +187,45 @@ object ShredOps {
   def shredAll(records: DataFrame, rootName: String = "main_table"): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.types._
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    val seenTables = scala.collection.mutable.Set.empty[String]
+    // key columns the walk itself materializes — a payload field reusing
+    // one would produce ambiguous/duplicate columns in the child select
+    val reserved = Set("conv_id", "row_key", "parent_key", "pos")
+
+    def checkChild(schema: StructType, table: String): Unit = {
+      val clash = schema.fields.map(_.name).filter(reserved.contains)
+      if (clash.nonEmpty)
+        throw new IllegalArgumentException(
+          s"shredAll: child table '$table' payload reuses reserved column(s) " +
+            clash.mkString("[", ", ", "]") + "; rename the source field(s)")
+    }
+
+    def checkTable(name: String): Unit = {
+      // `{parent}_{field}` naming can collide (field 'a' with child 'b_c'
+      // vs field 'a_b' with child 'c') — fail fast rather than silently
+      // emitting two tables with one name
+      if (!seenTables.add(name))
+        throw new IllegalArgumentException(
+          s"shredAll: two nested paths map to the same table name '$name'; " +
+            "rename one of the source fields")
+    }
 
     // df carries conv_id + row_key + payload fields
     def walk(df: DataFrame, name: String): Unit = {
+      checkTable(name)
       val payload = df.schema.fields.filterNot(f => f.name == "conv_id" || f.name == "row_key")
       var parent = df
       payload.foreach { f =>
         f.dataType match {
-          case _: StructType =>
+          case st: StructType =>
+            checkChild(st, s"${name}_${f.name}")
             val childKey = sha2(concat_ws("|", col("row_key"), lit(f.name)), 256)
             val child = df.select(
               col("conv_id"), childKey.as("row_key"), col(f.name + ".*"))
             walk(child, s"${name}_${f.name}")
             parent = parent.withColumn(s"${f.name}_key", childKey).drop(f.name)
-          case ArrayType(_: StructType, _) =>
+          case ArrayType(st: StructType, _) =>
+            checkChild(st, s"${name}_${f.name}")
             val child = df
               .select(
                 col("conv_id"), col("row_key").as("parent_key"),

@@ -26,12 +26,12 @@ final class SnapshotStore(root: String, nBuckets: Int) {
   private val lineageDir = s"$root/lineage"
   private val manifestPath = Paths.get(s"$root/_manifest.json")
 
-  def completedBuckets(): Set[Int] =
+  private def manifestField(field: String): Set[Int] =
     if (!Files.exists(manifestPath)) Set.empty
     else {
       val s = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
-      // manifest format: {"n_buckets":N,"completed":[i,...]}
-      val m = """"completed"\s*:\s*\[([^\]]*)\]""".r
+      // manifest format: {"n_buckets":N,"completed":[i,...],"batches":[i,...]}
+      val m = (""""""" + field + """"\s*:\s*\[([^\]]*)\]""").r
       m.findFirstMatchIn(s) match {
         case Some(g) if g.group(1).trim.nonEmpty =>
           g.group(1).split(',').map(_.trim.toInt).toSet
@@ -39,13 +39,44 @@ final class SnapshotStore(root: String, nBuckets: Int) {
       }
     }
 
-  private def writeManifest(completed: Set[Int], inputSnapshot: String): Unit = {
+  def completedBuckets(): Set[Int] = manifestField("completed")
+
+  /** Lineage partition ids (one per completed batch) registered in the
+    * manifest — a lineage partition NOT in this set is a stale partial
+    * from a crashed run and is removed on the next `process`.
+    */
+  def completedBatchIds(): Set[Int] = manifestField("batches")
+
+  private def writeManifest(completed: Set[Int], batchIds: Set[Int], inputSnapshot: String): Unit = {
     Files.createDirectories(Paths.get(root))
     val json =
-      s"""{"input_snapshot":"$inputSnapshot","n_buckets":$nBuckets,"completed":[${completed.toSeq.sorted.mkString(",")}]}"""
+      s"""{"input_snapshot":"$inputSnapshot","n_buckets":$nBuckets,"completed":[${completed.toSeq.sorted.mkString(",")}],"batches":[${batchIds.toSeq.sorted.mkString(",")}]}"""
     val tmp = Paths.get(s"$root/_manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete lineage partitions whose batch never registered in the
+    * manifest: a crash between the lineage write and the manifest update
+    * leaves a partial `batch_id=X` dir, and a resume with a DIFFERENT
+    * `bucketsPerBatch` may regroup the pending buckets so no new batch
+    * overwrites X — the stale partial would then double-count its
+    * buckets' lineage.
+    */
+  private def dropStaleLineage(registered: Set[Int]): Unit = {
+    val dir = Paths.get(lineageDir)
+    if (Files.exists(dir)) {
+      val it = Files.list(dir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("batch_id=") &&
+            !registered.contains(n.stripPrefix("batch_id=").toInt)) {
+          val files = Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          files.forEach(f => Files.delete(f))
+        }
+      }
+    }
   }
 
   /** Process all pending buckets in batches of `bucketsPerBatch`; each batch
@@ -63,6 +94,8 @@ final class SnapshotStore(root: String, nBuckets: Int) {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     var completed = completedBuckets()
+    var batchIds = completedBatchIds()
+    dropStaleLineage(batchIds)
     val pending = (0 until nBuckets).filterNot(completed.contains)
     var batches = 0
     pending.grouped(bucketsPerBatch).foreach { batch =>
@@ -93,7 +126,8 @@ final class SnapshotStore(root: String, nBuckets: Int) {
           .partitionBy("batch_id")
           .parquet(lineageDir)
       completed = completed ++ batch
-      writeManifest(completed, inputSnapshot)
+      batchIds = batchIds + batch.min
+      writeManifest(completed, batchIds, inputSnapshot)
       batches += 1
     }
     batches

@@ -187,6 +187,24 @@ class OpsSpec extends AnyFunSuite {
     recs.unpersist()
   }
 
+  test("shredAll fails fast on reserved-column and table-name collisions") {
+    import spark.implicits._
+    val base = Seq(1).toDF("i")
+    // array<struct> element reusing the walk's 'pos' key column
+    val reservedClash = base.select(
+      lit("c1").as("conv_id"),
+      array(struct(lit(1).as("pos"), lit("x").as("v"))).as("items"))
+    val e1 = intercept[IllegalArgumentException](ShredOps.shredAll(reservedClash))
+    assert(e1.getMessage.contains("pos"))
+    // field 'a' with child 'b' vs field 'a_b': both map to main_table_a_b
+    val nameClash = base.select(
+      lit("c1").as("conv_id"),
+      struct(struct(lit(1).as("z")).as("b")).as("a"),
+      struct(lit(2).as("w")).as("a_b"))
+    val e2 = intercept[IllegalArgumentException](ShredOps.shredAll(nameClash))
+    assert(e2.getMessage.contains("main_table_a_b"))
+  }
+
   test("registry: dense deterministic ids 1..N") {
     import spark.implicits._
     val df = ShredOps.structuredRecords(spark, 80).toDF()

@@ -92,4 +92,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(lineageTotal == turns.count())
     turns.unpersist()
   }
+
+  test("resume drops stale lineage partitions left by a crash before the manifest update") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, 40L).cache()
+    val root = Files.createTempDirectory("graft-stale").toString
+    val store = new SnapshotStore(root, nBuckets = 8)
+    intercept[RuntimeException] {
+      store.process(spark, turns, "snap-1", bucketsPerBatch = 2, failAfterBatches = Some(2))
+    }
+    // simulate a crash that happened AFTER a lineage write but BEFORE the
+    // manifest update: a lineage partition for a batch id the manifest
+    // never registered, with an absurd turn count
+    spark.createDataset(Seq(graft.model.LineageRow(0, "snap-1", 999999L, 0L, 0L)))
+      .withColumn("batch_id", lit(6))
+      .write.partitionBy("batch_id").mode("append").parquet(s"$root/lineage")
+    // resume with a DIFFERENT grouping, so no new batch id overwrites 6
+    new SnapshotStore(root, nBuckets = 8).process(spark, turns, "snap-1", bucketsPerBatch = 4)
+    val lineage = new SnapshotStore(root, nBuckets = 8).readLineage(spark)
+    assert(lineage.filter($"turn_count" === 999999L).count() == 0, "stale lineage survived resume")
+    assert(lineage.agg(sum($"turn_count")).as[Long].head() == turns.count())
+    turns.unpersist()
+  }
 }
