@@ -116,7 +116,10 @@ object SparkEntry {
     "q39_shred_all" -> ((s, _) =>
       ShredOps.shredAllSummary(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
     // --- composed curation pipeline (quality -> lang -> dedup -> balance) ---
-    "q40_curation" -> ((s, d) => CurationOps.curate(s, d))
+    "q40_curation" -> ((s, d) => CurationOps.curate(s, d)),
+    // --- round-2 additions ---
+    "q41_canon_signature" -> ((s, d) => RelationalOps.q41CanonSignature(s, d)),
+    "q42_l2_nearest" -> ((s, d) => SimilarityOps.l2NearestAccept(s, d))
   )
 
   private val reviewerList =
@@ -317,6 +320,23 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY predicted_lang ORDER BY doc_id) AS rn
            FROM canon)
          SELECT doc_id, predicted_lang FROM r CROSS JOIN b WHERE rn <= b.min_cnt""",
+    "q41_canon_signature" ->
+      """SELECT l_orderkey, l_linenumber,
+         sha256(concat_ws('|', l_orderkey, l_linenumber,
+                CAST(l_quantity AS VARCHAR), CAST(l_extendedprice AS VARCHAR),
+                CAST(l_discount AS VARCHAR))) AS signature
+         FROM lineitem""",
+    "q42_l2_nearest" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         s AS (SELECT query_id, vec_id,
+                      CAST(floor(list_distance(qv, v) * 10000) AS BIGINT) AS l2_x10000
+               FROM q, e WHERE vec_id <> query_id)
+         SELECT query_id,
+                first(vec_id ORDER BY l2_x10000 ASC, vec_id ASC) AS best_id,
+                min(l2_x10000) AS min_l2_x10000,
+                min(l2_x10000) <= 11000 AS accepted
+         FROM s GROUP BY 1""",
     "q24_embedding_dup_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e)

@@ -83,6 +83,65 @@ case class CosineX10000(left: Expression, right: Expression) extends org.apache.
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: floor(euclidean_distance(a, b) * 10000)
+  * over two `array<float>` columns — the reference's L2-with-threshold
+  * match metric (ref: src/signature_module/signature_module_main.py:106)
+  * as a codegen'd binary expression, same design as CosineX10000.
+  */
+case class L2X10000(left: Expression, right: Expression) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_l2_x10000 requires two array<float> arguments, " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2_x10000"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgos.l2X10000ArrayData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.TextAlgos.l2X10000ArrayData($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2X10000 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: canonical decimal string of a double
+  * (Python str(float) / DuckDB varchar-cast format) — the cross-system
+  * numeric canonicalization feeding signature hashes (the reference's
+  * `str(float(val))`, ref: agents/knowledge_graph_agent/utils.py:49-63).
+  */
+case class CanonDouble(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_canon_double requires a double argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_canon_double"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgos.canonDoubleUtf8(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextAlgos.canonDoubleUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonDouble =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native SQL functions. Use either
   * `GraftFunctions.register(spark)` (idempotent, runtime) or
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session
@@ -90,60 +149,56 @@ case class CosineX10000(left: Expression, right: Expression) extends org.apache.
   */
 object GraftFunctions {
 
-  private val simhashInfo = new ExpressionInfo(
-    classOf[SimHash64].getName, null, "graft_simhash64",
-    "_FUNC_(text) - 64-bit SimHash fingerprint of the token stream.", "")
-
-  private val cosineInfo = new ExpressionInfo(
-    classOf[CosineX10000].getName, null, "graft_cosine_x10000",
-    "_FUNC_(a, b) - floor(cosine_similarity(a, b) * 10000) over array<float>.", "")
-
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val simhashId = FunctionIdentifier("graft_simhash64")
-    if (!registry.functionExists(simhashId)) {
-      registry.registerFunction(
-        simhashId, simhashInfo,
-        (children: Seq[Expression]) => {
-          require(children.size == 1, "graft_simhash64 takes exactly one argument")
-          SimHash64(children.head)
-        })
-    }
-    val cosineId = FunctionIdentifier("graft_cosine_x10000")
-    if (!registry.functionExists(cosineId)) {
-      registry.registerFunction(
-        cosineId, cosineInfo,
-        (children: Seq[Expression]) => {
-          require(children.size == 2, "graft_cosine_x10000 takes exactly two arguments")
-          CosineX10000(children.head, children(1))
-        })
-    }
-  }
-}
-
-/** `SparkSessionExtensions` hook: makes `graft_simhash64` available to
-  * every session when the config carries
-  * `spark.sql.extensions=graft.functions.GraftExtensions`.
-  */
-class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash64"),
+  /** (identifier, info, builder) for every native function — one table
+    * shared by runtime registration and the session-extension hook.
+    */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(
         classOf[SimHash64].getName, null, "graft_simhash64",
         "_FUNC_(text) - 64-bit SimHash fingerprint of the token stream.", ""),
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash64 takes exactly one argument")
         SimHash64(children.head)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine_x10000"),
+      }),
+    (FunctionIdentifier("graft_cosine_x10000"),
       new ExpressionInfo(
         classOf[CosineX10000].getName, null, "graft_cosine_x10000",
         "_FUNC_(a, b) - floor(cosine_similarity(a, b) * 10000) over array<float>.", ""),
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cosine_x10000 takes exactly two arguments")
         CosineX10000(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_l2_x10000"),
+      new ExpressionInfo(
+        classOf[L2X10000].getName, null, "graft_l2_x10000",
+        "_FUNC_(a, b) - floor(euclidean_distance(a, b) * 10000) over array<float>.", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_l2_x10000 takes exactly two arguments")
+        L2X10000(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_canon_double"),
+      new ExpressionInfo(
+        classOf[CanonDouble].getName, null, "graft_canon_double",
+        "_FUNC_(x) - canonical shortest-roundtrip decimal string of a double.", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_canon_double takes exactly one argument")
+        CanonDouble(children.head)
       }))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
   }
+}
+
+/** `SparkSessionExtensions` hook: makes every graft function available to
+  * every session when the config carries
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

@@ -133,6 +133,24 @@ object RelationalOps {
         sha2(concat_ws("|", col("c_custkey"), col("c_name"), col("c_mktsegment")), 256)
           .as("signature"))
 
+  /** F4+F5: content signature over NUMERIC columns via the canonical
+    * decimal formatter — cross-system-stable hashing of doubles (the
+    * reference feeds `str(float(val))` into its MERGE signature,
+    * ref: agents/knowledge_graph_agent/utils.py:49-63; a raw
+    * engine-native double-to-string would diverge between engines).
+    */
+  def q41CanonSignature(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        sha2(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          expr("graft_canon_double(l_quantity)"),
+          expr("graft_canon_double(l_extendedprice)"),
+          expr("graft_canon_double(l_discount)")), 256).as("signature"))
+  }
+
   /** U2: except/difference via anti join on the key (document-delete
     * semantics, ref: agents/delete_document.py:29-40).
     */

@@ -56,6 +56,32 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_x10000"))
   }
 
+  /** J4/F16: L2-nearest-neighbor with an accept threshold — the
+    * reference's match semantics (best match by Euclidean distance,
+    * accepted iff distance <= threshold,
+    * ref: src/signature_module/signature_module_main.py:96-110). One
+    * corpus scan, broadcast query set, per-query argmin via min_by with
+    * a deterministic tiebreak.
+    */
+  def l2NearestAccept(spark: SparkSession, dir: String, thresholdX10000: Long = 11000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = vecs
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    vecs
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        expr("graft_l2_x10000(q_embedding, embedding)").as("l2_x10000"))
+      .groupBy(col("query_id"))
+      .agg(
+        min_by(col("vec_id"), struct(col("l2_x10000"), col("vec_id"))).as("best_id"),
+        min(col("l2_x10000")).as("min_l2_x10000"))
+      .withColumn("accepted", col("min_l2_x10000") <= thresholdX10000)
+  }
+
   /** LSH-bucketed ANN: score only vectors sharing the query's hyperplane
     * bucket. Same output shape as bruteTopK (rank within bucket).
     *

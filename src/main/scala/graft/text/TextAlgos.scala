@@ -167,6 +167,103 @@ object TextAlgos {
     out
   }
 
+  /** Euclidean (L2) distance of two float vectors, computed in double
+    * with sequential accumulation (ref uses L2 with an accept threshold,
+    * signature_module_main.py:106).
+    */
+  def l2(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Codegen entry point for `graft_l2_x10000`
+    * (graft.functions.L2X10000): floor(l2 * 10000), integer-scaled for
+    * engine-independent comparison.
+    */
+  def l2X10000ArrayData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long =
+    math.floor(l2(a.toFloatArray(), b.toFloatArray()) * 10000).toLong
+
+  /** Canonical decimal string of a double — Python `str(float(x))` /
+    * DuckDB `CAST(double AS VARCHAR)` format: shortest-roundtrip digits,
+    * fixed notation for 1e-4 <= |x| < 1e16 (with a trailing `.0` for
+    * integral values), otherwise `d[.ddd]e±XX` scientific with a
+    * two-digit-minimum exponent; `inf`/`-inf`/`nan` spelled lowercase.
+    * This is the engine's cross-system numeric canonicalization for
+    * signature hashing (the reference's `str(float(val))`,
+    * ref: agents/knowledge_graph_agent/utils.py:49-63).
+    *
+    * Digits come from `Double.toString`, then are SHORTENED to the true
+    * shortest round-tripping form: on JDK 17 `Double.toString` is the
+    * pre-Ryū algorithm, which for ~1% of doubles emits one more digit
+    * than necessary (JDK-4511638, fixed in JDK 19) — each candidate
+    * truncation is produced by correctly rounding the exact binary value
+    * (BigDecimal, HALF_EVEN) and accepted only if it parses back to the
+    * identical double. Parity with DuckDB is pinned by FunctionsSpec and
+    * the q42 oracle.
+    */
+  def canonDouble(d: Double): String = {
+    if (d != d) "nan"
+    else if (d == Double.PositiveInfinity) "inf"
+    else if (d == Double.NegativeInfinity) "-inf"
+    else if (d == 0.0) { if (1.0 / d < 0) "-0.0" else "0.0" }
+    else {
+      val neg = d < 0
+      val s = java.lang.Double.toString(math.abs(d))
+      val ei = s.indexOf('E')
+      val (mant, e10) =
+        if (ei >= 0) (s.substring(0, ei), s.substring(ei + 1).toInt) else (s, 0)
+      val dot = mant.indexOf('.')
+      var digits = mant.substring(0, dot) + mant.substring(dot + 1)
+      var exp = dot - 1 + e10
+      val lead = digits.indexWhere(_ != '0')
+      if (lead > 0) { digits = digits.substring(lead); exp -= lead }
+      digits = digits.substring(0, digits.lastIndexWhere(_ != '0') + 1)
+      // shorten while a correctly-rounded truncation still round-trips
+      var shortening = digits.length > 1
+      while (shortening) {
+        val bd = new java.math.BigDecimal(math.abs(d))
+          .round(new java.math.MathContext(digits.length - 1, java.math.RoundingMode.HALF_EVEN))
+          .stripTrailingZeros()
+        if (java.lang.Double.parseDouble(bd.toString) == math.abs(d)) {
+          digits = bd.unscaledValue.toString
+          exp = bd.precision - 1 - bd.scale
+          shortening = digits.length > 1
+        } else shortening = false
+      }
+      val sb = new StringBuilder
+      if (neg) sb.append('-')
+      if (exp >= -4 && exp < 16) {
+        if (exp >= digits.length - 1)
+          sb.append(digits).append("0" * (exp - digits.length + 1)).append(".0")
+        else if (exp >= 0)
+          sb.append(digits.substring(0, exp + 1)).append('.').append(digits.substring(exp + 1))
+        else
+          sb.append("0.").append("0" * (-exp - 1)).append(digits)
+      } else {
+        sb.append(digits.charAt(0))
+        if (digits.length > 1) sb.append('.').append(digits.substring(1))
+        sb.append('e').append(if (exp >= 0) '+' else '-')
+        val ae = math.abs(exp)
+        if (ae < 10) sb.append('0')
+        sb.append(ae)
+      }
+      sb.toString
+    }
+  }
+
+  /** Codegen entry point for `graft_canon_double`. */
+  def canonDoubleUtf8(d: Double): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(canonDouble(d))
+
   /** Cosine similarity of two float vectors, computed in double. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
