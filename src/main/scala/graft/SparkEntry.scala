@@ -119,7 +119,9 @@ object SparkEntry {
     "q40_curation" -> ((s, d) => CurationOps.curate(s, d)),
     // --- round-2 additions ---
     "q41_canon_signature" -> ((s, d) => RelationalOps.q41CanonSignature(s, d)),
-    "q42_l2_nearest" -> ((s, d) => SimilarityOps.l2NearestAccept(s, d))
+    "q42_l2_nearest" -> ((s, d) => SimilarityOps.l2NearestAccept(s, d)),
+    "q43_schema_evolution" -> ((s, _) =>
+      SchemaOps.schemaEvolutionQueryChecked(ShredOps.structuredRecords(s, VerifyRecords).toDF()))
   )
 
   private val reviewerList =
@@ -337,6 +339,18 @@ object SparkEntry {
                 min(l2_x10000) AS min_l2_x10000,
                 min(l2_x10000) <= 11000 AS accepted
          FROM s GROUP BY 1""",
+    "q43_schema_evolution" ->
+      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         a AS (SELECT conv_id, batch_details.product_name AS product_name,
+                      CAST(len(material_usage_rows) AS INTEGER) AS n_materials
+               FROM r WHERE conv_id < 'conv-000100'),
+         b AS (SELECT conv_id, batch_details.product_name AS product_name,
+                      CAST(len(steps) AS INTEGER) AS n_steps
+               FROM r WHERE conv_id >= 'conv-000100')
+         SELECT conv_id, product_name,
+                CAST(coalesce(n_materials, -1) AS INTEGER) AS n_materials,
+                CAST(coalesce(n_steps, -1) AS INTEGER) AS n_steps
+         FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)""",
     "q24_embedding_dup_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e)

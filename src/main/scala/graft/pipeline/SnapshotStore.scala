@@ -41,16 +41,33 @@ final class SnapshotStore(root: String, nBuckets: Int) {
 
   def completedBuckets(): Set[Int] = manifestField("completed")
 
+  /** S11: the persisted StructType DDL of the written data (the
+    * reference persists its generated schema, ref: agents/sql_agent/
+    * schema_helper.py:59-66) — lets a reader reconstruct the table
+    * schema without scanning parquet footers, and makes schema DRIFT
+    * between runs observable (compare before overwrite).
+    */
+  def schemaDdl(): Option[String] =
+    if (!Files.exists(manifestPath)) None
+    else {
+      val s = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      """"schema_ddl"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .filter(_.nonEmpty)
+    }
+
   /** Lineage partition ids (one per completed batch) registered in the
     * manifest — a lineage partition NOT in this set is a stale partial
     * from a crashed run and is removed on the next `process`.
     */
   def completedBatchIds(): Set[Int] = manifestField("batches")
 
-  private def writeManifest(completed: Set[Int], batchIds: Set[Int], inputSnapshot: String): Unit = {
+  private def writeManifest(
+      completed: Set[Int], batchIds: Set[Int], inputSnapshot: String, ddl: String): Unit = {
     Files.createDirectories(Paths.get(root))
+    val ddlJson = ddl.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
-      s"""{"input_snapshot":"$inputSnapshot","n_buckets":$nBuckets,"completed":[${completed.toSeq.sorted.mkString(",")}],"batches":[${batchIds.toSeq.sorted.mkString(",")}]}"""
+      s"""{"input_snapshot":"$inputSnapshot","n_buckets":$nBuckets,"schema_ddl":"$ddlJson","completed":[${completed.toSeq.sorted.mkString(",")}],"batches":[${batchIds.toSeq.sorted.mkString(",")}]}"""
     val tmp = Paths.get(s"$root/_manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -109,11 +126,16 @@ final class SnapshotStore(root: String, nBuckets: Int) {
         .as[Turn]
       val (extracted, lineage) =
         Pipeline.runWithLineage(spark, slice, inputSnapshot)
-      extracted
+      val withBucket = extracted
         .withColumn("bucket", pmod(xxhash64($"conv_id"), lit(nBuckets.toLong)).cast("int"))
+      withBucket
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(dataDir)
+      // persist the schema AS STORED (footer-only read): parquet read-back
+      // normalizes nested nullability, so the written plan's schema would
+      // not round-trip for a reader
+      val ddl = spark.read.parquet(dataDir).schema.toDDL
       // lineage is keyed by batch and written with dynamic partition
       // overwrite (same idempotency model as the data): a crash between
       // this write and the manifest update re-runs the batch, which
@@ -127,7 +149,7 @@ final class SnapshotStore(root: String, nBuckets: Int) {
           .parquet(lineageDir)
       completed = completed ++ batch
       batchIds = batchIds + batch.min
-      writeManifest(completed, batchIds, inputSnapshot)
+      writeManifest(completed, batchIds, inputSnapshot, ddl)
       batches += 1
     }
     batches

@@ -90,6 +90,14 @@ class PipelineSpec extends AnyFunSuite {
 
     val lineageTotal = store.readLineage(spark).agg(sum($"turn_count")).as[Long].head()
     assert(lineageTotal == turns.count())
+
+    // S11: the manifest persists the written schema as parseable DDL
+    val ddl = store.schemaDdl().getOrElse(fail("schema_ddl missing from manifest"))
+    val persisted = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val onDisk = store.readExtracted(spark).schema
+    assert(persisted.fields.map(f => (f.name, f.dataType)).toSeq ==
+      onDisk.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"persisted DDL != on-disk schema:\n$ddl\nvs\n${onDisk.toDDL}")
     turns.unpersist()
   }
 
