@@ -121,7 +121,9 @@ object SparkEntry {
     "q41_canon_signature" -> ((s, d) => RelationalOps.q41CanonSignature(s, d)),
     "q42_l2_nearest" -> ((s, d) => SimilarityOps.l2NearestAccept(s, d)),
     "q43_schema_evolution" -> ((s, _) =>
-      SchemaOps.schemaEvolutionQueryChecked(ShredOps.structuredRecords(s, VerifyRecords).toDF()))
+      SchemaOps.schemaEvolutionQueryChecked(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
+    "q44_graph_vertices" -> ((s, _) =>
+      GraphOps.graph(ShredOps.structuredRecords(s, VerifyRecords).toDF())._1)
   )
 
   private val reviewerList =
@@ -351,6 +353,41 @@ object SparkEntry {
                 CAST(coalesce(n_materials, -1) AS INTEGER) AS n_materials,
                 CAST(coalesce(n_steps, -1) AS INTEGER) AS n_steps
          FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)""",
+    "q44_graph_vertices" ->
+      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         n0 AS (SELECT sha256(concat_ws('|', 'main_table',
+                  'equipment_no=' || coalesce(array_to_string(equipment_no, ','), 'null'))) AS signature,
+                'main_table' AS label FROM r),
+         n1 AS (SELECT sha256(concat_ws('|', 'main_table_batch_details',
+                  'batch_completed_on=' || coalesce(CAST(batch_details.batch_completed_on AS VARCHAR), 'null'),
+                  'batch_no=' || coalesce(batch_details.batch_no, 'null'),
+                  'batch_started_on=' || coalesce(CAST(batch_details.batch_started_on AS VARCHAR), 'null'),
+                  'product_name=' || coalesce(batch_details.product_name, 'null'))) AS signature,
+                'main_table_batch_details' AS label FROM r),
+         n2 AS (SELECT sha256(concat_ws('|', 'main_table_material_usage_rows',
+                  'actual_quantity=' || coalesce(CAST(m.actual_quantity AS VARCHAR), 'null'),
+                  'allowed_range_max=' || coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null'),
+                  'allowed_range_min=' || coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null'),
+                  'checked_by=' || coalesce(m.checked_by, 'null'),
+                  'material_name=' || coalesce(m.material_name, 'null'),
+                  'performed_by=' || coalesce(m.performed_by, 'null'),
+                  'standard_quantity=' || coalesce(CAST(m.standard_quantity AS VARCHAR), 'null'))) AS signature,
+                'main_table_material_usage_rows' AS label
+                FROM (SELECT unnest(material_usage_rows) AS m FROM r)),
+         n3 AS (SELECT sha256(concat_ws('|', 'main_table_steps',
+                  'description=' || coalesce(s.description, 'null'),
+                  'step_no=' || coalesce(CAST(s.step_no AS VARCHAR), 'null'))) AS signature,
+                'main_table_steps' AS label FROM (SELECT unnest(steps) AS s FROM r)),
+         n4 AS (SELECT sha256(concat_ws('|', 'main_table_steps_temperature_records',
+                  'temperature_c=' || coalesce(CAST(t.temperature_c AS VARCHAR), 'null'),
+                  'time_point=' || coalesce(t.time_point, 'null'))) AS signature,
+                'main_table_steps_temperature_records' AS label
+                FROM (SELECT unnest(s.temperature_records) AS t
+                      FROM (SELECT unnest(steps) AS s FROM r)))
+         SELECT signature, label, count(*) AS n_merged
+         FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1 UNION ALL SELECT * FROM n2
+               UNION ALL SELECT * FROM n3 UNION ALL SELECT * FROM n4)
+         GROUP BY 1, 2""",
     "q24_embedding_dup_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e)

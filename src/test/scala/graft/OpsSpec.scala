@@ -205,6 +205,52 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("main_table_a_b"))
   }
 
+  test("graph form: cross-doc identical subtrees merge to one node; edges follow containment") {
+    import spark.implicits._
+    import graft.model._
+    val sharedSteps = Seq(ProcedureStep(1, "shared-step",
+      Seq(TemperatureRecord("t0", 21.5), TemperatureRecord("t1", 22.0))))
+    def rec(conv: String, product: String, steps: Seq[ProcedureStep]) = StructuredRecord(
+      conv_id = conv,
+      batch_details = BatchDetails(product, s"B-$conv",
+        new java.sql.Timestamp(1735689600000L), new java.sql.Timestamp(1735693200000L)),
+      material_usage_rows = Seq.empty,
+      steps = steps,
+      equipment_no = Seq("EQ-1"))
+    // two docs share an identical steps subtree; the third differs
+    val records = Seq(
+      rec("conv-a", "p1", sharedSteps),
+      rec("conv-b", "p2", sharedSteps),
+      rec("conv-c", "p3", Seq(ProcedureStep(1, "other-step", Seq(TemperatureRecord("t0", 30.0)))))
+    ).toDF()
+    val (vertices, edges) = GraphOps.graph(records)
+    val v = vertices.as[(String, String, Long)].collect()
+    // shared step node merged across conv-a and conv-b
+    val stepNodes = v.filter(_._2 == "main_table_steps")
+    assert(stepNodes.length == 2, s"expected 2 distinct step nodes, got ${stepNodes.toSeq}")
+    assert(stepNodes.map(_._3).sorted.toSeq == Seq(1L, 2L), "shared step must merge n_merged=2")
+    // identical temperature records merge too (t0/t1 shared by a+b)
+    val tempNodes = v.filter(_._2 == "main_table_steps_temperature_records")
+    assert(tempNodes.length == 3)
+    // every conv has distinct batch_details (product differs) -> 3 nodes
+    assert(v.count(_._2 == "main_table_batch_details") == 3)
+    // root nodes: equipment CSV identical across all three -> ONE node, n_merged=3
+    val rootNodes = v.filter(_._2 == "main_table")
+    assert(rootNodes.length == 1 && rootNodes.head._3 == 3L)
+
+    val e = edges.as[(String, String, String)].collect()
+    assert(e.forall(_._3 == "HAS"))
+    // edge count: root->batch_details 3 (distinct roots? root merged to 1 sig,
+    // 3 distinct batch_details sigs -> 3 distinct edges), root->step 2 distinct
+    // (shared step from one root sig + other step), step->temp: shared step
+    // has 2 temps, other step 1 -> 3 distinct edges
+    val byPair = e.map(x => (x._1, x._2)).toSet
+    assert(byPair.size == e.length, "edges must be deduplicated")
+    val stepSigs = stepNodes.map(_._1).toSet
+    val tempEdges = e.filter(x => stepSigs.contains(x._1))
+    assert(tempEdges.length == 3, s"step->temperature edges: ${tempEdges.toSeq}")
+  }
+
   test("registry: dense deterministic ids 1..N") {
     import spark.implicits._
     val df = ShredOps.structuredRecords(spark, 80).toDF()
