@@ -123,7 +123,26 @@ object SparkEntry {
     "q43_schema_evolution" -> ((s, _) =>
       SchemaOps.schemaEvolutionQueryChecked(ShredOps.structuredRecords(s, VerifyRecords).toDF())),
     "q44_graph_vertices" -> ((s, _) =>
-      GraphOps.graph(ShredOps.structuredRecords(s, VerifyRecords).toDF())._1)
+      GraphOps.graph(ShredOps.structuredRecords(s, VerifyRecords).toDF())._1),
+    "q45_page_ranges" -> ((s, d) => RelationalOps.q45PageRanges(s, d)),
+    "q46_base64_transport" -> ((s, d) =>
+      MultimodalOps.toBase64Transport(
+        RelationalOps.table(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload").select(col("doc_id"), col("payload_b64"))),
+    "q47_rule_registry" -> ((s, _) => {
+      val shredded = ShredOps.shredMaterialUsage(
+        ShredOps.structuredRecords(s, VerifyRecords).toDF())
+      val reg = new graft.pipeline.RuleRegistry(
+        java.nio.file.Files.createTempDirectory("graft-rules").toString + "/rules.tsv")
+      reg.register("quantities_within_range",
+        "actual_quantity BETWEEN allowed_range_min AND allowed_range_max")
+      reg.register("independent_check", "performed_by != checked_by")
+      reg.evaluate(shredded)
+    }),
+    "q48_lang_accuracy" -> ((s, d) => TextOps.langAccuracy(s, d)),
+    "q49_confidence_stats" -> ((s, _) =>
+      TextOps.confidenceStats(SynthDataset.turns(s, VerifyConvs).toDF()))
   )
 
   private val reviewerList =
@@ -388,6 +407,62 @@ object SparkEntry {
          FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1 UNION ALL SELECT * FROM n2
                UNION ALL SELECT * FROM n3 UNION ALL SELECT * FROM n4)
          GROUP BY 1, 2""",
+    "q45_page_ranges" ->
+      """SELECT doc_id, page_ranges, CAST(page AS INTEGER) AS page FROM (
+           SELECT doc_id, page_ranges,
+                  unnest(flatten(list_transform(string_split(page_ranges, ','),
+                    t -> generate_series(CAST(string_split(t, '-')[1] AS INT),
+                                         CAST(string_split(t, '-')[-1] AS INT))))) AS page
+           FROM (SELECT doc_id,
+                        '1-' || CAST(doc_id % 4 + 1 AS VARCHAR) || ',' ||
+                        CAST(doc_id % 3 + 6 AS VARCHAR) || '-' ||
+                        CAST(doc_id % 3 + 7 AS VARCHAR) || ',10' AS page_ranges
+                 FROM documents))""",
+    "q46_base64_transport" ->
+      """SELECT doc_id, to_base64(encode(text)) AS payload_b64 FROM documents""",
+    "q47_rule_registry" ->
+      """WITH m AS (SELECT conv_id, unnest(material_usage_rows) AS r
+                    FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         c AS (SELECT conv_id,
+                 CAST(sum(CASE WHEN NOT (r.actual_quantity BETWEEN r.allowed_range_min AND r.allowed_range_max)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                 CAST(sum(CASE WHEN NOT (r.performed_by <> r.checked_by)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_check
+               FROM m GROUP BY 1)
+         SELECT 'quantities_within_range' AS rule_name, conv_id, v_range AS n_violations
+         FROM c WHERE v_range > 0
+         UNION ALL
+         SELECT 'independent_check', conv_id, v_check FROM c WHERE v_check > 0""",
+    "q48_lang_accuracy" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(floor(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS accuracy_x10000
+         FROM (
+           SELECT lang,
+                  CASE WHEN score_en = best AND best > 0 THEN 'en'
+                       WHEN score_fr = best AND best > 0 THEN 'fr'
+                       WHEN score_es = best AND best > 0 THEN 'es'
+                       WHEN score_de = best AND best > 0 THEN 'de'
+                       ELSE 'unknown' END AS predicted_lang
+           FROM (
+             SELECT lang, score_en, score_fr, score_es, score_de,
+                    greatest(0, score_en, score_fr, score_es, score_de) AS best
+             FROM (
+               SELECT lang,
+                      len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS score_en,
+                      len(regexp_extract_all(text, '\b(le|la|les|et|de|un|une|est)\b')) AS score_fr,
+                      len(regexp_extract_all(text, '\b(el|la|los|las|y|de|que|es)\b')) AS score_es,
+                      len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|zu|mit)\b')) AS score_de
+               FROM documents)))
+         GROUP BY 1""",
+    "q49_confidence_stats" ->
+      """SELECT conv_id, count(*) AS n_annotations,
+         CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS sum_conf_x100,
+         CAST(floor(sum(CAST(c AS BIGINT)) * 1.0 / count(*)) AS BIGINT) AS mean_conf_x100
+         FROM (SELECT conv_id,
+                      unnest(regexp_extract_all(text, '\(Confidence: 0\.([0-9]{2})\)', 1)) AS c
+               FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet'))
+         GROUP BY 1""",
     "q24_embedding_dup_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e)

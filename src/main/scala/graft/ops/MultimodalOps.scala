@@ -122,6 +122,20 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** F8: base64 transport encoding of a binary payload column — the
+    * reference ships page images base64-encoded (ref: app.py:273-279).
+    * Spark's `base64` emits RFC 2045 MIME chunking (CRLF every 76 chars)
+    * for long payloads; transport format here is single-line RFC 4648,
+    * so the line breaks are stripped. Round-trip (`fromBase64Transport`)
+    * is asserted in OpsSpec.
+    */
+  def toBase64Transport(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn(s"${binCol}_b64",
+      regexp_replace(base64(col(binCol)), "[\\r\\n]", ""))
+
+  def fromBase64Transport(df: DataFrame, b64Col: String, outCol: String): DataFrame =
+    df.withColumn(outCol, unbase64(col(b64Col)))
+
   /** STUB resize: keep every `factor`-th byte (real kernel would be a
     * codec call; the Spark-side contract — binary in, binary out, same
     * row — is the point).

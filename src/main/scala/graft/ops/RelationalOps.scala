@@ -222,6 +222,31 @@ object RelationalOps {
           .cast("long").as("n_copies_to_max"))
   }
 
+  /** F3/P3: parse "1-3,5" page-range strings into exploded page rows —
+    * split + sequence + explode, pure column expressions (the
+    * reference's page-subset selection parse, ref: app.py:98-109).
+    * Singleton tokens ("5") become one-element ranges.
+    */
+  def parsePageRanges(df: DataFrame, rangeCol: String): DataFrame =
+    df.withColumn("page", explode(flatten(transform(
+      split(col(rangeCol), ","),
+      t => sequence(
+        element_at(split(t, "-"), 1).cast("int"),
+        element_at(split(t, "-"), -1).cast("int"))))))
+
+  /** Driver-contract q45: deterministic range strings derived from
+    * doc_id, parsed and exploded.
+    */
+  def q45PageRanges(spark: SparkSession, dir: String): DataFrame = {
+    val withRanges = table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("concat('1-', cast(pmod(doc_id, 4) + 1 as string), ',', " +
+          "cast(pmod(doc_id, 3) + 6 as string), '-', " +
+          "cast(pmod(doc_id, 3) + 7 as string), ',10')").as("page_ranges"))
+    parsePageRanges(withRanges, "page_ranges")
+  }
+
   /** A8 oversample mechanics: replicate each balanced row `n_copies_to_max`
     * times via explode(array_repeat(...)) — every class ends at exactly
     * the max class size.

@@ -94,6 +94,37 @@ object TextOps {
         col("score_en"), col("score_fr"), col("score_es"), col("score_de"),
         col("predicted_lang"))
 
+  /** A4: accuracy as mean-of-equality — per-language accuracy of the
+    * language-ID heuristic against the corpus label, integer-scaled
+    * (the reference reports train/val/test accuracies as mean equality,
+    * ref: src/signature_module/signature_module_main.py:87-89).
+    */
+  def langAccuracy(spark: SparkSession, dir: String): DataFrame =
+    withPredictedLang(table(spark, dir, "documents"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("predicted_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy_x10000",
+        floor(col("n_correct") * 10000.0 / col("n_docs")).cast("long"))
+
+  /** A3: mean of the per-field confidence annotations planted in the raw
+    * pdf-IR payloads ("(Confidence: 0.NN)", F10) — surfaced per
+    * conversation without running extraction (the reference averages
+    * per-field OCR confidences).
+    */
+  def confidenceStats(turns: DataFrame): DataFrame =
+    turns
+      .select(
+        col("conv_id"),
+        explode(regexp_extract_all(
+          col("text"), lit("\\(Confidence: 0\\.([0-9]{2})\\)"), lit(1))).as("c"))
+      .withColumn("c", col("c").cast("long"))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_annotations"), sum(col("c")).as("sum_conf_x100"))
+      .withColumn("mean_conf_x100",
+        floor(col("sum_conf_x100") * 1.0 / col("n_annotations")).cast("long"))
+
   /** BPE-ish token counting: alternation of word pieces, numbers and
     * punctuation runs (a deterministic regex stand-in for a subword
     * tokenizer; real BPE would be a broadcast vocab + typed map).

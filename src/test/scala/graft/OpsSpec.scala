@@ -368,6 +368,57 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.size >= 4, s"only ${expected.size} planted pairs survived bucketing")
   }
 
+  test("page-range parse: '1-3,5' style strings explode to the exact page lists") {
+    import spark.implicits._
+    val df = Seq((1L, "1-3,5"), (2L, "7"), (3L, "2-2,4-6,9")).toDF("doc_id", "page_ranges")
+    val got = RelationalOps.parsePageRanges(df, "page_ranges")
+      .select("doc_id", "page").as[(Long, Int)].collect().toSeq.sorted
+    val expected = Seq(1L -> Seq(1, 2, 3, 5), 2L -> Seq(7), 3L -> Seq(2, 4, 5, 6, 9))
+      .flatMap { case (id, ps) => ps.map(id -> _) }.sorted
+    assert(got == expected)
+  }
+
+  test("base64 transport round-trips binary payloads exactly") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val roundTrip = MultimodalOps.fromBase64Transport(
+      MultimodalOps.toBase64Transport(docs, "payload"), "payload_b64", "decoded")
+    val bad = roundTrip
+      .filter(not(col("decoded") === col("payload")))
+      .count()
+    assert(bad == 0, s"$bad payloads failed the base64 round-trip")
+    // no MIME line-wrapping in the encoded form (transport must be 1-line)
+    val wrapped = roundTrip.filter(col("payload_b64").contains("\n")).count()
+    assert(wrapped == 0, "base64 output contains newlines")
+  }
+
+  test("rule registry: persists across reopen, rejects duplicates, violations match filters") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-rr").toString + "/rules.tsv"
+    val reg = new graft.pipeline.RuleRegistry(path)
+    reg.register("in_range", "actual_quantity BETWEEN allowed_range_min AND allowed_range_max")
+    intercept[IllegalArgumentException](reg.register("in_range", "true"))
+    reg.register("independent_check", "performed_by != checked_by")
+    val reopened = new graft.pipeline.RuleRegistry(path)
+    assert(reopened.rules().map(_._1) == Seq("in_range", "independent_check"))
+
+    val shredded = ShredOps.shredMaterialUsage(
+      ShredOps.structuredRecords(spark, 50).toDF()).cache()
+    val got = reopened.evaluate(shredded)
+      .as[(String, String, Long)].collect().toSet
+    def expectFor(name: String, pred: org.apache.spark.sql.Column) = shredded
+      .filter(!pred).groupBy($"conv_id").count()
+      .as[(String, Long)].collect().map { case (c, n) => (name, c, n) }.toSet
+    val expected =
+      expectFor("in_range", col("actual_quantity")
+        .between(col("allowed_range_min"), col("allowed_range_max"))) ++
+      expectFor("independent_check", col("performed_by") =!= col("checked_by"))
+    assert(got == expected)
+    assert(got.exists(_._1 == "independent_check"), "no self-check violations in corpus (vacuous)")
+    shredded.unpersist()
+  }
+
   test("lang id: scores nonnegative, predicted in domain, en beats others on English text") {
     import spark.implicits._
     val out = TextOps.langId(spark, dir)
