@@ -154,10 +154,13 @@ object Bench {
     val (nTurns, tHigh, stealHigh) = high
     val rateHigh = nTurns / tHigh
 
+    // SPARK_GRAFT_QUERIES=0 skips the per-query pass (scaling-only
+    // reruns while chasing host noise)
+    val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val spark = session(cpus)
     // a failed query records -1 (never a fake fast timing) and is listed
     // in "failed_queries" — a regression must not read as a speedup
-    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryResults = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

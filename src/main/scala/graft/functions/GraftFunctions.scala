@@ -117,6 +117,41 @@ case class L2X10000(left: Expression, right: Expression) extends org.apache.spar
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: sign-bit hyperplane LSH bucket of an
+  * `array<float>` embedding under `nPlanes` deterministic planes — keeps
+  * the ANN/dedup bucketing stage inside WholeStageCodegen instead of a
+  * typed map that would ser/de every row. `nPlanes` must be a foldable
+  * int literal.
+  */
+case class HyperplaneBucket(left: Expression, right: Expression) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (!vecOk) TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_bucket requires array<float>, got ${left.dataType.catalogString}")
+    else if (right.dataType != org.apache.spark.sql.types.IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_hyperplane_bucket requires a literal int plane count")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override protected def nullSafeEval(a: Any, n: Any): Any =
+    TextAlgos.hyperplaneBucketArrayData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n) => s"graft.text.TextAlgos.hyperplaneBucketArrayData($a, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneBucket =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Catalyst expression: canonical decimal string of a double
   * (Python str(float) / DuckDB varchar-cast format) — the cross-system
   * numeric canonicalization feeding signature hashes (the reference's
@@ -176,6 +211,14 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_l2_x10000 takes exactly two arguments")
         L2X10000(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_hyperplane_bucket"),
+      new ExpressionInfo(
+        classOf[HyperplaneBucket].getName, null, "graft_hyperplane_bucket",
+        "_FUNC_(v, nPlanes) - sign-bit hyperplane LSH bucket of an array<float>.", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_hyperplane_bucket takes exactly two arguments")
+        HyperplaneBucket(children.head, children(1))
       }),
     (FunctionIdentifier("graft_canon_double"),
       new ExpressionInfo(

@@ -246,12 +246,12 @@ object DedupOps {
     * output).
     */
   def embeddingDupPairs(spark: SparkSession, dir: String, thresholdX10000: Int = 9500, nPlanes: Int = 8): DataFrame = {
-    import spark.implicits._
-    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val bucketed = vecs.map { case (id, v) => (TextAlgos.hyperplaneBucket(v, nPlanes), id, v) }
-      .toDF("bucket", "vec_id", "embedding")
     graft.functions.GraftFunctions.register(spark)
+    // bucketing via the codegen'd expression — no typed ser/de boundary
+    val bucketed = table(spark, dir, "embeddings")
+      .select(
+        expr(s"graft_hyperplane_bucket(embedding, $nPlanes)").as("bucket"),
+        col("vec_id"), col("embedding"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -92,12 +92,10 @@ object SimilarityOps {
     * the codegen'd `graft_cosine_x10000` expression.
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = DefaultK, nPlanes: Int = 6): DataFrame = {
-    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val bucketed = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, TextAlgos.hyperplaneBucket(v, nPlanes)) }
-      .toDF("vec_id", "embedding", "bucket")
+    val bucketed = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr(s"graft_hyperplane_bucket(embedding, $nPlanes)").as("bucket"))
     val queries = bucketed
       .filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"), col("bucket"))

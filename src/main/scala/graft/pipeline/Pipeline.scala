@@ -66,6 +66,21 @@ object Pipeline {
     turns.mapPartitions(_.map(Extract.turn))
   }
 
+  /** P3/F3: re-extract only a turn subset described by a "1-3,5"-style
+    * range string (the reference's page-subset re-processing,
+    * ref: app.py:98-109) — the parsed range set is tiny and broadcast
+    * into the filter, so the scan prunes before the salt shuffle.
+    */
+  def turnSubset(turns: Dataset[Turn], ranges: String): Dataset[Turn] = {
+    val wanted = ranges.split(',').flatMap { tok =>
+      val parts = tok.split('-')
+      (parts.head.trim.toInt to parts.last.trim.toInt)
+    }.toSet
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.filter($"turn_idx".isin(wanted.toSeq: _*))
+  }
+
   /** Full pipeline: salt → sort → extract. */
   def run(
       spark: SparkSession,

@@ -183,6 +183,14 @@ object TextAlgos {
     math.sqrt(acc)
   }
 
+  /** Codegen entry point for `graft_hyperplane_bucket`
+    * (graft.functions.HyperplaneBucket).
+    */
+  def hyperplaneBucketArrayData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      nPlanes: Int): Int =
+    hyperplaneBucket(a.toFloatArray(), nPlanes)
+
   /** Codegen entry point for `graft_l2_x10000`
     * (graft.functions.L2X10000): floor(l2 * 10000), integer-scaled for
     * engine-independent comparison.

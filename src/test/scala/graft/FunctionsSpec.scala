@@ -81,6 +81,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(0))
   }
 
+  test("graft_hyperplane_bucket equals the scala bucketing; codegen'd; null-safe") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val viaExpr = vecs.selectExpr("vec_id", "graft_hyperplane_bucket(embedding, 6) AS b")
+      .as[(Long, Int)].collect().toMap
+    val viaScala = vecs.as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> TextAlgos.hyperplaneBucket(v, 6) }.toMap
+    assert(viaExpr == viaScala)
+    val rows = Seq((1L, null: Array[Float])).toDF("id", "v")
+      .selectExpr("graft_hyperplane_bucket(v, 4)").collect()
+    assert(rows(0).isNullAt(0))
+    val plan = vecs.selectExpr("graft_hyperplane_bucket(embedding, 6)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), "bucketing fell out of codegen")
+  }
+
   test("graft_canon_double: pinned str(float)-format edges; expression matches scala path") {
     import spark.implicits._
     GraftFunctions.register(spark)

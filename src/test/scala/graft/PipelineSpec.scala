@@ -101,6 +101,26 @@ class PipelineSpec extends AnyFunSuite {
     turns.unpersist()
   }
 
+  test("turn-subset re-extraction: '0-2,5' keeps exactly those turn indices") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, 30L)
+    val subset = Pipeline.turnSubset(turns, "0-2,5")
+    val got = subset.select($"conv_id", $"turn_idx").as[(String, Int)].collect()
+    assert(got.forall(t => Set(0, 1, 2, 5).contains(t._2)))
+    val expected = turns.select($"conv_id", $"turn_idx").as[(String, Int)].collect()
+      .filter(t => Set(0, 1, 2, 5).contains(t._2))
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+    // re-extracting the subset matches the full run restricted to it
+    val fullRun = Pipeline.run(spark, turns)
+      .filter($"turn_idx".isin(0, 1, 2, 5))
+      .select($"conv_id", $"turn_idx", $"extracted_text")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    val subsetRun = Pipeline.run(spark, subset)
+      .select($"conv_id", $"turn_idx", $"extracted_text")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    assert(subsetRun == fullRun)
+  }
+
   test("resume drops stale lineage partitions left by a crash before the manifest update") {
     import spark.implicits._
     val turns = SynthDataset.turns(spark, 40L).cache()
