@@ -166,8 +166,11 @@ object SparkEntry {
     }.mkString(" + ")
 
   /** DuckDB-runnable oracle SQL (same parquet tables registered by name).
-    * Omitted for operators DuckDB can't express (extraction, minhash,
-    * winnowing, ANN) — those get the rows-only check + golden ScalaTests.
+    * Omitted only for q19/q21, whose OUTPUT IS the splitmix64 hash value
+    * itself (simhash values, minhash pair production) — an oracle reading
+    * those back from materialized engine output would be circular. They
+    * keep the rows-only check + exact local-truth ScalaTests; every other
+    * query has an independent DuckDB recomputation.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -268,9 +271,54 @@ object SparkEntry {
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe_tokens
          FROM documents""",
+    // q18/q22/q36 oracles read engine-materialized intermediates from
+    // `__SYNTH__` (ordered k-gram hashes, simhash values, minhash pair
+    // list) because their inner hash (splitmix64) has no DuckDB
+    // equivalent. DuckDB independently recomputes the DOWNSTREAM
+    // algorithm — winnow window-min selection, all-pairs Hamming
+    // (vs the engine's segment blocking), connected components (vs the
+    // engine's label propagation) — so these validate the algorithmic
+    // step, while hash production is pinned by local-truth ScalaTests
+    // (TextAlgosSpec/FunctionsSpec/OpsSpec).
+    "q18_fingerprint" ->
+      """WITH g AS (SELECT doc_id, grams, len(grams) AS n
+                    FROM read_parquet('__SYNTH__/grams.parquet/*.parquet')),
+         p AS (SELECT doc_id, n, grams, unnest(range(1, n + 1)) AS pos FROM g WHERE n > 4),
+         v AS (SELECT doc_id, n, pos, grams[pos] AS val FROM p),
+         wm AS (SELECT doc_id, n, pos,
+                       min(val) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                FROM v),
+         longd AS (SELECT doc_id, CAST(count(DISTINCT wmin) AS INTEGER) AS n_fingerprints,
+                          min(wmin) AS min_fingerprint, bit_xor(DISTINCT wmin) AS xor_fingerprint
+                   FROM wm WHERE pos <= n - 3 GROUP BY doc_id),
+         shortd AS (SELECT doc_id, 1 AS n_fingerprints, list_min(grams) AS min_fingerprint,
+                           list_min(grams) AS xor_fingerprint
+                    FROM g WHERE n BETWEEN 1 AND 4),
+         emptyd AS (SELECT doc_id, 0 AS n_fingerprints, CAST(0 AS BIGINT) AS min_fingerprint,
+                           CAST(0 AS BIGINT) AS xor_fingerprint FROM g WHERE n = 0)
+         SELECT * FROM longd UNION ALL SELECT * FROM shortd UNION ALL SELECT * FROM emptyd""",
     "q20_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
+    "q22_simhash_pairs" ->
+      """WITH s AS (SELECT doc_id, simhash FROM read_parquet('__SYNTH__/simhash.parquet/*.parquet'))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "q36_dedup_clusters" ->
+      """WITH RECURSIVE
+         e AS (SELECT doc_a, doc_b FROM read_parquet('__SYNTH__/minhash_pairs.parquet/*.parquet')
+               UNION
+               SELECT doc_b, doc_a FROM read_parquet('__SYNTH__/minhash_pairs.parquet/*.parquet')),
+         comp(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.doc_b, comp.lbl FROM comp JOIN e ON e.doc_a = comp.doc_id
+           WHERE comp.lbl < e.doc_b)
+         SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS is_canonical
+         FROM comp GROUP BY doc_id""",
     "q23_ngram_jaccard_pairs" ->
       """WITH t AS (
            SELECT doc_id, lang,

@@ -39,6 +39,30 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] synth materialization failed: ${e.getMessage}")
     }
+    // sf-dir-dependent intermediates: the engine's minhash pair list,
+    // simhash values and ordered winnow grams. Their inner hash
+    // (splitmix64) has no DuckDB equivalent, so the oracles for
+    // q18/q22/q36 verify the DOWNSTREAM algorithms (winnow window-min,
+    // Hamming blocking, connected components) over these materialized
+    // values instead; the hash production itself is covered by
+    // local-truth ScalaTests (OpsSpec/TextAlgosSpec/FunctionsSpec).
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      ops.DedupOps.minhashPairs(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$synthDir/minhash_pairs.parquet")
+      ops.TextOps.simhashDf(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$synthDir/simhash.parquet")
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          (id, text.TextAlgos.shingleHashesOrdered(text.TextAlgos.tokenize(t), 5))
+        }
+        .toDF("doc_id", "grams").coalesce(1)
+        .write.mode("overwrite").parquet(s"$synthDir/grams.parquet")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] intermediate materialization failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -152,8 +152,10 @@ object TextAlgos {
     out.toArray
   }
 
-  /** Ordered (non-deduplicated) k-gram hashes for winnowing. */
-  private def shingleHashesOrdered(tokens: Array[String], w: Int): Array[Long] = {
+  /** Ordered (non-deduplicated) k-gram hashes for winnowing — public so
+    * `graft.Verify` can materialize them for the DuckDB winnow oracle.
+    */
+  def shingleHashesOrdered(tokens: Array[String], w: Int): Array[Long] = {
     if (tokens.length < w) return Array.empty
     val out = new Array[Long](tokens.length - w + 1)
     var i = 0
