@@ -142,7 +142,8 @@ object SparkEntry {
     }),
     "q48_lang_accuracy" -> ((s, d) => TextOps.langAccuracy(s, d)),
     "q49_confidence_stats" -> ((s, _) =>
-      TextOps.confidenceStats(SynthDataset.turns(s, VerifyConvs).toDF()))
+      TextOps.confidenceStats(SynthDataset.turns(s, VerifyConvs).toDF())),
+    "q50_doctype_norm" -> ((s, d) => RelationalOps.docTypeNorm(s, d))
   )
 
   private val reviewerList =
@@ -511,6 +512,12 @@ object SparkEntry {
                       unnest(regexp_extract_all(text, '\(Confidence: 0\.([0-9]{2})\)', 1)) AS c
                FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet'))
          GROUP BY 1""",
+    "q50_doctype_norm" ->
+      """WITH n AS (SELECT lower(replace(trim(p_name), ' ', '_')) AS doc_type FROM part)
+         SELECT doc_type, count(*) AS n_docs,
+                list_aggregate(list_transform(string_split(doc_type, '_'),
+                               s -> upper(s[1]) || s[2:]), 'string_agg', '') AS class_name
+         FROM n GROUP BY doc_type""",
     "q24_embedding_dup_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e)

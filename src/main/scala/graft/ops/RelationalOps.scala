@@ -255,4 +255,22 @@ object RelationalOps {
     balanced
       .withColumn("copy", explode(array_repeat(lit(1), col("n_copies_to_max").cast("int"))))
       .drop("copy", "n_copies_to_max")
+
+  /** P4 + F15: document-type label normalization and generated-class
+    * naming. The reference normalizes user-facing type labels with
+    * strip().lower().replace(" ", "_") before dispatch (ref: app.py:130,
+    * app.py:335) and derives class names for generated schema code with
+    * replace("_", " ").title().replace(" ", "") (ref:
+    * agents/sql_agent/schema_helper.py:49). Pure column expressions over
+    * the label (stays in WholeStageCodegen); the aggregation shuffles
+    * only the short normalized label, not the payload — scale-safe.
+    */
+  def docTypeNorm(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(lower(regexp_replace(trim(col("p_name")), " ", "_")).as("doc_type"))
+      .groupBy(col("doc_type"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "class_name",
+        regexp_replace(initcap(regexp_replace(col("doc_type"), "_", " ")), " ", ""))
 }
