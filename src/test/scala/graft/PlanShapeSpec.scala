@@ -48,6 +48,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("band_key"), s"candidate join lost the band-key blocking:\n$p")
   }
 
+  test("L2 threshold-NN broadcasts the query set (no shuffled cartesian)") {
+    val p = plan(graft.ops.SimilarityOps.l2NearestAccept(spark, dir))
+    // tiny query side × corpus: must be a broadcast nested-loop, never a
+    // CartesianProduct (which would shuffle the full corpus against itself)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"corpus-side cartesian:\n$p")
+    // and the min_by must partially aggregate map-side before the shuffle
+    // (min_by compiles to SortAggregate, so match the partial_ marker)
+    assert(p.contains("partial_min"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("embedding near-dup self-join is a bucket equi-join, never all-pairs") {
+    val p = plan(graft.ops.DedupOps.embeddingDupPairs(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding dedup degenerated to an all-pairs join:\n$p")
+    assert(p.contains("bucket"), s"hyperplane bucket key missing from the join:\n$p")
+  }
+
+  test("LSH top-k probes via a broadcast hash join on the bucket key") {
+    val p = plan(graft.ops.SimilarityOps.lshTopK(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"bucketed query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH probe degenerated to all-pairs:\n$p")
+  }
+
   test("extraction pipeline: one data shuffle; pre-agg scan prunes to conv_id") {
     import spark.implicits._
     // parquet-backed input so scan pruning is observable
