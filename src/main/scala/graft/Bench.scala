@@ -158,6 +158,17 @@ object Bench {
     // reruns while chasing host noise)
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val spark = session(cpus)
+    if (doQueries) {
+      // warm the SESSION, not the query plans: the first timed query
+      // otherwise absorbs one-time codegen/scan-infrastructure JIT (q01
+      // measured 0.9-4.7 s across passes for an unchanged 0.9 s plan).
+      // One tiny scan+shuffle+agg touches the parquet reader, exchange
+      // and aggregate paths without executing any benchmarked plan.
+      try {
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_name").count().count()
+      } catch { case _: Throwable => () }
+    }
     // a failed query records -1 (never a fake fast timing) and is listed
     // in "failed_queries" — a regression must not read as a speedup
     val queryResults = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty).map { case (name, fn) =>
