@@ -179,13 +179,18 @@ object DedupOps {
     * singletons get their own id; `is_canonical` marks the one kept row
     * per cluster (min doc_id), i.e. the "keep" set of a dedup pass.
     *
-    * Scale notes: label propagation converges in O(cluster diameter)
-    * rounds — near-dup clusters are dense (most are cliques from a shared
-    * template), so diameter is small; `maxIters` bounds the worst case.
-    * Each round shuffles only (doc_id, label) pairs plus the edge list —
-    * never document text. `localCheckpoint` truncates the logical plan
-    * each round so the plan doesn't grow linearly with iterations (the
-    * classic iterative-Spark pitfall).
+    * Scale notes: one propagation round moves a label one hop; the path-
+    * shortcutting round after it (replace each label by its label's
+    * label — labels are doc_ids, so it's a self equi-join) doubles the
+    * effective distance per iteration, giving O(log diameter) rounds
+    * instead of O(diameter). Near-dup CHAINS (A≈B≈C≈…, the typical shape
+    * of drifting template edits) are exactly the deep-diameter case that
+    * made pure propagation hit `maxIters`; with shortcutting the default
+    * 20 rounds covers diameters up to ~2^20. Each round shuffles only
+    * (doc_id, label) pairs plus the edge list — never document text.
+    * `localCheckpoint` truncates the logical plan each round so the plan
+    * doesn't grow linearly with iterations (the classic iterative-Spark
+    * pitfall).
     */
   def dedupClusters(
       spark: SparkSession,
@@ -195,13 +200,21 @@ object DedupOps {
     val docs = table(spark, dir, "documents").select(col("doc_id"))
     val edges = minhashPairs(spark, dir, thresholdX1000)
       .select(col("doc_a"), col("doc_b"))
+    clusterEdges(docs, edges, maxIters)
+  }
+
+  /** Connected components of an arbitrary (doc_a, doc_b) edge list over
+    * `docs` — the algorithm behind [[dedupClusters]], factored out so any
+    * near-dup pair generator (minhash, simhash, embedding) can feed it.
+    */
+  def clusterEdges(docs: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
     // symmetric, deduped edge list; small relative to the corpus
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .localCheckpoint()
 
-    var labels = docs.withColumn("label", col("doc_id")).localCheckpoint()
+    var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -210,10 +223,22 @@ object DedupOps {
       val offered = sym
         .join(labels, sym("doc_a") === labels("doc_id"))
         .select(col("doc_b").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label"))
+      val propagated = labels.select(col("doc_id"), col("label"))
         .union(offered)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // path shortcutting: label := label(label). Every label is itself a
+      // doc_id, and labels only decrease, so label(label) <= label; the
+      // left join always matches (label domain ⊆ doc_id domain) but
+      // coalesce keeps a missing lookup from nulling the column.
+      val lookup = propagated
+        .select(col("doc_id").as("lbl_id"), col("label").as("lbl_label"))
+      val next = propagated
+        .join(lookup, propagated("label") === lookup("lbl_id"), "left")
+        .select(
+          propagated("doc_id"),
+          coalesce(col("lbl_label"), propagated("label")).as("label"))
         .localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("o"), "doc_id")
@@ -227,8 +252,9 @@ object DedupOps {
     // multiple clusters with no signal — surface it loudly instead
     if (!converged)
       throw new IllegalStateException(
-        s"dedupClusters: label propagation did not converge in $maxIters rounds " +
-          "(a connected component has diameter > maxIters); raise maxIters")
+        s"clusterEdges: label propagation did not converge in $maxIters rounds " +
+          "(with shortcutting that means a component of diameter > ~2^maxIters, " +
+          "or maxIters was lowered); raise maxIters")
 
     val canonical = labels
       .groupBy(col("label"))

@@ -117,6 +117,20 @@ class OpsSpec extends AnyFunSuite {
     assert(clusters.groupBy(_._2).exists(_._2.length > 1))
   }
 
+  test("clusterEdges: 60-deep chain converges inside default maxIters (shortcutting)") {
+    import spark.implicits._
+    // a drifting-template chain 0-1-2-…-60: diameter 60 > maxIters 20, so
+    // pure one-hop propagation could not converge — path shortcutting
+    // must close it in O(log 60) rounds
+    val docs = (0L to 60L).toDF("doc_id")
+    val edges = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DedupOps.clusterEdges(docs, edges)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 61)
+    assert(out.forall(_._2 == 0L), s"chain split into ${out.map(_._2).distinct.length} clusters")
+    assert(out.count(_._3) == 1 && out.find(_._3).get._1 == 0L)
+  }
+
   test("class balance: undersample equalizes to min; oversample reaches exactly max") {
     import spark.implicits._
     val balanced = RelationalOps.q14ClassBalance(spark, dir).cache()
