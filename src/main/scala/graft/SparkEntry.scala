@@ -143,7 +143,15 @@ object SparkEntry {
     "q48_lang_accuracy" -> ((s, d) => TextOps.langAccuracy(s, d)),
     "q49_confidence_stats" -> ((s, _) =>
       TextOps.confidenceStats(SynthDataset.turns(s, VerifyConvs).toDF())),
-    "q50_doctype_norm" -> ((s, d) => RelationalOps.docTypeNorm(s, d))
+    "q50_doctype_norm" -> ((s, d) => RelationalOps.docTypeNorm(s, d)),
+    // clusterEdges composes with any pair generator — here the simhash
+    // (Hamming<=3) edge family instead of minhash-Jaccard
+    "q51_simhash_clusters" -> ((s, d) =>
+      DedupOps.clusterEdges(
+        RelationalOps.table(s, d, "documents").select(org.apache.spark.sql.functions.col("doc_id")),
+        DedupOps.simhashPairs(s, d).select(
+          org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))))
   )
 
   private val reviewerList =
@@ -518,6 +526,25 @@ object SparkEntry {
                 list_aggregate(list_transform(string_split(doc_type, '_'),
                                s -> upper(s[1]) || s[2:]), 'string_agg', '') AS class_name
          FROM n GROUP BY doc_type""",
+    // independent end-to-end check of the simhash edge family THROUGH
+    // clustering: DuckDB recomputes the pairs all-pairs (vs the engine's
+    // segment blocking) and the components via recursive CTE (vs label
+    // propagation + shortcutting); only the simhash values themselves are
+    // engine-materialized (splitmix64 has no DuckDB equivalent).
+    "q51_simhash_clusters" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id, simhash FROM read_parquet('__SYNTH__/simhash.parquet/*.parquet')),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+         comp(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.doc_b, comp.lbl FROM comp JOIN e ON e.doc_a = comp.doc_id
+           WHERE comp.lbl < e.doc_b)
+         SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS is_canonical
+         FROM comp GROUP BY doc_id""",
     "q24_embedding_dup_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e)
