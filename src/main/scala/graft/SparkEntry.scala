@@ -160,6 +160,9 @@ object SparkEntry {
   /** Embedding dim of the driver's `embeddings` table. */
   private val EmbeddingDims = 64
 
+  /** Winnow window width shared with the engine (see TextOps.WinnowW). */
+  private val WinW = ops.TextOps.WinnowW
+
   /** DuckDB expression computing the sign-bit hyperplane bucket of a
     * DOUBLE[] column — the plane coefficients are inlined as literals
     * generated from the SAME `TextAlgos.hyperplaneCoef` the engine uses
@@ -290,20 +293,20 @@ object SparkEntry {
     // step, while hash production is pinned by local-truth ScalaTests
     // (TextAlgosSpec/FunctionsSpec/OpsSpec).
     "q18_fingerprint" ->
-      """WITH g AS (SELECT doc_id, grams, len(grams) AS n
+      s"""WITH g AS (SELECT doc_id, grams, len(grams) AS n
                     FROM read_parquet('__SYNTH__/grams.parquet/*.parquet')),
-         p AS (SELECT doc_id, n, grams, unnest(range(1, n + 1)) AS pos FROM g WHERE n > 4),
+         p AS (SELECT doc_id, n, grams, unnest(range(1, n + 1)) AS pos FROM g WHERE n > $WinW),
          v AS (SELECT doc_id, n, pos, grams[pos] AS val FROM p),
          wm AS (SELECT doc_id, n, pos,
                        min(val) OVER (PARTITION BY doc_id ORDER BY pos
-                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                                      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin
                 FROM v),
          longd AS (SELECT doc_id, CAST(count(DISTINCT wmin) AS INTEGER) AS n_fingerprints,
                           min(wmin) AS min_fingerprint, bit_xor(DISTINCT wmin) AS xor_fingerprint
-                   FROM wm WHERE pos <= n - 3 GROUP BY doc_id),
+                   FROM wm WHERE pos <= n - ${WinW - 1} GROUP BY doc_id),
          shortd AS (SELECT doc_id, 1 AS n_fingerprints, list_min(grams) AS min_fingerprint,
                            list_min(grams) AS xor_fingerprint
-                    FROM g WHERE n BETWEEN 1 AND 4),
+                    FROM g WHERE n BETWEEN 1 AND $WinW),
          emptyd AS (SELECT doc_id, 0 AS n_fingerprints, CAST(0 AS BIGINT) AS min_fingerprint,
                            CAST(0 AS BIGINT) AS xor_fingerprint FROM g WHERE n = 0)
          SELECT * FROM longd UNION ALL SELECT * FROM shortd UNION ALL SELECT * FROM emptyd""",
@@ -345,7 +348,16 @@ object SparkEntry {
                   len(list_intersect(a.sh, b.sh)) AS inter,
                   len(a.sh) AS na, len(b.sh) AS nb
            FROM s a JOIN s b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-                            AND len(a.sh) > 0 AND len(b.sh) > 0),
+                            AND len(a.sh) > 0 AND len(b.sh) > 0
+                            -- same band-agreement predicate as the engine's candidate
+                            -- generation: the prefilter is one-sided-probabilistic, so
+                            -- an oracle WITHOUT it would list pairs (at jaccard barely
+                            -- >= 0.6) that the engine is allowed to miss
+                            AND EXISTS (SELECT 1
+                                        FROM read_parquet('__SYNTH__/bands.parquet/*.parquet') x
+                                        JOIN read_parquet('__SYNTH__/bands.parquet/*.parquet') y
+                                          ON x.band_key = y.band_key
+                                        WHERE x.doc_id = a.doc_id AND y.doc_id = b.doc_id)),
          j AS (
            SELECT doc_a, doc_b,
                   CAST(CASE WHEN na = 0 AND nb = 0 THEN 1000

@@ -51,12 +51,29 @@ object Verify {
       import org.apache.spark.sql.functions.col
       ops.DedupOps.minhashPairs(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$synthDir/minhash_pairs.parquet")
+      // per-doc MinHash band keys: the q23 oracle must apply the SAME
+      // band-agreement predicate as the engine's candidate generation —
+      // an exact all-(lang,bucket)-pairs oracle would list pairs the
+      // (one-sided-probabilistic) prefilter is allowed to miss
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val sh = text.TextAlgos.shingleHashes(
+            text.TextAlgos.tokenize(t), ops.DedupOps.ShingleW)
+          if (sh.isEmpty) Iterator.empty
+          else text.TextAlgos.bandKeys(
+            text.TextAlgos.minhash(sh, ops.DedupOps.MinhashK), ops.DedupOps.LshBands)
+            .iterator.map(bk => (id, bk))
+        }
+        .toDF("doc_id", "band_key").coalesce(1)
+        .write.mode("overwrite").parquet(s"$synthDir/bands.parquet")
       ops.TextOps.simhashDf(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$synthDir/simhash.parquet")
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          (id, text.TextAlgos.shingleHashesOrdered(text.TextAlgos.tokenize(t), 5))
+          (id, text.TextAlgos.shingleHashesOrdered(
+            text.TextAlgos.tokenize(t), ops.TextOps.WinnowK))
         }
         .toDF("doc_id", "grams").coalesce(1)
         .write.mode("overwrite").parquet(s"$synthDir/grams.parquet")

@@ -208,9 +208,24 @@ object DedupOps {
     * near-dup pair generator (minhash, simhash, embedding) can feed it.
     */
   def clusterEdges(docs: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // restrict edges to the given vertex set: a caller clustering a doc
+    // SUBSET with an unfiltered pair list must not get labels (or output
+    // rows) for out-of-scope ids. Two semi joins on the edge list only —
+    // edges are small relative to the corpus, so this shuffles pairs of
+    // ids, never documents.
+    // fresh unique column names on the id side: edges and docs usually
+    // derive from the SAME source relation, and a using-column self-join
+    // can mis-resolve the shared attribute (observed: silently dropped
+    // edges at one scale factor) — an explicit condition on uniquely
+    // named columns cannot
+    val idsA = docs.select(col("doc_id").as("__vtx_a"))
+    val idsB = docs.select(col("doc_id").as("__vtx_b"))
+    val within = edges
+      .join(idsA, col("doc_a") === col("__vtx_a"), "left_semi")
+      .join(idsB, col("doc_b") === col("__vtx_b"), "left_semi")
     // symmetric, deduped edge list; small relative to the corpus
-    val sym = edges
-      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val sym = within
+      .union(within.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .localCheckpoint()
 

@@ -225,14 +225,21 @@ object RelationalOps {
   /** F3/P3: parse "1-3,5" page-range strings into exploded page rows —
     * split + sequence + explode, pure column expressions (the
     * reference's page-subset selection parse, ref: app.py:98-109).
-    * Singleton tokens ("5") become one-element ranges.
+    * Singleton tokens ("5") become one-element ranges. A REVERSED token
+    * ("5-3") yields no pages — Spark's `sequence` would otherwise count
+    * DOWN (step -1) while DuckDB's generate_series, Scala's `x to y` and
+    * Python's range() all yield empty; this pins the shared semantics
+    * (see also Pipeline.turnSubset).
     */
   def parsePageRanges(df: DataFrame, rangeCol: String): DataFrame =
     df.withColumn("page", explode(flatten(transform(
       split(col(rangeCol), ","),
-      t => sequence(
-        element_at(split(t, "-"), 1).cast("int"),
-        element_at(split(t, "-"), -1).cast("int"))))))
+      t => {
+        val start = element_at(split(t, "-"), 1).cast("int")
+        val stop = element_at(split(t, "-"), -1).cast("int")
+        when(start <= stop, sequence(start, stop))
+          .otherwise(array().cast("array<int>"))
+      }))))
 
   /** Driver-contract q45: deterministic range strings derived from
     * doc_id, parsed and exploded.

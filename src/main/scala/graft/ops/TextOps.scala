@@ -136,6 +136,14 @@ object TextOps {
         size(regexp_extract_all(col("text"), lit("[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
       .select(col("doc_id"), col("n_bpe_tokens"))
 
+  /** Winnowing parameters, shared by [[fingerprint]], the grams
+    * materialization in `graft.Verify` and the q18 oracle SQL (which
+    * interpolates WinnowW) — one source of truth so changing k/w cannot
+    * silently desynchronize the engine from its oracle.
+    */
+  val WinnowK = 5
+  val WinnowW = 4
+
   /** Document fingerprinting via winnowing (rolling k-gram hashes, min per
     * window) — near-duplicate detection primitive. Typed map, no shuffle.
     */
@@ -145,7 +153,7 @@ object TextOps {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val fps = TextAlgos.winnow(TextAlgos.tokenize(text), k = 5, w = 4)
+        val fps = TextAlgos.winnow(TextAlgos.tokenize(text), k = WinnowK, w = WinnowW)
         (id, fps.length, if (fps.isEmpty) 0L else fps.min, if (fps.isEmpty) 0L else fps.reduce(_ ^ _))
       }
       .toDF("doc_id", "n_fingerprints", "min_fingerprint", "xor_fingerprint")

@@ -72,7 +72,9 @@ object Pipeline {
     * into the filter, so the scan prunes before the salt shuffle.
     */
   def turnSubset(turns: Dataset[Turn], ranges: String): Dataset[Turn] = {
-    val wanted = ranges.split(',').flatMap { tok =>
+    // same grammar/semantics as RelationalOps.parsePageRanges: empty
+    // tokens ("1,,3") are skipped, reversed tokens ("5-3") select nothing
+    val wanted = ranges.split(',').map(_.trim).filter(_.nonEmpty).flatMap { tok =>
       val parts = tok.split('-')
       (parts.head.trim.toInt to parts.last.trim.toInt)
     }.toSet

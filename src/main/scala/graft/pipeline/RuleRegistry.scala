@@ -27,6 +27,9 @@ final class RuleRegistry(path: String) {
       .split('\n').filter(_.nonEmpty).toSeq
       .map { line =>
         val i = line.indexOf('\t')
+        if (i < 0)
+          throw new IllegalStateException(
+            s"malformed rule registry $path: line without name\\tpredicate separator: '$line'")
         (line.substring(0, i), line.substring(i + 1))
       }
 
@@ -34,7 +37,11 @@ final class RuleRegistry(path: String) {
     * reference rejects duplicate workflow names).
     */
   def register(name: String, predicate: String): Unit = {
-    require(!name.contains('\t') && !name.contains('\n'), s"invalid rule name: $name")
+    // identifier charset only: evaluate() references the aggregate column
+    // as col("v_" + name), where '.' would parse as nested-field access
+    // and '`' would break quoting — reject at registration, not evaluation
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid rule name (use letters/digits/underscore): '$name'")
     require(!predicate.contains('\n'), "predicate must be single-line SQL")
     val existing = rules()
     if (existing.exists(_._1 == name))

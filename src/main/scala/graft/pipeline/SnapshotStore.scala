@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 
 /** Checkpoint/resume over deterministic conv_id buckets — the Iceberg
   * snapshot emulation (SURVEY.md §4.2; no Iceberg jar in this sandbox, so
@@ -59,8 +60,34 @@ final class SnapshotStore(root: String, nBuckets: Int) {
   /** Lineage partition ids (one per completed batch) registered in the
     * manifest — a lineage partition NOT in this set is a stale partial
     * from a crashed run and is removed on the next `process`.
+    *
+    * Migration: a manifest written before the "batches" field existed
+    * must register every on-disk lineage partition, NOT none — otherwise
+    * resuming an old store would delete the lineage of already-completed
+    * batches as "stale".
     */
-  def completedBatchIds(): Set[Int] = manifestField("batches")
+  def completedBatchIds(): Set[Int] =
+    if (!Files.exists(manifestPath)) Set.empty
+    else {
+      val s = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      if (s.contains("\"batches\"")) manifestField("batches")
+      else existingBatchIds()
+    }
+
+  /** Lineage batch_id=* partitions currently on disk. */
+  private def existingBatchIds(): Set[Int] = {
+    val dir = Paths.get(lineageDir)
+    if (!Files.exists(dir)) Set.empty
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toInt)
+        .toSet
+      finally stream.close()
+    }
+  }
 
   private def writeManifest(
       completed: Set[Int], batchIds: Set[Int], inputSnapshot: String, ddl: String): Unit = {
@@ -81,18 +108,13 @@ final class SnapshotStore(root: String, nBuckets: Int) {
     * buckets' lineage.
     */
   private def dropStaleLineage(registered: Set[Int]): Unit = {
-    val dir = Paths.get(lineageDir)
-    if (Files.exists(dir)) {
-      val it = Files.list(dir).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("batch_id=") &&
-            !registered.contains(n.stripPrefix("batch_id=").toInt)) {
-          val files = Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          files.forEach(f => Files.delete(f))
-        }
-      }
+    val stale = existingBatchIds() -- registered
+    stale.foreach { id =>
+      val p = Paths.get(s"$lineageDir/batch_id=$id")
+      val files = Files.walk(p)
+      try files.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally files.close()
     }
   }
 

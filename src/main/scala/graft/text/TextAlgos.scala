@@ -213,12 +213,13 @@ object TextAlgos {
     *
     * Digits come from `Double.toString`, then are SHORTENED to the true
     * shortest round-tripping form: on JDK 17 `Double.toString` is the
-    * pre-Ryū algorithm, which for ~1% of doubles emits one more digit
-    * than necessary (JDK-4511638, fixed in JDK 19) — each candidate
-    * truncation is produced by correctly rounding the exact binary value
-    * (BigDecimal, HALF_EVEN) and accepted only if it parses back to the
-    * identical double. Parity with DuckDB is pinned by FunctionsSpec and
-    * the q42 oracle.
+    * pre-Ryū algorithm, which for some doubles (16/17-digit normals,
+    * subnormals like 4.9E-324) emits one more digit than necessary
+    * (JDK-4511638, fixed in JDK 19) — a shorter form is accepted iff one
+    * of the two truncation grid neighbours parses back to the identical
+    * double, choosing the nearer when both do. Parity with DuckDB is
+    * pinned by FunctionsSpec, a ScalaCheck shortest-form property and
+    * the q41 oracle.
     */
   def canonDouble(d: Double): String = {
     if (d != d) "nan"
@@ -237,17 +238,67 @@ object TextAlgos {
       val lead = digits.indexWhere(_ != '0')
       if (lead > 0) { digits = digits.substring(lead); exp -= lead }
       digits = digits.substring(0, digits.lastIndexWhere(_ != '0') + 1)
-      // shorten while a correctly-rounded truncation still round-trips
+      // Shorten to the true shortest round-tripping form. A one-digit-
+      // shorter representation exists iff one of the two m-digit grid
+      // neighbours of the value round-trips (parse intervals are
+      // contiguous, so if ANY m-digit decimal parses back to d, the
+      // nearest one — floor or ceil of the truncation — does too). Two
+      // parseDouble probes per attempt; the first attempt fails for the
+      // overwhelming majority of values (Double.toString is usually
+      // already shortest), so the hot signature-hash path never touches
+      // BigDecimal (the old exact-expansion built 300+-digit values for
+      // small magnitudes). When BOTH neighbours round-trip, pick the one
+      // nearer to d (ties: even last digit) — the same choice Python
+      // repr / DuckDB make.
+      val ad = math.abs(d)
       var shortening = digits.length > 1
       while (shortening) {
-        val bd = new java.math.BigDecimal(math.abs(d))
-          .round(new java.math.MathContext(digits.length - 1, java.math.RoundingMode.HALF_EVEN))
-          .stripTrailingZeros()
-        if (java.lang.Double.parseDouble(bd.toString) == math.abs(d)) {
-          digits = bd.unscaledValue.toString
-          exp = bd.precision - 1 - bd.scale
+        val m = digits.length - 1
+        val e10 = exp - m + 1
+        val lo = digits.substring(0, m)
+        val hi = (lo.toLong + 1).toString // <=16 digits, fits a Long
+        val loOk = java.lang.Double.parseDouble(lo + "E" + e10) == ad
+        val hiOk = java.lang.Double.parseDouble(hi + "E" + e10) == ad
+        if (!loOk && !hiOk) shortening = false
+        else {
+          val useHi =
+            if (loOk && hiOk) {
+              val dd = new java.math.BigDecimal(ad) // rare: both in interval
+              val dLo = dd.subtract(new java.math.BigDecimal(lo + "E" + e10)).abs
+              val dHi = new java.math.BigDecimal(hi + "E" + e10).subtract(dd).abs
+              val c = dLo.compareTo(dHi)
+              if (c != 0) c > 0 else (hi.last - '0') % 2 == 0
+            } else hiOk
+          val cand = if (useHi) hi else lo
+          exp = (cand.length - 1) + e10
+          digits = cand.substring(0, cand.lastIndexWhere(_ != '0') + 1)
           shortening = digits.length > 1
-        } else shortening = false
+        }
+      }
+      // nearest-at-final-length correction: JDK-4511638 can also mis-round
+      // the LAST digit — the emitted decimal round-trips but is not the
+      // nearest grid point (e.g. …449116e+25 where repr() says …449117).
+      // If a same-magnitude neighbour also round-trips, move to the one
+      // nearest the exact value (ties: even last digit). Two parseDouble
+      // probes; the (rare) multi-candidate case alone pays for BigDecimal.
+      {
+        val e10 = exp - digits.length + 1
+        val cur = digits.toLong // <=17 digits, fits a Long
+        val cands = Seq(cur - 1, cur, cur + 1).filter(c =>
+          c > 0 && java.lang.Double.parseDouble(c.toString + "E" + e10) == ad)
+        if (cands.length > 1) {
+          val dd = new java.math.BigDecimal(ad)
+          def dist(c: Long) =
+            dd.subtract(new java.math.BigDecimal(c.toString + "E" + e10)).abs
+          val chosen = cands.map(c => (c, dist(c))).reduce { (x, y) =>
+            val cmp = x._2.compareTo(y._2)
+            if (cmp < 0) x else if (cmp > 0) y
+            else if (x._1 % 2 == 0) x else y
+          }._1
+          val cs = chosen.toString
+          exp = (cs.length - 1) + e10
+          digits = cs.substring(0, cs.lastIndexWhere(_ != '0') + 1)
+        }
       }
       val sb = new StringBuilder
       if (neg) sb.append('-')

@@ -90,4 +90,26 @@ object TextProperties extends Properties("graft.text") {
       val all = TextAlgos.winnow(toks, k = 5, w = 1).toSet
       fps.subsetOf(all)
     }
+
+  // uniform bit patterns cover every exponent/mantissa regime, including
+  // subnormals and the 16/17-digit values where JDK-4511638 over-prints
+  private val anyDouble: Gen[Double] =
+    Gen.choose(Long.MinValue, Long.MaxValue).map(java.lang.Double.longBitsToDouble)
+
+  property("canonDouble: round-trips and is the SHORTEST correctly-rounded form") =
+    forAll(anyDouble) { d =>
+      (!d.isNaN && !d.isInfinite && d != 0.0) ==> {
+        val s = TextAlgos.canonDouble(d)
+        val roundTrips = java.lang.Double.parseDouble(s) == d
+        // minimality guards the >=16-digit shortening gate: if any value
+        // BELOW the gate could be written shorter, this fails
+        val nDigits = new java.math.BigDecimal(s).stripTrailingZeros.precision
+        val minimal = nDigits <= 1 || {
+          val shorter = new java.math.BigDecimal(math.abs(d))
+            .round(new java.math.MathContext(nDigits - 1, java.math.RoundingMode.HALF_EVEN))
+          java.lang.Double.parseDouble(shorter.toString) != math.abs(d)
+        }
+        roundTrips && minimal
+      }
+    }
 }

@@ -41,16 +41,22 @@ def main(old_path, new_path):
     rows = []
     for k in sorted(set(oq) | set(nq)):
         a, b = oq.get(k), nq.get(k)
-        ratio = (b / a) if (a and b and a > 0) else None
-        rows.append((k, a, b, ratio))
+        # -1 encodes "query failed" in the bench JSON — a failure is the
+        # worst regression there is and must never read as 'no regression'
+        failed = b is not None and b < 0
+        ratio = (b / a) if (a and b and a > 0 and b > 0) else None
+        rows.append((k, a, b, ratio, failed))
     print(f"\n{'query':32s} {'old_s':>7s} {'new_s':>7s} {'ratio':>6s}")
-    for k, a, b, r in rows:
-        flag = " <-- REGRESSION >1.5x" if (r and r > 1.5 and b and b > 0.5) else ""
+    for k, a, b, r, failed in rows:
+        flag = (" <-- FAILED in new run" if failed
+                else " <-- REGRESSION >1.5x" if (r and r > 1.5 and b > 0.5)
+                else " (was failing)" if (a is not None and a < 0) else "")
         print(f"{k:32s} {a if a is not None else '-':>7} "
               f"{b if b is not None else '-':>7} "
-              f"{f'{r:.2f}' if r else 'new':>6s}{flag}")
-    regs = [k for k, a, b, r in rows if r and r > 1.5 and b and b > 0.5]
-    print(f"\nregressions >1.5x (and >0.5s): {regs if regs else 'none'}")
+              f"{f'{r:.2f}' if r else 'FAIL' if failed else 'new':>6s}{flag}")
+    regs = [k for k, a, b, r, failed in rows
+            if failed or (r and r > 1.5 and b > 0.5)]
+    print(f"\nregressions >1.5x (and >0.5s) or failures: {regs if regs else 'none'}")
 
 
 if __name__ == "__main__":
