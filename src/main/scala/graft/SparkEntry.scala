@@ -151,7 +151,16 @@ object SparkEntry {
         RelationalOps.table(s, d, "documents").select(org.apache.spark.sql.functions.col("doc_id")),
         DedupOps.simhashPairs(s, d).select(
           org.apache.spark.sql.functions.col("doc_a"),
-          org.apache.spark.sql.functions.col("doc_b"))))
+          org.apache.spark.sql.functions.col("doc_b")))),
+    // --- training-set assembly ---
+    "q52_train_split" -> ((s, d) => TrainingOps.trainSplit(s, d)),
+    "q53_contrastive_pairs" -> ((s, d) => TrainingOps.contrastivePairs(s, d)),
+    // IVF ANN: learned-coarse-quantizer scale path (centroids recomputed
+    // in-query, deterministically — exact fixed-point means)
+    "q54_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // the edge side of the property-graph sink (q44 oracles the vertices)
+    "q55_graph_edges" -> ((s, _) =>
+      GraphOps.graph(ShredOps.structuredRecords(s, VerifyRecords).toDF())._2)
   )
 
   private val reviewerList =
@@ -686,6 +695,93 @@ object SparkEntry {
          SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
            FROM s) t
-         WHERE rank <= 3"""
+         WHERE rank <= 3""",
+    "q52_train_split" ->
+      """SELECT doc_id, bucket,
+         CASE WHEN bucket < 64 THEN 'train' WHEN bucket < 80 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      CAST('0x' || substr(sha256('42|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+               FROM documents) t""",
+    "q53_contrastive_pairs" ->
+      """WITH v AS (SELECT vec_id, label FROM embeddings),
+         r AS (SELECT vec_id, label,
+                      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+                      lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS nxt,
+                      min(vec_id) OVER (PARTITION BY label) AS head_id,
+                      count(*) OVER (PARTITION BY label) AS cnt
+               FROM v),
+         s AS (SELECT label, count(*) AS cnt,
+                      row_number() OVER (ORDER BY label) AS lbl_idx
+               FROM v GROUP BY label),
+         n AS (SELECT count(*) AS n_labels FROM s),
+         tgt AS (SELECT s.label, t.label AS t_label, t.cnt AS t_cnt
+                 FROM s CROSS JOIN n JOIN s t ON t.lbl_idx = (s.lbl_idx % n.n_labels) + 1
+                 WHERE t.label <> s.label),
+         pos AS (SELECT vec_id AS anchor_id, coalesce(nxt, head_id) AS other_id, 1 AS is_positive
+                 FROM r WHERE cnt >= 2),
+         neg AS (SELECT a.vec_id AS anchor_id, b.vec_id AS other_id, 0 AS is_positive
+                 FROM r a JOIN tgt ON a.label = tgt.label
+                          JOIN r b ON b.label = tgt.t_label AND b.rn = ((a.rn - 1) % tgt.t_cnt) + 1)
+         SELECT * FROM pos UNION ALL SELECT * FROM neg""",
+    // centroids are engine-materialized (their exact fixed-point training
+    // is pinned by the local-truth ScalaTest); DuckDB independently
+    // recomputes the DOWNSTREAM search — corpus cell assignment, nProbe
+    // cell selection, candidate scoring, top-k — from those centroids
+    "q54_ann_ivf_topk" ->
+      """WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+                    FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id,
+                      first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         idx AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
+         p AS (SELECT query_id, qv, cell FROM (
+                 SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
+                 FROM e CROSS JOIN c WHERE e.vec_id < 8) z WHERE pr <= 2),
+         s AS (SELECT p.query_id, idx.vec_id AS neighbor_id,
+                      CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
+               FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+           FROM s) t
+         WHERE rank <= 3""",
+    // edge side of q44: same per-label signature recipe, plus the
+    // containment joins (root->struct child, root->array elements,
+    // step->its temperature records), deduplicated after unification
+    "q55_graph_edges" ->
+      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         root AS (SELECT conv_id, sha256(concat_ws('|', 'main_table',
+                    'equipment_no=' || coalesce(array_to_string(equipment_no, ','), 'null'))) AS sig FROM r),
+         bd AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_batch_details',
+                  'batch_completed_on=' || coalesce(CAST(batch_details.batch_completed_on AS VARCHAR), 'null'),
+                  'batch_no=' || coalesce(batch_details.batch_no, 'null'),
+                  'batch_started_on=' || coalesce(CAST(batch_details.batch_started_on AS VARCHAR), 'null'),
+                  'product_name=' || coalesce(batch_details.product_name, 'null'))) AS sig FROM r),
+         mat AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_material_usage_rows',
+                   'actual_quantity=' || coalesce(CAST(m.actual_quantity AS VARCHAR), 'null'),
+                   'allowed_range_max=' || coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null'),
+                   'allowed_range_min=' || coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null'),
+                   'checked_by=' || coalesce(m.checked_by, 'null'),
+                   'material_name=' || coalesce(m.material_name, 'null'),
+                   'performed_by=' || coalesce(m.performed_by, 'null'),
+                   'standard_quantity=' || coalesce(CAST(m.standard_quantity AS VARCHAR), 'null'))) AS sig
+                 FROM (SELECT conv_id, unnest(material_usage_rows) AS m FROM r)),
+         st AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps',
+                  'description=' || coalesce(s.description, 'null'),
+                  'step_no=' || coalesce(CAST(s.step_no AS VARCHAR), 'null'))) AS sig
+                FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)),
+         tr AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps_temperature_records',
+                  'temperature_c=' || coalesce(CAST(t.temperature_c AS VARCHAR), 'null'),
+                  'time_point=' || coalesce(t.time_point, 'null'))) AS sig
+                FROM (SELECT conv_id, step_pos, unnest(s.temperature_records) AS t
+                      FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)))
+         SELECT DISTINCT parent_sig, child_sig, 'HAS' AS edge_label FROM (
+           SELECT root.sig AS parent_sig, bd.sig AS child_sig FROM root JOIN bd USING (conv_id)
+           UNION ALL SELECT root.sig, mat.sig FROM root JOIN mat USING (conv_id)
+           UNION ALL SELECT root.sig, st.sig FROM root JOIN st USING (conv_id)
+           UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
+         ) u"""
   )
 }

@@ -77,6 +77,12 @@ object Verify {
         }
         .toDF("doc_id", "grams").coalesce(1)
         .write.mode("overwrite").parquet(s"$synthDir/grams.parquet")
+      // IVF coarse centroids for the q54 oracle: exact fixed-point Lloyd
+      // training is bit-deterministic at any parallelism, so this
+      // materialization equals the centroids q54 recomputes in-query;
+      // DuckDB independently recomputes assignment + probe + search.
+      ops.SimilarityOps.ivfCentroids(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$synthDir/centroids.parquet")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] intermediate materialization failed: ${e.getMessage}")
     }

@@ -13,10 +13,11 @@ import org.apache.spark.sql.expressions.Window
   *   query with a window. One scan of the corpus, no corpus-side shuffle
   *   except the final per-query top-k (k rows per query survive the
   *   partial TakeOrdered).
-  * - lshTopK: the scale path — sign-bit hyperplane buckets; only same-
+  * - lshTopK: a scale path — sign-bit hyperplane buckets; only same-
   *   bucket pairs are scored. Recall<1, cost ~ corpus/2^planes per query.
-  *   (IVF with learned centroids would slot in the same shape: assign ->
-  *   equi-join on cell id -> exact score.)
+  * - ivfTopK: the other scale path — IVF with LEARNED coarse centroids
+  *   (Lloyd iterations), nProbe cells searched per query. Data-adaptive
+  *   where the hyperplane buckets are data-oblivious.
   */
 object SimilarityOps {
 
@@ -105,6 +106,129 @@ object SimilarityOps {
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
+        expr("graft_cosine_x10000(q_embedding, embedding)").as("cosine_x10000"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_x10000").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_x10000"))
+  }
+
+  // ----------------------------------------------------------------------
+  // IVF (inverted-file) ANN: learned coarse quantizer + nProbe cell search.
+  // The 100 TB shape: train nList centroids (a few thousand at scale —
+  // nList*dim*4B stays broadcastable at single-digit MB), assign each
+  // corpus vector to its nearest cell ONCE (one broadcast-NLJ pass +
+  // a map-side-combining argmin agg), then every query scores only the
+  // vectors of its nProbe nearest cells via an equi-join on cell id —
+  // candidates ~ corpus*nProbe/nList per query instead of the full scan.
+  // ----------------------------------------------------------------------
+
+  val IvfNList = 8
+  val IvfNProbe = 2
+  val IvfIters = 2
+
+  /** Fixed-point scale for centroid means: element values are floored to
+    * 1e-6 resolution longs BEFORE summation, so the per-cell mean is an
+    * exact integer computation — associative, commutative, and therefore
+    * bit-identical at ANY partitioning/parallelism (a double-sum mean
+    * would drift by ulps with partial-aggregation order and break the
+    * materialized-centroid oracle). Long overflow needs cnt * maxfx <
+    * 2^63: with |v| <= 8 that is ~1.4e14 vectors per cell — not a 100 TB
+    * constraint.
+    */
+  val IvfFxScale = 1000000L
+
+  /** Nearest-cell assignment: (vec_id, cell). Centroids are broadcast;
+    * the argmin is a map-side-combining min_by agg keyed by vec_id, so
+    * the shuffle carries one (vec_id, partial-argmin) pair per vector,
+    * never embeddings. Distance = floor(l2*10000) with (dist, cell)
+    * tiebreak — floored on purpose, so the DuckDB oracle's
+    * floor(list_distance*10000) reproduces the assignment EXACTLY
+    * (tie-at-floor resolves by cell id identically on both sides).
+    */
+  def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        expr("graft_l2_x10000(embedding, centroid)").as("l2_x10000"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("l2_x10000"), col("cell"))).as("cell"))
+
+  /** Train the coarse quantizer: `iters` Lloyd rounds from a deterministic
+    * init (the first nList vec_ids). Returns (cell:int, centroid:float[]).
+    * Each round: assign (broadcast argmin) -> per-(cell,dim) exact
+    * fixed-point mean (posexplode -> long-sum groupBy — shuffles
+    * nList*dim aggregates, not vectors) -> reassemble. Cells that lose
+    * all members drop out (standard IVF repair is re-seeding; at nList=8
+    * on real data it does not trigger — asserted in tests).
+    * localCheckpoint per round bounds plan growth exactly like the
+    * dedupClusters iteration.
+    */
+  def ivfCentroids(
+      spark: SparkSession, dir: String,
+      nList: Int = IvfNList, iters: Int = IvfIters): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    var centroids = vecs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(vecs, centroids)
+      val sums = vecs
+        .join(assigned, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")))
+        .withColumnRenamed("col", "v")
+        // float -> double is exact; *1e6 + floor is deterministic
+        .withColumn("fx", floor(col("v").cast("double") * lit(IvfFxScale.toDouble)).cast("long"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("fx")).as("fx_sum"), count(lit(1)).as("cnt"))
+        // exact floor-division via pmod: the numerator is exactly
+        // divisible, so the result is rounding-mode-independent
+        .withColumn("m", expr("(fx_sum - pmod(fx_sum, cnt)) div cnt"))
+      centroids = sums
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          expr(s"transform(pm, x -> cast(x.m / ${IvfFxScale}.0D as float))").as("centroid"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** IVF search: same output shape as bruteTopK/lshTopK —
+    * (query_id, neighbor_id, rank, cosine_x10000), rank within the probed
+    * cells. Corpus-side work is ONE assignment pass + ONE equi-join on
+    * cell id against the broadcast (query, probed-cell) set.
+    */
+  def ivfTopK(
+      spark: SparkSession, dir: String, k: Int = DefaultK,
+      nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val centroids = ivfCentroids(spark, dir, nList, iters)
+    // (vec_id, cell, embedding) — the argmin agg carries ids only; the
+    // embeddings rejoin here (at scale this materializes as the
+    // cell-partitioned index, written once and reused across query sets)
+    val indexed = assignCells(vecs, centroids).join(vecs, "vec_id")
+    val probes = vecs
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_embedding"), col("cell"),
+        expr("graft_l2_x10000(q_embedding, centroid)").as("l2_x10000"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_x10000").asc, col("cell").asc)
+    val probed = probes
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_embedding"), col("cell"))
+    val scored = indexed
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr("graft_cosine_x10000(q_embedding, embedding)").as("cosine_x10000"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_x10000").desc, col("neighbor_id").asc)

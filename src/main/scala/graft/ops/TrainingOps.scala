@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly operators — the steps between "curated corpus"
+  * and "model dataloader" that the reference performs on the driver side
+  * of its training scripts, re-expressed as distributed, deterministic
+  * DataFrame plans:
+  *
+  *  - `trainSplit`: the reference's 64/16/20 train/val/test split with a
+  *    fixed seed (ref: src/signature_module/signature_model_dataloader.py:51-52
+  *    — sklearn train_test_split(test_size=0.2) then 0.2 of the remainder,
+  *    random_state=42). A row-shuffle split does not scale (global
+  *    permutation) and is not stable under corpus growth, so the engine
+  *    uses the standard content-hash split: bucket = first 4 bytes of
+  *    sha256(seed|id) mod 100 — deterministic per id, no shuffle at all
+  *    (embarrassingly parallel projection), stable when the corpus grows
+  *    (a doc never changes split), and exactly reproducible in any other
+  *    system (the DuckDB oracle recomputes it from scratch).
+  *
+  *  - `contrastivePairs`: Siamese training-pair generation (ref:
+  *    src/signature_module/signature_model_dataloader.py builds
+  *    genuine/genuine positive and genuine/forged negative image pairs per
+  *    person). Over the `embeddings` table (vec_id, label): each anchor
+  *    gets ONE positive (the next vec_id within its label, cyclic — so
+  *    every member of a ≥2 class participates) and ONE negative (the
+  *    rank-matched member of the cyclically-next label class). Rank
+  *    matching makes negatives deterministic AND spread across the other
+  *    class (vs "everyone pairs with the other class's head", which would
+  *    train on one sample).
+  *
+  * Scale shape: trainSplit is a pure projection (no shuffle). Pair
+  * generation shuffles (label, rn) twice for the window + the rank
+  * equi-join — both carry (id, label, rn) triples only, never payloads;
+  * the per-label statistics frame is ≤ |labels| rows and is broadcast.
+  * The one global window (label indexing) runs on the aggregated
+  * per-label frame — |labels| rows, constant at any corpus size.
+  */
+object TrainingOps {
+
+  import RelationalOps.table
+
+  /** Split percentages (train, val) — test is the remainder. Matches the
+    * reference's 64/16/20 (ref: signature_model_dataloader.py:51-52).
+    */
+  val TrainPct = 64
+  val ValPct = 16
+  val DefaultSeed = "42"
+
+  /** Deterministic content-hash split: (doc_id, bucket, split). */
+  def trainSplit(spark: SparkSession, dir: String, seed: String = DefaultSeed): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn(
+        "bucket",
+        conv(substring(sha2(concat_ws("|", lit(seed), col("doc_id").cast("string")), 256), 1, 8),
+          16, 10).cast("long") % 100)
+      .withColumn(
+        "split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+
+  /** One positive + one negative pair per anchor:
+    * (anchor_id, other_id, is_positive 1/0).
+    */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+
+    val wOrd = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val wAll = Window.partitionBy(col("label"))
+    val ranked = vecs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nxt", lead(col("vec_id"), 1).over(wOrd))
+      .withColumn("head_id", min(col("vec_id")).over(wAll))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+
+    // positive: next member of the same label, wrapping to the head —
+    // only defined for classes with >= 2 members (other != anchor)
+    val positives = ranked
+      .filter(col("cnt") >= 2)
+      .select(
+        col("vec_id").as("anchor_id"),
+        coalesce(col("nxt"), col("head_id")).as("other_id"),
+        lit(1).as("is_positive"))
+
+    // per-label stats with a cyclic successor — |labels| rows, broadcast.
+    // The unpartitioned window is deliberate: it runs AFTER the groupBy,
+    // on a constant-size frame.
+    val stats = vecs.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("lbl_idx", row_number().over(Window.orderBy(col("label"))))
+    val nLabels = stats.agg(max(col("lbl_idx")).as("n_labels"))
+    val succ = stats.select(
+      col("lbl_idx").as("t_idx"), col("label").as("t_label"), col("cnt").as("t_cnt"))
+    val labelToTarget = stats
+      .crossJoin(broadcast(nLabels))
+      .withColumn("t_idx", (col("lbl_idx") % col("n_labels")) + 1)
+      .join(succ, "t_idx")
+      .filter(col("t_label") =!= col("label")) // needs >= 2 distinct labels
+      .select(col("label"), col("t_label"), col("t_cnt"))
+
+    // negative: rank-matched member of the successor label (rank taken
+    // modulo the target class size so every anchor gets exactly one)
+    val negatives = ranked
+      .join(broadcast(labelToTarget), "label")
+      .withColumn("t_rn", ((col("rn") - 1) % col("t_cnt")) + 1)
+      .join(
+        ranked.select(
+          col("label").as("t_label"), col("rn").as("t_rn"), col("vec_id").as("other_id")),
+        Seq("t_label", "t_rn"))
+      .select(col("vec_id").as("anchor_id"), col("other_id"), lit(0).as("is_positive"))
+
+    positives.unionByName(negatives)
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import graft.ops.{SimilarityOps, TrainingOps}
+import graft.text.TextAlgos
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact local-truth checks for the training-set assembly operators and
+  * the IVF ANN path. Every expected value is recomputed from scratch on
+  * the driver (independent code path: java.security.MessageDigest, plain
+  * Scala collections) and compared for full equality — the same
+  * adversarial style as the minhash/simhash/brute-ANN tests in OpsSpec.
+  */
+class TrainingIvfSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The content-hash bucket TrainingOps.trainSplit computes in-plan. */
+  private def localBucket(seed: String, id: Long): Long =
+    java.lang.Long.parseLong(sha256Hex(s"$seed|$id").substring(0, 8), 16) % 100
+
+  test("trainSplit matches an independent sha256 recompute, 64/16/20 mapping") {
+    import spark.implicits._
+    val got = TrainingOps.trainSplit(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, bucket, split) =>
+      assert(bucket == localBucket(TrainingOps.DefaultSeed, id), s"doc $id bucket")
+      val want =
+        if (bucket < TrainingOps.TrainPct) "train"
+        else if (bucket < TrainingOps.TrainPct + TrainingOps.ValPct) "val"
+        else "test"
+      assert(split == want, s"doc $id split")
+    }
+    // every doc appears exactly once (pure projection, no row fan-out)
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  test("trainSplit is stable under corpus growth: bucket depends only on the id") {
+    // the property that makes the hash split scale: assigning a doc never
+    // depends on which other docs exist, so growing the corpus never
+    // reshuffles existing splits (a random permutation split would)
+    import spark.implicits._
+    val full = TrainingOps.trainSplit(spark, dir)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    val ids = full.keys.toSeq.sorted
+    val half = ids.take(ids.length / 2).toSet
+    // recompute locally over the half corpus — identical assignments
+    half.foreach { id =>
+      val b = localBucket(TrainingOps.DefaultSeed, id)
+      val want =
+        if (b < TrainingOps.TrainPct) "train"
+        else if (b < TrainingOps.TrainPct + TrainingOps.ValPct) "val" else "test"
+      assert(full(id) == want)
+    }
+  }
+
+  test("contrastivePairs matches exact local recompute (positives and negatives)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, String)].collect()
+    val byLabel: Map[String, Array[Long]] =
+      vecs.groupBy(_._2).map { case (l, xs) => l -> xs.map(_._1).sorted }
+
+    val expPos = byLabel.values.filter(_.length >= 2).flatMap { members =>
+      members.zipWithIndex.map { case (id, i) =>
+        (id, members((i + 1) % members.length), 1)
+      }
+    }.toSet
+
+    val labels = byLabel.keys.toArray.sorted
+    val expNeg =
+      if (labels.length < 2) Set.empty[(Long, Long, Int)]
+      else labels.zipWithIndex.flatMap { case (l, i) =>
+        val t = labels((i + 1) % labels.length)
+        val tm = byLabel(t)
+        byLabel(l).zipWithIndex.map { case (id, rn0) =>
+          (id, tm(rn0 % tm.length), 0)
+        }
+      }.toSet
+
+    val got = TrainingOps.contrastivePairs(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == got.distinct.length, "pair rows must be unique")
+    assert(got.toSet == (expPos ++ expNeg),
+      s"got ${got.length} pairs, expected ${(expPos ++ expNeg).size}")
+    // every anchor of a >=2 class has exactly one positive; every anchor
+    // has exactly one negative when >=2 labels exist
+    val posAnchors = got.filter(_._3 == 1).map(_._1)
+    assert(posAnchors.distinct.length == posAnchors.length)
+    val negAnchors = got.filter(_._3 == 0).map(_._1)
+    assert(negAnchors.distinct.length == negAnchors.length)
+    assert(got.forall { case (a, o, _) => a != o }, "no self-pairs")
+  }
+
+  // ---- IVF: exact fixed-point Lloyd recompute ------------------------
+
+  private def localAssign(
+      vecs: Array[(Long, Array[Float])],
+      cents: Map[Int, Array[Float]]): Map[Long, Int] =
+    vecs.map { case (id, v) =>
+      val best = cents.toSeq.map { case (c, cv) =>
+        (math.floor(TextAlgos.l2(v, cv) * 10000).toLong, c)
+      }.min
+      id -> best._2
+    }.toMap
+
+  private def localCentroids(
+      vecs: Array[(Long, Array[Float])], nList: Int, iters: Int): Map[Int, Array[Float]] = {
+    var cents: Map[Int, Array[Float]] =
+      vecs.filter(_._1 < nList).map { case (id, v) => id.toInt -> v }.toMap
+    for (_ <- 0 until iters) {
+      val assign = localAssign(vecs, cents)
+      cents = vecs.groupBy { case (id, _) => assign(id) }.map { case (c, members) =>
+        val dim = members.head._2.length
+        val arr = Array.tabulate(dim) { d =>
+          val fx = members.map { case (_, v) =>
+            math.floor(v(d).toDouble * SimilarityOps.IvfFxScale).toLong
+          }
+          val s = fx.sum
+          val cnt = members.length
+          // floor division exactly as the plan computes it (pmod form)
+          val m = (s - (((s % cnt) + cnt) % cnt)) / cnt
+          (m / SimilarityOps.IvfFxScale.toDouble).toFloat
+        }
+        c -> arr
+      }
+    }
+    cents
+  }
+
+  test("ivfCentroids: bit-exact match with a local fixed-point Lloyd recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val exp = localCentroids(vecs, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val got = SimilarityOps.ivfCentroids(spark, dir)
+      .as[(Int, Array[Float])].collect().toMap
+    assert(got.keySet == exp.keySet, s"cells ${got.keySet} vs ${exp.keySet}")
+    got.foreach { case (c, arr) =>
+      assert(arr.sameElements(exp(c)), s"centroid $c differs")
+    }
+    // no cell lost all members on this corpus (documented repair gap)
+    assert(got.size == SimilarityOps.IvfNList)
+  }
+
+  test("ivfTopK: exact match with local probe + score recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cents = localCentroids(vecs, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents)
+    val byId = vecs.toMap
+    val expected = vecs.filter(_._1 < SimilarityOps.NQueries).flatMap { case (qid, qv) =>
+      val probed = cents.toSeq.map { case (c, cv) =>
+        (math.floor(TextAlgos.l2(qv, cv) * 10000).toLong, c)
+      }.sorted.take(SimilarityOps.IvfNProbe).map(_._2).toSet
+      vecs
+        .filter { case (id, _) => id != qid && probed.contains(assign(id)) }
+        .map { case (id, v) => (id, math.floor(TextAlgos.cosine(qv, v) * 10000).toLong) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(SimilarityOps.DefaultK)
+        .zipWithIndex
+        .map { case ((id, c), r) => (qid, id, r + 1, c) }
+    }.toSet
+    val got = SimilarityOps.ivfTopK(spark, dir)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    assert(got.nonEmpty, "IVF search must return results for the query set")
+  }
+}
