@@ -160,7 +160,12 @@ object SparkEntry {
     "q54_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // the edge side of the property-graph sink (q44 oracles the vertices)
     "q55_graph_edges" -> ((s, _) =>
-      GraphOps.graph(ShredOps.structuredRecords(s, VerifyRecords).toDF())._2)
+      GraphOps.graph(ShredOps.structuredRecords(s, VerifyRecords).toDF())._2),
+    // test-set leakage: eval docs sharing k-grams with the train split
+    "q56_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
+    "q57_vocab_build" -> ((s, d) => TrainingOps.vocabBuild(s, d)),
+    // concat-and-chunk dataloader layout with a two-phase global offset
+    "q58_pack_sequences" -> ((s, d) => TrainingOps.packSequences(s, d))
   )
 
   private val reviewerList =
@@ -782,6 +787,43 @@ object SparkEntry {
            UNION ALL SELECT root.sig, mat.sig FROM root JOIN mat USING (conv_id)
            UNION ALL SELECT root.sig, st.sig FROM root JOIN st USING (conv_id)
            UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
-         ) u"""
+         ) u""",
+    // grams are engine-materialized (splitmix64 has no DuckDB equivalent;
+    // the hash itself is pinned by TextAlgosSpec) — DuckDB independently
+    // recomputes the split assignment and the contamination join
+    "q56_decontaminate" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(grams) AS gram
+             FROM read_parquet('__SYNTH__/grams.parquet/*.parquet')) u),
+         s AS (SELECT doc_id,
+                      CAST('0x' || substr(sha256('${TrainingOps.DefaultSeed}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+               FROM documents),
+         tg AS (SELECT DISTINCT gram FROM g JOIN s USING (doc_id) WHERE s.bucket < ${TrainingOps.TrainPct})
+         SELECT g.doc_id,
+                CASE WHEN s.bucket < ${TrainingOps.TrainPct + TrainingOps.ValPct} THEN 'val' ELSE 'test' END AS split,
+                count(*) AS n_shared_grams
+         FROM g JOIN s USING (doc_id) JOIN tg USING (gram)
+         WHERE s.bucket >= ${TrainingOps.TrainPct}
+         GROUP BY 1, 2""",
+    "q57_vocab_build" ->
+      s"""SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER) AS vocab_id
+         FROM (SELECT token, count(*) AS cnt
+               FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) u
+               WHERE token <> ''
+               GROUP BY 1) c
+         ORDER BY cnt DESC, token ASC
+         LIMIT ${TrainingOps.DefaultVocabSize}""",
+    "q58_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_tokens
+              FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM t)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(cum - n_tokens AS BIGINT) AS start_offset,
+                CAST((cum - n_tokens) // ${TrainingOps.DefaultChunkBudget} AS BIGINT) AS chunk_first,
+                CAST(CASE WHEN n_tokens = 0 THEN -1 ELSE (cum - 1) // ${TrainingOps.DefaultChunkBudget} END AS BIGINT) AS chunk_last
+         FROM c"""
   )
 }

@@ -114,4 +114,125 @@ object TrainingOps {
 
     positives.unionByName(negatives)
   }
+
+  /** Decontamination: val/test documents that share an n-gram with ANY
+    * train document — the standard pretraining "test-set leakage" check
+    * (an eval doc whose k-grams appear verbatim in the training split is
+    * contaminated). Output: (doc_id, split, n_shared_grams) for every
+    * contaminated non-train doc, n_shared_grams = how many of its
+    * DISTINCT k-grams occur in the train split.
+    *
+    * Scale shape: one pass computes (doc_id, split, gram) — split is a
+    * pure hash projection (see [[trainSplit]]) carried through the gram
+    * fan-out, so there is NO join back to the corpus. The train-side
+    * gram set is `distinct` BEFORE the join, so a gram shared by millions
+    * of train docs (boilerplate) is ONE build row — the contamination
+    * join's fan-out is bounded by the probe doc's own gram count, never
+    * by gram popularity. Both join sides carry (gram:long[, id]) only;
+    * text never shuffles.
+    */
+  def decontaminate(spark: SparkSession, dir: String, seed: String = DefaultSeed): DataFrame = {
+    import spark.implicits._
+    val k = TextOps.WinnowK
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.text.TextAlgos.shingleHashesOrdered(graft.text.TextAlgos.tokenize(t), k)
+          .distinct.iterator.map(g => (id, g))
+      }
+      .toDF("doc_id", "gram")
+      .withColumn(
+        "split",
+        when(
+          conv(substring(sha2(concat_ws("|", lit(seed), col("doc_id").cast("string")), 256), 1, 8),
+            16, 10).cast("long") % 100 < TrainPct, "train").otherwise("eval"))
+    val trainGrams = grams.filter(col("split") === "train").select(col("gram")).distinct()
+    grams
+      .filter(col("split") =!= "train")
+      .join(trainGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      // re-derive the fine split label (val/test) from the same hash —
+      // a 3-byte projection, cheaper than carrying it through the join
+      .withColumn(
+        "bucket",
+        conv(substring(sha2(concat_ws("|", lit(seed), col("doc_id").cast("string")), 256), 1, 8),
+          16, 10).cast("long") % 100)
+      .withColumn("split", when(col("bucket") < TrainPct + ValPct, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), col("n_shared_grams"))
+  }
+
+  /** Vocabulary build: the top-`vocabSize` whitespace tokens by corpus
+    * frequency with dense ids — (token, cnt, vocab_id), vocab_id = rank
+    * under the total order (cnt DESC, token ASC).
+    *
+    * Scale shape: groupBy(token) is a map-side-combining agg (shuffles
+    * (token, partial-count), not text); the global top-V is a
+    * TakeOrderedAndProject (per-partition top-V, then V rows to one
+    * reducer); the id-assigning window runs on the V-row result —
+    * constant-size at any corpus scale, like the per-label stats frame
+    * in [[contrastivePairs]].
+    */
+  val DefaultVocabSize = 1000
+
+  def vocabBuild(spark: SparkSession, dir: String, vocabSize: Int = DefaultVocabSize): DataFrame = {
+    val counts = table(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .withColumn(
+        "vocab_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)).cast("int"))
+      .select(col("token"), col("cnt"), col("vocab_id"))
+  }
+
+  /** Sequence packing: concat-and-chunk dataloader layout. Documents are
+    * laid end-to-end in doc_id order and cut into fixed `budget`-token
+    * chunks; each doc reports where it lands —
+    * (doc_id, n_tokens, start_offset, chunk_first, chunk_last), with
+    * chunk_last = -1 sentinel for zero-token docs (they occupy no chunk).
+    *
+    * The global running offset uses the same scale-safe two-phase pattern
+    * as ShredOps.registry: a global-order window would funnel the corpus
+    * through ONE partition, so docs are range-partitioned by doc_id
+    * (contiguous ranges), each partition computes its local prefix sums,
+    * and a driver-side prefix sum over the tiny per-partition totals
+    * supplies the offsets — identical to the single-window result for
+    * any range boundaries. localCheckpoint pins one sampled boundary set
+    * so the totals pass and the final pass agree.
+    */
+  val DefaultChunkBudget = 512L
+
+  def packSequences(spark: SparkSession, dir: String, budget: Long = DefaultChunkBudget): DataFrame = {
+    val toks = TextOps.tokenCountBpe(spark, dir)
+      .withColumnRenamed("n_bpe_tokens", "n_tokens")
+    val ranged = toks
+      .repartitionByRange(col("doc_id"))
+      .withColumn("part", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("part")).agg(sum(col("n_tokens")).as("tok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (p, n)) => (p, acc + n)
+    }.sliding(2).collect { case Array((_, off), (p, _)) => (p, off) }.toMap
+    val offsetDf = spark.createDataFrame(
+      if (offsets.isEmpty) Seq((0, 0L)) else offsets.toSeq).toDF("part", "offset")
+    val wp = Window.partitionBy(col("part")).orderBy(col("doc_id"))
+    ranged
+      .withColumn("cum_local", sum(col("n_tokens")).over(wp))
+      .join(broadcast(offsetDf), "part")
+      .withColumn("cum", col("offset") + col("cum_local"))
+      .withColumn("start_offset", col("cum") - col("n_tokens"))
+      .withColumn("chunk_first", expr(s"start_offset div ${budget}L"))
+      .withColumn(
+        "chunk_last",
+        when(col("n_tokens") === 0, lit(-1L)).otherwise(expr(s"(cum - 1) div ${budget}L")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("chunk_first"), col("chunk_last"))
+  }
 }

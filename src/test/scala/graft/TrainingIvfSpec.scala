@@ -172,4 +172,74 @@ class TrainingIvfSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
     assert(got.nonEmpty, "IVF search must return results for the query set")
   }
+
+  // ---- corpus-assembly ops: decontaminate / vocab / packing ----------
+
+  test("decontaminate matches local gram-overlap recompute") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val gramSets: Map[Long, Set[Long]] = docs.map { case (id, t) =>
+      id -> TextAlgos.shingleHashesOrdered(
+        TextAlgos.tokenize(t), graft.ops.TextOps.WinnowK).toSet
+    }.toMap
+    def bucket(id: Long) = localBucket(TrainingOps.DefaultSeed, id)
+    val trainGrams = gramSets.collect {
+      case (id, g) if bucket(id) < TrainingOps.TrainPct => g
+    }.foldLeft(Set.empty[Long])(_ ++ _)
+    val expected = gramSets.collect {
+      case (id, g) if bucket(id) >= TrainingOps.TrainPct && (g & trainGrams).nonEmpty =>
+        val split =
+          if (bucket(id) < TrainingOps.TrainPct + TrainingOps.ValPct) "val" else "test"
+        (id, split, (g & trainGrams).size.toLong)
+    }.toSet
+    val got = TrainingOps.decontaminate(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expected, s"got ${got.size} contaminated docs, expected ${expected.size}")
+    assert(got.nonEmpty, "synth corpus must exhibit some train/eval gram overlap")
+  }
+
+  test("vocabBuild matches local count + deterministic rank recompute") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { t =>
+      TextAlgos.tokenize(t).foreach(tok => counts(tok) = counts.getOrElse(tok, 0L) + 1)
+    }
+    val expected = counts.toSeq
+      .sortBy { case (tok, c) => (-c, tok) }
+      .take(TrainingOps.DefaultVocabSize)
+      .zipWithIndex
+      .map { case ((tok, c), i) => (tok, c, i + 1) }
+    val got = TrainingOps.vocabBuild(spark, dir)
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(got.toSeq == expected,
+      s"vocab mismatch: got ${got.length} entries, expected ${expected.length}")
+  }
+
+  test("packSequences equals the single-window global cumsum for any range split") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val re = "[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\\s]".r
+    var cum = 0L
+    val B = TrainingOps.DefaultChunkBudget
+    val expected = docs.map { case (id, t) =>
+      val n = re.findAllIn(if (t == null) "" else t).size.toLong
+      val start = cum
+      cum += n
+      (id, n, start, start / B, if (n == 0) -1L else (cum - 1) / B)
+    }.toSet
+    val got = TrainingOps.packSequences(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // chunks must tile: every doc's first chunk starts within budget of
+    // its start offset and consecutive docs are contiguous
+    val byId = got.toSeq.sortBy(_._1)
+    byId.sliding(2).foreach {
+      case Seq((_, n, s, _, _), (_, _, s2, _, _)) => assert(s2 == s + n)
+      case _ =>
+    }
+  }
 }
