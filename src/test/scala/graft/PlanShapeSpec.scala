@@ -73,6 +73,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LSH probe degenerated to all-pairs:\n$p")
   }
 
+  test("IVF top-k: probe set broadcast, scoring is an equi-join on cell id") {
+    val p = plan(graft.ops.SimilarityOps.ivfTopK(spark, dir))
+    // the only NLJ allowed is vectors × broadcast centroids (assignment);
+    // query scoring must be the broadcast equi-join on the cell id
+    assert(p.contains("BroadcastHashJoin"), s"probed query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-side cartesian:\n$p")
+  }
+
+  test("vocab build: global top-V via TakeOrderedAndProject with partial counts") {
+    val p = plan(graft.ops.TrainingOps.vocabBuild(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-V fell back to a global sort:\n$p")
+    assert(p.contains("partial_count"), s"token counting lost map-side combine:\n$p")
+  }
+
+  test("sequence packing never funnels the corpus through one partition") {
+    val p = plan(graft.ops.TrainingOps.packSequences(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global-window funnel in the packing plan:\n$p")
+    assert(!p.contains("Window operation! Moving all data") && p.contains("Window"),
+      s"expected a per-range-partition window:\n$p")
+  }
+
+  test("decontamination join stays an equi-join on the gram hash") {
+    val p = plan(graft.ops.TrainingOps.decontaminate(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination check degenerated to all-pairs:\n$p")
+    assert(p.contains("gram"), s"gram key missing from the join:\n$p")
+  }
+
   test("extraction pipeline: one data shuffle; pre-agg scan prunes to conv_id") {
     import spark.implicits._
     // parquet-backed input so scan pruning is observable
