@@ -165,7 +165,10 @@ object SparkEntry {
     "q56_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
     "q57_vocab_build" -> ((s, d) => TrainingOps.vocabBuild(s, d)),
     // concat-and-chunk dataloader layout with a two-phase global offset
-    "q58_pack_sequences" -> ((s, d) => TrainingOps.packSequences(s, d))
+    "q58_pack_sequences" -> ((s, d) => TrainingOps.packSequences(s, d)),
+    // acceptance metric for the approximate ANN paths: per-(method, query)
+    // recall@k vs the exact brute-force top-k
+    "q59_ann_recall" -> ((s, d) => SimilarityOps.annRecall(s, d))
   )
 
   private val reviewerList =
@@ -183,13 +186,31 @@ object SparkEntry {
     * (Double.toString round-trips exactly), so the oracle replicates the
     * engine's bucketing bit-for-bit.
     */
-  private def bucketSqlExpr(vCol: String, nPlanes: Int): String =
+  private def bucketSqlExpr(vCol: String, nPlanes: Int, planeOffset: Int = 0): String =
     (0 until nPlanes).map { p =>
       val lits = (0 until EmbeddingDims)
-        .map(d => graft.text.TextAlgos.hyperplaneCoef(p, d).toString)
+        .map(d => graft.text.TextAlgos.hyperplaneCoef(planeOffset + p, d).toString)
         .mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vCol, $lits) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** CTE fragment recomputing the multi-table LSH candidate pairs of
+    * `SimilarityOps.lshTopK` in DuckDB: per-table buckets b0..b{L-1}
+    * (each from the engine's exact plane family via bucketSqlExpr), a
+    * candidate = any-table bucket match. Expects a CTE `e(vec_id, v)`.
+    * Yields CTEs `lb` (bucketed corpus) and `lcand(query_id, neighbor_id)`.
+    */
+  private def lshCandidateCtes: String = {
+    val cols = (0 until ops.SimilarityOps.LshNTables).map { t =>
+      s"${bucketSqlExpr("v", ops.SimilarityOps.LshNPlanes, t * ops.SimilarityOps.LshNPlanes)} AS b$t"
+    }.mkString(", ")
+    val anyMatch = (0 until ops.SimilarityOps.LshNTables)
+      .map(t => s"q.b$t = n.b$t").mkString(" OR ")
+    s"""lb AS (SELECT vec_id, v, $cols FROM e),
+       lcand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+                 FROM (SELECT * FROM lb WHERE vec_id < 8) q
+                 JOIN lb n ON n.vec_id <> q.vec_id AND ($anyMatch))"""
+  }
 
   /** DuckDB-runnable oracle SQL (same parquet tables registered by name).
     * Omitted only for q19/q21, whose OUTPUT IS the splitmix64 hash value
@@ -580,11 +601,10 @@ object SparkEntry {
          WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= 4500""",
     "q26_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e),
-         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
-         s AS (SELECT q.query_id, b.vec_id AS neighbor_id,
-                      CAST(floor(list_cosine_similarity(q.qv, b.v) * 10000) AS BIGINT) AS cosine_x10000
-               FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.query_id)
+         $lshCandidateCtes,
+         s AS (SELECT c.query_id, c.neighbor_id,
+                      CAST(floor(list_cosine_similarity(q.v, n.v) * 10000) AS BIGINT) AS cosine_x10000
+               FROM lcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
          SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
            FROM s) t
@@ -824,6 +844,56 @@ object SparkEntry {
                 CAST(cum - n_tokens AS BIGINT) AS start_offset,
                 CAST((cum - n_tokens) // ${TrainingOps.DefaultChunkBudget} AS BIGINT) AS chunk_first,
                 CAST(CASE WHEN n_tokens = 0 THEN -1 ELSE (cum - 1) // ${TrainingOps.DefaultChunkBudget} END AS BIGINT) AS chunk_last
-         FROM c"""
+         FROM c""",
+    // DuckDB recomputes ALL THREE result sets itself — exact (brute), LSH
+    // (bucket recomputed from the pinned hyperplanes), IVF (assignment +
+    // probe + search from the materialized centroids, as in q54) — and
+    // then measures recall; nothing about the measurement comes from the
+    // engine, so this is an end-to-end independent check of both scale
+    // paths' output quality, not just their row sets.
+    "q59_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         xs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                       CAST(floor(list_cosine_similarity(q.qv, e.v) * 10000) AS BIGINT) AS cosine_x10000
+                FROM q JOIN e ON e.vec_id <> q.query_id),
+         exact AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+             FROM xs) t WHERE rank <= 3),
+         $lshCandidateCtes,
+         ls AS (SELECT c.query_id, c.neighbor_id,
+                       CAST(floor(list_cosine_similarity(q.v, n.v) * 10000) AS BIGINT) AS cosine_x10000
+                FROM lcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
+         lsh AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+             FROM ls) t WHERE rank <= 3),
+         c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+               FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         a AS (SELECT vec_id,
+                      first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         idx AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
+         p AS (SELECT query_id, qv, cell FROM (
+                 SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
+                 FROM e CROSS JOIN c WHERE e.vec_id < 8) z WHERE pr <= 2),
+         ivs AS (SELECT p.query_id, idx.vec_id AS neighbor_id,
+                        CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
+                 FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id),
+         ivf AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+             FROM ivs) t WHERE rank <= 3),
+         hl AS (SELECT l.query_id, count(*) AS hits FROM lsh l
+                JOIN exact x ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+                GROUP BY l.query_id),
+         hi AS (SELECT i.query_id, count(*) AS hits FROM ivf i
+                JOIN exact x ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+                GROUP BY i.query_id)
+         SELECT 'lsh' AS method, q.query_id, coalesce(hl.hits, 0) AS hits, CAST(3 AS INTEGER) AS k
+         FROM q LEFT JOIN hl ON q.query_id = hl.query_id
+         UNION ALL
+         SELECT 'ivf' AS method, q.query_id, coalesce(hi.hits, 0) AS hits, CAST(3 AS INTEGER) AS k
+         FROM q LEFT JOIN hi ON q.query_id = hi.query_id"""
   )
 }

@@ -120,36 +120,43 @@ case class L2X10000(left: Expression, right: Expression) extends org.apache.spar
 /** Native Catalyst expression: sign-bit hyperplane LSH bucket of an
   * `array<float>` embedding under `nPlanes` deterministic planes — keeps
   * the ANN/dedup bucketing stage inside WholeStageCodegen instead of a
-  * typed map that would ser/de every row. `nPlanes` must be a foldable
-  * int literal.
+  * typed map that would ser/de every row. `nPlanes` and the optional
+  * `planeOffset` (default 0; table t of a multi-table LSH index passes
+  * t*nPlanes for disjoint plane families) must be foldable int literals.
   */
-case class HyperplaneBucket(left: Expression, right: Expression) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+case class HyperplaneBucket(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val vecOk = left.dataType match {
+    val vecOk = first.dataType match {
       case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
+    def litInt(e: Expression) =
+      e.dataType == org.apache.spark.sql.types.IntegerType && e.foldable
     if (!vecOk) TypeCheckResult.TypeCheckFailure(
-      s"graft_hyperplane_bucket requires array<float>, got ${left.dataType.catalogString}")
-    else if (right.dataType != org.apache.spark.sql.types.IntegerType || !right.foldable)
-      TypeCheckResult.TypeCheckFailure("graft_hyperplane_bucket requires a literal int plane count")
+      s"graft_hyperplane_bucket requires array<float>, got ${first.dataType.catalogString}")
+    else if (!litInt(second) || !litInt(third))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_hyperplane_bucket requires literal int plane count and plane offset")
     else TypeCheckResult.TypeCheckSuccess
   }
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_hyperplane_bucket"
 
-  override protected def nullSafeEval(a: Any, n: Any): Any =
+  override protected def nullSafeEval(a: Any, n: Any, off: Any): Any =
     TextAlgos.hyperplaneBucketArrayData(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n.asInstanceOf[Int])
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int], off.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, n) => s"graft.text.TextAlgos.hyperplaneBucketArrayData($a, $n)")
+    defineCodeGen(ctx, ev,
+      (a, n, off) => s"graft.text.TextAlgos.hyperplaneBucketArrayData($a, $n, $off)")
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): HyperplaneBucket =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression): HyperplaneBucket =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Native Catalyst expression: canonical decimal string of a double
@@ -215,10 +222,13 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hyperplane_bucket"),
       new ExpressionInfo(
         classOf[HyperplaneBucket].getName, null, "graft_hyperplane_bucket",
-        "_FUNC_(v, nPlanes) - sign-bit hyperplane LSH bucket of an array<float>.", ""),
+        "_FUNC_(v, nPlanes[, planeOffset]) - sign-bit hyperplane LSH bucket of an array<float>.", ""),
       (children: Seq[Expression]) => {
-        require(children.size == 2, "graft_hyperplane_bucket takes exactly two arguments")
-        HyperplaneBucket(children.head, children(1))
+        require(children.size == 2 || children.size == 3,
+          "graft_hyperplane_bucket takes two or three arguments")
+        val off = if (children.size == 3) children(2)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0)
+        HyperplaneBucket(children.head, children(1), off)
       }),
     (FunctionIdentifier("graft_canon_double"),
       new ExpressionInfo(

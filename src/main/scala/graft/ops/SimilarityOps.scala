@@ -83,30 +83,53 @@ object SimilarityOps {
       .withColumn("accepted", col("min_l2_x10000") <= thresholdX10000)
   }
 
-  /** LSH-bucketed ANN: score only vectors sharing the query's hyperplane
-    * bucket. Same output shape as bruteTopK (rank within bucket).
+  val LshNPlanes = 6
+  val LshNTables = 8
+
+  /** Multi-table LSH ANN: `nTables` independent sign-bit hash tables
+    * (table t uses the disjoint plane family [t*nPlanes, (t+1)*nPlanes)),
+    * candidates = vectors sharing the query's bucket in ANY table
+    * (OR-amplification). Same output shape as bruteTopK (rank within the
+    * candidate set).
     *
-    * Pure-DataFrame formulation like bruteTopK — no driver-side collect
-    * of the query vectors: buckets come from one narrow typed pass, the
-    * (tiny) bucketed query set is broadcast, the bucket equi-join prunes
-    * the candidate space to ~corpus/2^planes per query, and scoring is
-    * the codegen'd `graft_cosine_x10000` expression.
+    * Why multi-table: a single b-plane bucket finds a neighbor at angle θ
+    * with probability (1-θ/π)^b — for weakly-correlated corpora (cosine
+    * ~0.3 → θ≈70°, p≈0.05 at b=6) that is near-zero recall. L tables lift
+    * it to 1-(1-p)^L (~0.34 at L=8) while keeping the candidate cut:
+    * ~L·corpus/2^b candidates per query instead of the full scan. The
+    * recall/cost trade is measured, not assumed — see annRecall (q59).
+    *
+    * Pure-DataFrame formulation like bruteTopK — no driver-side collect:
+    * buckets for all tables come from one codegen'd projection +
+    * posexplode (narrow ×L fan-out of (id, int) pairs, never embeddings),
+    * the (tiny) bucketed query set is broadcast, candidates equi-join on
+    * (table, bucket), duplicates found via several tables collapse in a
+    * hash-aggregate that shuffles only (query, neighbor, score) triples.
     */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = DefaultK, nPlanes: Int = 6): DataFrame = {
+  def lshTopK(
+      spark: SparkSession, dir: String, k: Int = DefaultK,
+      nPlanes: Int = LshNPlanes, nTables: Int = LshNTables): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val bucketed = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr(s"graft_hyperplane_bucket(embedding, $nPlanes)").as("bucket"))
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val buckets = array((0 until nTables).map { t =>
+      expr(s"graft_hyperplane_bucket(embedding, $nPlanes, ${t * nPlanes})")
+    }: _*)
+    val bucketed = vecs.select(
+      col("vec_id"), col("embedding"), posexplode(buckets).as(Seq("t", "bucket")))
     val queries = bucketed
       .filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        col("t"), col("bucket"))
     val scored = bucketed
-      .join(broadcast(queries), Seq("bucket"))
+      .join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         expr("graft_cosine_x10000(q_embedding, embedding)").as("cosine_x10000"))
+      // the same pair surfaces once per colliding table; the score is a
+      // pure function of the pair, so dedup on all three columns is exact
+      .dropDuplicates("query_id", "neighbor_id", "cosine_x10000")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_x10000").desc, col("neighbor_id").asc)
     scored
@@ -236,5 +259,37 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_x10000"))
+  }
+
+  /** Recall@k of the approximate ANN paths against the exact brute-force
+    * top-k, per (method, query): `hits` = |approx-topk ∩ exact-topk|, with
+    * zero-hit queries kept (left join from the query set). This is the
+    * acceptance metric for the two scale paths — LSH buckets trade recall
+    * for a 2^planes candidate cut, IVF for an nList/nProbe cut — and the
+    * measurement itself is the 100 TB shape: the exact side is brute-forced
+    * only for the sampled query set (NQueries rows broadcast against one
+    * corpus scan per method), never corpus × corpus.
+    */
+  def annRecall(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val exact = bruteTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    val queries = table(spark, dir, "embeddings")
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"))
+    def hitsOf(approx: DataFrame, method: String): DataFrame = {
+      val h = approx
+        .select(col("query_id"), col("neighbor_id"))
+        .join(broadcast(exact), Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("hits"))
+      queries
+        .join(broadcast(h), Seq("query_id"), "left")
+        .select(
+          lit(method).as("method"),
+          col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          lit(k).as("k"))
+    }
+    hitsOf(lshTopK(spark, dir, k), "lsh")
+      .unionByName(hitsOf(ivfTopK(spark, dir, k), "ivf"))
   }
 }

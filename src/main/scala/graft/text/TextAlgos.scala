@@ -190,8 +190,9 @@ object TextAlgos {
     */
   def hyperplaneBucketArrayData(
       a: org.apache.spark.sql.catalyst.util.ArrayData,
-      nPlanes: Int): Int =
-    hyperplaneBucket(a.toFloatArray(), nPlanes)
+      nPlanes: Int,
+      planeOffset: Int): Int =
+    hyperplaneBucket(a.toFloatArray(), nPlanes, planeOffset)
 
   /** Codegen entry point for `graft_l2_x10000`
     * (graft.functions.L2X10000): floor(l2 * 10000), integer-scaled for
@@ -349,15 +350,19 @@ object TextAlgos {
 
   /** Sign-bit LSH bucket of a vector under `nPlanes` deterministic random
     * hyperplanes (plane coefficients derived from mix64 of (plane, dim)).
+    * `planeOffset` selects the plane family: table t of a multi-table
+    * (OR-amplified) LSH index uses planes [t*nPlanes, (t+1)*nPlanes) —
+    * disjoint coefficient streams from the same mix64 derivation, so
+    * every table is independent but fully deterministic.
     */
-  def hyperplaneBucket(v: Array[Float], nPlanes: Int): Int = {
+  def hyperplaneBucket(v: Array[Float], nPlanes: Int, planeOffset: Int = 0): Int = {
     var bucket = 0
     var p = 0
     while (p < nPlanes) {
       var dot = 0.0
       var d = 0
       while (d < v.length) {
-        dot += hyperplaneCoef(p, d) * v(d)
+        dot += hyperplaneCoef(planeOffset + p, d) * v(d)
         d += 1
       }
       if (dot >= 0) bucket |= (1 << p)

@@ -65,15 +65,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("LSH ANN: results are a same-bucket subset with correct cosines") {
+  test("LSH ANN: results collide in some hash table, with correct cosines") {
     import spark.implicits._
     val got = SimilarityOps.lshTopK(spark, dir).as[(Long, Long, Int, Long)].collect()
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    assert(got.nonEmpty)
     got.foreach { case (qid, nid, _, c) =>
-      assert(TextAlgos.hyperplaneBucket(vecs(qid), 6) == TextAlgos.hyperplaneBucket(vecs(nid), 6))
+      val collide = (0 until SimilarityOps.LshNTables).exists { t =>
+        TextAlgos.hyperplaneBucket(vecs(qid), SimilarityOps.LshNPlanes, t * SimilarityOps.LshNPlanes) ==
+          TextAlgos.hyperplaneBucket(vecs(nid), SimilarityOps.LshNPlanes, t * SimilarityOps.LshNPlanes)
+      }
+      assert(collide, s"pair ($qid,$nid) shares no bucket in any table")
       assert(c == math.floor(TextAlgos.cosine(vecs(qid), vecs(nid)) * 10000).toLong)
     }
+    // multi-table candidates never produce duplicate (query, neighbor) rows
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length)
   }
 
   test("minhash pairs are verified near-dups; no pair below threshold") {

@@ -81,6 +81,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"corpus-side cartesian:\n$p")
   }
 
+  test("ANN recall: hit-set intersections are broadcast joins, no SMJ, no cartesian") {
+    val p = plan(graft.ops.SimilarityOps.annRecall(spark, dir))
+    // exact/approx top-k sets are NQueries*k rows — joining them (and the
+    // query-id left join) must never shuffle-sort the corpus side
+    assert(p.contains("BroadcastHashJoin"), s"hit join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tiny metric join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in recall plan:\n$p")
+  }
+
   test("vocab build: global top-V via TakeOrderedAndProject with partial counts") {
     val p = plan(graft.ops.TrainingOps.vocabBuild(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"top-V fell back to a global sort:\n$p")

@@ -173,6 +173,59 @@ class TrainingIvfSpec extends AnyFunSuite {
     assert(got.nonEmpty, "IVF search must return results for the query set")
   }
 
+  test("annRecall matches an exact local recompute of all three top-k sets") {
+    import spark.implicits._
+    val k = SimilarityOps.DefaultK
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val queryIds = vecs.map(_._1).filter(_ < SimilarityOps.NQueries).sorted
+
+    def topK(qid: Long, qv: Array[Float], cands: Array[(Long, Array[Float])]): Set[Long] =
+      cands
+        .filter(_._1 != qid)
+        .map { case (id, v) => (id, math.floor(TextAlgos.cosine(qv, v) * 10000).toLong) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1).toSet
+
+    val byId = vecs.toMap
+    val exact = queryIds.map(q => q -> topK(q, byId(q), vecs)).toMap
+
+    // LSH: candidates share the query's bucket in ANY of the hash tables
+    val buckets = vecs.map { case (id, v) =>
+      id -> (0 until SimilarityOps.LshNTables).map { t =>
+        TextAlgos.hyperplaneBucket(v, SimilarityOps.LshNPlanes, t * SimilarityOps.LshNPlanes)
+      }.toArray
+    }.toMap
+    val lsh = queryIds.map { q =>
+      q -> topK(q, byId(q), vecs.filter { case (id, _) =>
+        buckets(id).indices.exists(t => buckets(id)(t) == buckets(q)(t))
+      })
+    }.toMap
+
+    // IVF: candidates live in the query's nProbe nearest cells
+    val cents = localCentroids(vecs, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents)
+    val ivf = queryIds.map { q =>
+      val probed = cents.toSeq.map { case (c, cv) =>
+        (math.floor(TextAlgos.l2(byId(q), cv) * 10000).toLong, c)
+      }.sorted.take(SimilarityOps.IvfNProbe).map(_._2).toSet
+      q -> topK(q, byId(q), vecs.filter { case (id, _) => probed.contains(assign(id)) })
+    }.toMap
+
+    val expected =
+      queryIds.map(q => ("lsh", q, (lsh(q) & exact(q)).size.toLong, k)).toSet ++
+      queryIds.map(q => ("ivf", q, (ivf(q) & exact(q)).size.toLong, k)).toSet
+
+    val got = SimilarityOps.annRecall(spark, dir)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the metric must be meaningful on the synth corpus: both scale paths
+    // recover a nonzero share of the exact neighbors, and hits <= k
+    assert(got.forall { case (_, _, h, _) => h >= 0 && h <= k })
+    assert(got.filter(_._1 == "lsh").map(_._3).sum > 0, "LSH recall is zero")
+    assert(got.filter(_._1 == "ivf").map(_._3).sum > 0, "IVF recall is zero")
+  }
+
   // ---- corpus-assembly ops: decontaminate / vocab / packing ----------
 
   test("decontaminate matches local gram-overlap recompute") {
