@@ -72,7 +72,8 @@ object SparkEntry {
     // driver's embeddings are near-random (max pairwise cosine ~0.51 at
     // verify scale), so the verify-time threshold is set where the data
     // actually HAS pairs — the planted-near-dup ScalaTest covers the
-    // 0.95 regime. nPlanes=6 matches the DuckDB oracle's inlined planes.
+    // 0.95 regime. nPlanes=6 matches the DuckDB oracle's inlined planes;
+    // the oracle replicates all EmbDupNTables plane families.
     "q24_embedding_dup_pairs" -> ((s, d) =>
       DedupOps.embeddingDupPairs(s, d, thresholdX10000 = 4500, nPlanes = 6)),
     "q36_dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
@@ -592,13 +593,18 @@ object SparkEntry {
            WHERE comp.lbl < e.doc_b)
          SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS is_canonical
          FROM comp GROUP BY doc_id""",
-    "q24_embedding_dup_pairs" ->
+    "q24_embedding_dup_pairs" -> {
+      val cols = (0 until ops.DedupOps.EmbDupNTables)
+        .map(t => s"${bucketSqlExpr("v", 6, t * 6)} AS b$t").mkString(", ")
+      val anyMatch = (0 until ops.DedupOps.EmbDupNTables)
+        .map(t => s"a.b$t = c.b$t").mkString(" OR ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v, ${bucketSqlExpr("v", 6)} AS bucket FROM e)
+         b AS (SELECT vec_id, v, $cols FROM e)
          SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
                 CAST(floor(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cosine_x10000
-         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-         WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= 4500""",
+         FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($anyMatch)
+         WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= 4500"""
+    },
     "q26_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          $lshCandidateCtes,

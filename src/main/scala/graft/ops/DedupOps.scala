@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *    least one intact 16-bit segment).
   *  - n-gram Jaccard: blocked by (lang, token-count bucket) to avoid the
   *    quadratic cross join.
-  *  - embedding cosine: hyperplane-LSH bucket join + exact cosine verify.
+  *  - embedding cosine: multi-table (OR-amplified) hyperplane-LSH bucket
+  *    join + exact cosine verify.
   */
 object DedupOps {
 
@@ -282,22 +283,47 @@ object DedupOps {
         (col("doc_id") === col("canonical_doc")).as("is_canonical"))
   }
 
-  /** Embedding near-dup pairs: hyperplane-LSH bucketing + exact cosine
-    * verification (cosine scaled to integer x10000 for engine-independent
-    * output).
+  /** Embedding near-dup pairs: multi-table hyperplane-LSH bucketing +
+    * exact cosine verification (cosine scaled to integer x10000 for
+    * engine-independent output).
+    *
+    * Why multi-table: one b-plane table finds a near-dup at angle θ with
+    * probability (1-θ/π)^b — at the 0.95-cosine regime (θ≈18°) that is
+    * only ~0.43 for b=8, i.e. a single table MISSES most true near-dups.
+    * L tables over disjoint plane families (OR-amplification, table t =
+    * planes [t·b, (t+1)·b)) lift recall to 1-(1-p)^L ≈ 0.9 at L=4 while
+    * candidates stay ~L·n²/2^b per table in expectation.
+    *
+    * 100 TB knobs: b grows with log2(corpus/targetBucketRows) so expected
+    * bucket size stays bounded (hash-accident collisions of dissimilar
+    * vectors split under deeper planes); L then restores recall. A bucket
+    * that stays large under deep planes holds genuinely near-identical
+    * vectors — its quadratic pair OUTPUT is the answer, not overhead.
     */
-  def embeddingDupPairs(spark: SparkSession, dir: String, thresholdX10000: Int = 9500, nPlanes: Int = 8): DataFrame = {
+  def embeddingDupPairs(
+      spark: SparkSession, dir: String, thresholdX10000: Int = 9500,
+      nPlanes: Int = 8, nTables: Int = EmbDupNTables): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // bucketing via the codegen'd expression — no typed ser/de boundary
+    // all tables' buckets in one codegen'd projection + posexplode — a
+    // narrow ×L fan-out; the self-join is an equi-join on (table, bucket)
+    val buckets = array((0 until nTables).map { t =>
+      expr(s"graft_hyperplane_bucket(embedding, $nPlanes, ${t * nPlanes})")
+    }: _*)
     val bucketed = table(spark, dir, "embeddings")
-      .select(
-        expr(s"graft_hyperplane_bucket(embedding, $nPlanes)").as("bucket"),
-        col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(buckets).as(Seq("t", "bucket")))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         expr("graft_cosine_x10000(a.embedding, b.embedding)").as("cosine_x10000"))
       .filter(col("cosine_x10000") >= thresholdX10000)
+      // a pair surfaces once per colliding table; the score is a pure
+      // function of the pair, so the 3-column dedup is exact and the
+      // aggregate shuffles only (id, id, int) triples
+      .dropDuplicates("vec_a", "vec_b", "cosine_x10000")
   }
+
+  val EmbDupNTables = 4
 }

@@ -373,20 +373,28 @@ class OpsSpec extends AnyFunSuite {
 
     val threshold = 9500
     val nPlanes = 4
-    val got = DedupOps.embeddingDupPairs(spark, tmp, threshold, nPlanes)
-      .as[(Long, Long, Long)].collect().toSet
-    // local truth: brute-force all pairs, same bucket + exact cosine
+    val gotRows = DedupOps.embeddingDupPairs(spark, tmp, threshold, nPlanes)
+      .as[(Long, Long, Long)].collect()
+    val got = gotRows.toSet
+    // multi-table candidates must never produce duplicate pair rows
+    assert(gotRows.length == got.size, "duplicate (vec_a, vec_b) rows")
+    // local truth: brute-force all pairs — same bucket in ANY table + exact cosine
     val expected = (for {
       (ia, va) <- all
       (ib, vb) <- all
       if ia < ib
-      if TextAlgos.hyperplaneBucket(va, nPlanes) == TextAlgos.hyperplaneBucket(vb, nPlanes)
+      if (0 until DedupOps.EmbDupNTables).exists { t =>
+        TextAlgos.hyperplaneBucket(va, nPlanes, t * nPlanes) ==
+          TextAlgos.hyperplaneBucket(vb, nPlanes, t * nPlanes)
+      }
       c = math.floor(TextAlgos.cosine(va, vb) * 10000).toLong
       if c >= threshold
     } yield (ia, ib, c)).toSet
     assert(got == expected)
-    // the planted near-dups must actually be found (non-vacuous test)
-    assert(expected.size >= 4, s"only ${expected.size} planted pairs survived bucketing")
+    // the planted near-dups must actually be found (non-vacuous test);
+    // OR-amplification should catch MORE of the 8 planted pairs than the
+    // ~0.43-recall single table did
+    assert(expected.size >= 6, s"only ${expected.size} planted pairs survived bucketing")
   }
 
   test("page-range parse: '1-3,5' style strings explode to the exact page lists") {
