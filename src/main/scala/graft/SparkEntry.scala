@@ -195,6 +195,21 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product($vCol, $lits) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Per-table bucket columns `b0..b{L-1}` of a vector column — the
+    * oracle-side twin of `GraftFunctions.tableBuckets` (same plane-family
+    * layout: table t = planes [t*nPlanes, (t+1)*nPlanes)). ONE definition
+    * feeds every multi-table oracle (q24, q26, q59) so a layout change
+    * cannot silently break a subset of them.
+    */
+  private def bucketColsSql(vCol: String, nPlanes: Int, nTables: Int): String =
+    (0 until nTables)
+      .map(t => s"${bucketSqlExpr(vCol, nPlanes, t * nPlanes)} AS b$t")
+      .mkString(", ")
+
+  /** `a.b0 = b.b0 OR ...` — OR-amplified any-table bucket match. */
+  private def anyTableMatchSql(a: String, b: String, nTables: Int): String =
+    (0 until nTables).map(t => s"$a.b$t = $b.b$t").mkString(" OR ")
+
   /** CTE fragment recomputing the multi-table LSH candidate pairs of
     * `SimilarityOps.lshTopK` in DuckDB: per-table buckets b0..b{L-1}
     * (each from the engine's exact plane family via bucketSqlExpr), a
@@ -202,15 +217,11 @@ object SparkEntry {
     * Yields CTEs `lb` (bucketed corpus) and `lcand(query_id, neighbor_id)`.
     */
   private def lshCandidateCtes: String = {
-    val cols = (0 until ops.SimilarityOps.LshNTables).map { t =>
-      s"${bucketSqlExpr("v", ops.SimilarityOps.LshNPlanes, t * ops.SimilarityOps.LshNPlanes)} AS b$t"
-    }.mkString(", ")
-    val anyMatch = (0 until ops.SimilarityOps.LshNTables)
-      .map(t => s"q.b$t = n.b$t").mkString(" OR ")
-    s"""lb AS (SELECT vec_id, v, $cols FROM e),
+    val L = ops.SimilarityOps.LshNTables
+    s"""lb AS (SELECT vec_id, v, ${bucketColsSql("v", ops.SimilarityOps.LshNPlanes, L)} FROM e),
        lcand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
-                 FROM (SELECT * FROM lb WHERE vec_id < 8) q
-                 JOIN lb n ON n.vec_id <> q.vec_id AND ($anyMatch))"""
+                 FROM (SELECT * FROM lb WHERE vec_id < ${ops.SimilarityOps.NQueries}) q
+                 JOIN lb n ON n.vec_id <> q.vec_id AND (${anyTableMatchSql("q", "n", L)}))"""
   }
 
   /** DuckDB-runnable oracle SQL (same parquet tables registered by name).
@@ -455,8 +466,9 @@ object SparkEntry {
                 CAST(l_discount AS VARCHAR))) AS signature
          FROM lineitem""",
     "q42_l2_nearest" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < ${ops.SimilarityOps.NQueries}),
          s AS (SELECT query_id, vec_id,
                       CAST(floor(list_distance(qv, v) * 10000) AS BIGINT) AS l2_x10000
                FROM q, e WHERE vec_id <> query_id)
@@ -593,18 +605,14 @@ object SparkEntry {
            WHERE comp.lbl < e.doc_b)
          SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS is_canonical
          FROM comp GROUP BY doc_id""",
-    "q24_embedding_dup_pairs" -> {
-      val cols = (0 until ops.DedupOps.EmbDupNTables)
-        .map(t => s"${bucketSqlExpr("v", 6, t * 6)} AS b$t").mkString(", ")
-      val anyMatch = (0 until ops.DedupOps.EmbDupNTables)
-        .map(t => s"a.b$t = c.b$t").mkString(" OR ")
+    "q24_embedding_dup_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v, $cols FROM e)
+         b AS (SELECT vec_id, v, ${bucketColsSql("v", 6, ops.DedupOps.EmbDupNTables)} FROM e)
          SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
                 CAST(floor(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cosine_x10000
-         FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($anyMatch)
-         WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= 4500"""
-    },
+         FROM b a JOIN b c ON a.vec_id < c.vec_id
+           AND (${anyTableMatchSql("a", "c", ops.DedupOps.EmbDupNTables)})
+         WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= 4500""",
     "q26_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          $lshCandidateCtes,
@@ -614,7 +622,7 @@ object SparkEntry {
          SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
            FROM s) t
-         WHERE rank <= 3""",
+         WHERE rank <= ${ops.SimilarityOps.DefaultK}""",
     "q27_media_features" ->
       """WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
          u AS (SELECT doc_id,
@@ -719,14 +727,15 @@ object SparkEntry {
                   CAST(sum(list_sum(list_transform(steps, s -> len(s.temperature_records)))) AS BIGINT), 6 FROM r
          ) ORDER BY table_name""",
     "q25_ann_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                     WHERE vec_id < ${ops.SimilarityOps.NQueries}),
          s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
                       CAST(floor(list_cosine_similarity(qe, embedding) * 10000) AS BIGINT) AS cosine_x10000
                FROM q, embeddings WHERE vec_id <> qid)
          SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
            FROM s) t
-         WHERE rank <= 3""",
+         WHERE rank <= ${ops.SimilarityOps.DefaultK}""",
     "q52_train_split" ->
       """SELECT doc_id, bucket,
          CASE WHEN bucket < 64 THEN 'train' WHEN bucket < 80 THEN 'val' ELSE 'test' END AS split
@@ -759,7 +768,7 @@ object SparkEntry {
     // recomputes the DOWNSTREAM search — corpus cell assignment, nProbe
     // cell selection, candidate scoring, top-k — from those centroids
     "q54_ann_ivf_topk" ->
-      """WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+      s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
                     FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          a AS (SELECT vec_id,
@@ -770,14 +779,15 @@ object SparkEntry {
                  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
                         row_number() OVER (PARTITION BY e.vec_id
                           ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
-                 FROM e CROSS JOIN c WHERE e.vec_id < 8) z WHERE pr <= 2),
+                 FROM e CROSS JOIN c WHERE e.vec_id < ${ops.SimilarityOps.NQueries}) z
+                 WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
          s AS (SELECT p.query_id, idx.vec_id AS neighbor_id,
                       CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
                FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id)
          SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
            FROM s) t
-         WHERE rank <= 3""",
+         WHERE rank <= ${ops.SimilarityOps.DefaultK}""",
     // edge side of q44: same per-label signature recipe, plus the
     // containment joins (root->struct child, root->array elements,
     // step->its temperature records), deduplicated after unification
@@ -859,20 +869,21 @@ object SparkEntry {
     // paths' output quality, not just their row sets.
     "q59_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < ${ops.SimilarityOps.NQueries}),
          xs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
                        CAST(floor(list_cosine_similarity(q.qv, e.v) * 10000) AS BIGINT) AS cosine_x10000
                 FROM q JOIN e ON e.vec_id <> q.query_id),
          exact AS (SELECT query_id, neighbor_id FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
-             FROM xs) t WHERE rank <= 3),
+             FROM xs) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
          $lshCandidateCtes,
          ls AS (SELECT c.query_id, c.neighbor_id,
                        CAST(floor(list_cosine_similarity(q.v, n.v) * 10000) AS BIGINT) AS cosine_x10000
                 FROM lcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
          lsh AS (SELECT query_id, neighbor_id FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
-             FROM ls) t WHERE rank <= 3),
+             FROM ls) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
          c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
                FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
          a AS (SELECT vec_id,
@@ -883,23 +894,26 @@ object SparkEntry {
                  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
                         row_number() OVER (PARTITION BY e.vec_id
                           ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
-                 FROM e CROSS JOIN c WHERE e.vec_id < 8) z WHERE pr <= 2),
+                 FROM e CROSS JOIN c WHERE e.vec_id < ${ops.SimilarityOps.NQueries}) z
+                 WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
          ivs AS (SELECT p.query_id, idx.vec_id AS neighbor_id,
                         CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
                  FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id),
          ivf AS (SELECT query_id, neighbor_id FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
-             FROM ivs) t WHERE rank <= 3),
+             FROM ivs) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
          hl AS (SELECT l.query_id, count(*) AS hits FROM lsh l
                 JOIN exact x ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
                 GROUP BY l.query_id),
          hi AS (SELECT i.query_id, count(*) AS hits FROM ivf i
                 JOIN exact x ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
                 GROUP BY i.query_id)
-         SELECT 'lsh' AS method, q.query_id, coalesce(hl.hits, 0) AS hits, CAST(3 AS INTEGER) AS k
+         SELECT 'lsh' AS method, q.query_id, coalesce(hl.hits, 0) AS hits,
+                CAST(${ops.SimilarityOps.DefaultK} AS INTEGER) AS k
          FROM q LEFT JOIN hl ON q.query_id = hl.query_id
          UNION ALL
-         SELECT 'ivf' AS method, q.query_id, coalesce(hi.hits, 0) AS hits, CAST(3 AS INTEGER) AS k
+         SELECT 'ivf' AS method, q.query_id, coalesce(hi.hits, 0) AS hits,
+                CAST(${ops.SimilarityOps.DefaultK} AS INTEGER) AS k
          FROM q LEFT JOIN hi ON q.query_id = hi.query_id"""
   )
 }

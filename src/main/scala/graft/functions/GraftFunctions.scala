@@ -245,6 +245,18 @@ object GraftFunctions {
       if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
   }
+
+  /** Array column of all `nTables` per-table LSH buckets of `embCol`
+    * (table t = disjoint plane family [t*nPlanes, (t+1)*nPlanes)) — the
+    * ONE definition of the multi-table plane-family layout on the engine
+    * side, shared by lshTopK and embeddingDupPairs; the oracle-side twin
+    * is SparkEntry's bucketSqlExpr/anyTableMatchSql.
+    */
+  def tableBuckets(embCol: String, nPlanes: Int, nTables: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.array((0 until nTables).map { t =>
+      org.apache.spark.sql.functions.expr(
+        s"graft_hyperplane_bucket($embCol, $nPlanes, ${t * nPlanes})")
+    }: _*)
 }
 
 /** `SparkSessionExtensions` hook: makes every graft function available to

@@ -304,25 +304,32 @@ object DedupOps {
       spark: SparkSession, dir: String, thresholdX10000: Int = 9500,
       nPlanes: Int = 8, nTables: Int = EmbDupNTables): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // all tables' buckets in one codegen'd projection + posexplode — a
-    // narrow ×L fan-out; the self-join is an equi-join on (table, bucket)
-    val buckets = array((0 until nTables).map { t =>
-      expr(s"graft_hyperplane_bucket(embedding, $nPlanes, ${t * nPlanes})")
-    }: _*)
-    val bucketed = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        posexplode(buckets).as(Seq("t", "bucket")))
+    // Candidate generation stays NARROW: the bucket projection computes
+    // all tables' buckets in one codegen'd pass but emits only
+    // (vec_id, t, bucket) — the self-join shuffles L small int-triples
+    // per vector, never the embedding (shuffling embeddings through a
+    // (t,bucket) exchange would carry the widest column L× per side).
+    val buckets = graft.functions.GraftFunctions.tableBuckets("embedding", nPlanes, nTables)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bucketed = emb.select(col("vec_id"), posexplode(buckets).as(Seq("t", "bucket")))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
-    a.join(b, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+    // dedup pairs BEFORE fetching embeddings: a pair colliding in m
+    // tables surfaces m times here, but is scored exactly once below
+    val cand = a
+      .join(b, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
         && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("graft_cosine_x10000(a.embedding, b.embedding)").as("cosine_x10000"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    // fetch each side's embedding once per pair and verify exactly —
+    // embeddings cross one exchange per side, independent of L
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("graft_cosine_x10000(emb_a, emb_b)").as("cosine_x10000"))
       .filter(col("cosine_x10000") >= thresholdX10000)
-      // a pair surfaces once per colliding table; the score is a pure
-      // function of the pair, so the 3-column dedup is exact and the
-      // aggregate shuffles only (id, id, int) triples
-      .dropDuplicates("vec_a", "vec_b", "cosine_x10000")
   }
 
   val EmbDupNTables = 4

@@ -101,19 +101,25 @@ object SimilarityOps {
     *
     * Pure-DataFrame formulation like bruteTopK — no driver-side collect:
     * buckets for all tables come from one codegen'd projection +
-    * posexplode (narrow ×L fan-out of (id, int) pairs, never embeddings),
-    * the (tiny) bucketed query set is broadcast, candidates equi-join on
-    * (table, bucket), duplicates found via several tables collapse in a
-    * hash-aggregate that shuffles only (query, neighbor, score) triples.
+    * posexplode, the (tiny) bucketed query set is broadcast, candidates
+    * equi-join on (table, bucket), duplicates found via several tables
+    * collapse in a hash-aggregate that shuffles only (query, neighbor,
+    * score) triples. Cost model for tuning L: the corpus side never
+    * crosses an exchange (the join is map-side against the broadcast
+    * query set), but the posexplode DOES duplicate each corpus row —
+    * embedding included, it feeds the in-map scoring — ×L through that
+    * map stage, and a neighbor colliding in m tables is scored m times
+    * before the dedup; raising L costs ~linear map-side work and
+    * candidate volume, never extra embedding shuffle. (Contrast
+    * DedupOps.embeddingDupPairs, whose corpus×corpus self-join DOES
+    * shuffle — there candidates are deduped narrow, before scoring.)
     */
   def lshTopK(
       spark: SparkSession, dir: String, k: Int = DefaultK,
       nPlanes: Int = LshNPlanes, nTables: Int = LshNTables): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val buckets = array((0 until nTables).map { t =>
-      expr(s"graft_hyperplane_bucket(embedding, $nPlanes, ${t * nPlanes})")
-    }: _*)
+    val buckets = graft.functions.GraftFunctions.tableBuckets("embedding", nPlanes, nTables)
     val bucketed = vecs.select(
       col("vec_id"), col("embedding"), posexplode(buckets).as(Seq("t", "bucket")))
     val queries = bucketed
