@@ -24,6 +24,9 @@ object SparkEntry {
   /** Structured records in the verify-scale shredding corpus. */
   val VerifyRecords = 200L
 
+  /** Synthetic web docs (planted emails/phones/URLs) for q61/q62. */
+  val VerifyWebDocs = 240L
+
   /** Flagship: full extraction pipeline over the synthetic transcript
     * corpus — per-conversation failure rollup (SURVEY.md §7.2 minimum
     * slice). Driver smoke-checks rows > 0 on sf0.001.
@@ -169,7 +172,13 @@ object SparkEntry {
     "q58_pack_sequences" -> ((s, d) => TrainingOps.packSequences(s, d)),
     // acceptance metric for the approximate ANN paths: per-(method, query)
     // recall@k vs the exact brute-force top-k
-    "q59_ann_recall" -> ((s, d) => SimilarityOps.annRecall(s, d))
+    "q59_ann_recall" -> ((s, d) => SimilarityOps.annRecall(s, d)),
+    // --- web-corpus curation (Gopher-style repetition, PII, URL norm) ---
+    "q60_repetition" -> ((s, d) => WebOps.repetitionStats(s, d)),
+    "q61_pii_redact" -> ((s, _) =>
+      WebOps.piiRedact(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    "q62_url_hosts" -> ((s, _) =>
+      WebOps.urlHosts(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
   )
 
   private val reviewerList =
@@ -914,6 +923,48 @@ object SparkEntry {
          UNION ALL
          SELECT 'ivf' AS method, q.query_id, coalesce(hi.hits, 0) AS hits,
                 CAST(${ops.SimilarityOps.DefaultK} AS INTEGER) AS k
-         FROM q LEFT JOIN hi ON q.query_id = hi.query_id"""
+         FROM q LEFT JOIN hi ON q.query_id = hi.query_id""",
+    // Gopher-style repetition stats: DuckDB recomputes the 2-gram
+    // frequencies the ORTHOGONAL way (unnest + groupBy + window rank)
+    // vs the engine's narrow array_sort+fold — same result, independent
+    // algorithm. `//` (floor) == Spark `div` (truncate) on the
+    // non-negative operands here.
+    "q60_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         w AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words,
+                      CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+                      CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS word_chars
+               FROM d),
+         b AS (SELECT doc_id, unnest([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS bigram FROM w),
+         c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
+         t AS (SELECT doc_id, bigram, cnt FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn FROM c) z
+               WHERE rn = 1),
+         r AS (SELECT w.doc_id, w.n_words,
+                      CAST(CASE WHEN w.n_words = 0 THEN 0
+                           ELSE (w.n_words - w.n_distinct) * 10000 // w.n_words END AS BIGINT) AS dup_word_frac_x10000,
+                      coalesce(t.bigram, '') AS top_bigram,
+                      CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_bigram_count,
+                      CAST(CASE WHEN w.word_chars = 0 OR t.cnt IS NULL THEN 0
+                           ELSE t.cnt * (length(t.bigram) - 1) * 10000 // w.word_chars END AS BIGINT) AS top_bigram_char_frac_x10000
+               FROM w LEFT JOIN t USING (doc_id))
+         SELECT *, dup_word_frac_x10000 <= ${ops.WebOps.MaxDupWordFracX10000}
+                   AND top_bigram_char_frac_x10000 <= ${ops.WebOps.MaxTopBigramCharFracX10000} AS keep
+         FROM r""",
+    // PII redaction parity: DuckDB (RE2) re-runs the SAME patterns the
+    // engine (Java regex) uses — leftmost-first semantics agree for these
+    // alternations — and sha256 asserts byte equality of the redacted text
+    "q61_pii_redact" ->
+      s"""SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '${ops.WebOps.EmailRe}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '${ops.WebOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         sha256(regexp_replace(regexp_replace(text, '${ops.WebOps.EmailRe}', '<EMAIL>', 'g'),
+                               '${ops.WebOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_sha
+         FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')""",
+    "q62_url_hosts" ->
+      s"""WITH u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS url
+                   FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
+         h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host FROM u)
+         SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY host"""
   )
 }

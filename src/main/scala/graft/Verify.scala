@@ -36,6 +36,9 @@ object Verify {
       ops.ShredOps.structuredRecords(spark, SparkEntry.VerifyRecords)
         .toDF().coalesce(1).write.mode("overwrite")
         .parquet(s"$synthDir/records.parquet")
+      synth.WebDocs.docs(spark, SparkEntry.VerifyWebDocs)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$synthDir/web_docs.parquet")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] synth materialization failed: ${e.getMessage}")
     }

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators a 100 TB training-data pipeline needs on
+  * top of the dedup/quality families: Gopher-style intra-document
+  * repetition statistics, PII redaction, and URL host normalization.
+  *
+  * Scale notes: `repetitionStats` and `piiRedact` are pure per-row column
+  * expressions (no shuffle at all — the plan is scan → project, perfectly
+  * linear at any cluster size; `PlanShapeSpec` pins the no-Exchange shape).
+  * `urlHosts` is the one genuine cross-doc aggregation and shuffles only
+  * (host, partial-count) pairs after map-side combine.
+  */
+object WebOps {
+
+  import RelationalOps.table
+
+  /** RE2-safe (and Java-regex-identical) patterns — shared verbatim with
+    * the DuckDB oracle SQL, so both engines run the same expression.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "(\\+1 )?(\\([0-9]{3}\\) |[0-9]{3}-)[0-9]{3}-[0-9]{4}"
+  val UrlRe = "https?://[^ ]+"
+  val HostRe = "https?://([^/ ?#]+)"
+
+  /** Keep thresholds for the repetition gate (x10000 fixed point). The
+    * synthetic word-soup draws ~30 vocab words per ~100-word doc, so
+    * duplicate-word fractions sit high by construction; the gates are set
+    * where the corpus actually splits (probed at sf0.001/sf0.01) — the
+    * OPERATOR is the metric computation, the constants are corpus policy.
+    */
+  val MaxDupWordFracX10000 = 6000L
+  val MaxTopBigramCharFracX10000 = 700L
+
+  /** Gopher-style repetition statistics per document (word level — the
+    * corpus has no newlines, so "lines" degenerate; word/2-gram repetition
+    * is the discriminating signal). Per doc:
+    *   - dup_word_frac      = (n_words - n_distinct_words) / n_words
+    *   - top_bigram         = most frequent word 2-gram (lexicographically
+    *                          smallest on count ties)
+    *   - top_bigram_char_frac = chars covered by occurrences of that
+    *                          2-gram / total word chars (overlapping
+    *                          occurrences counted per-occurrence)
+    * All fractions are x10000 integer fixed point (hash-stable vs DuckDB).
+    *
+    * Entirely narrow: 2-gram frequencies come from an `array_sort` +
+    * `aggregate` run-length fold INSIDE the row, not from an exploded
+    * groupBy — per-doc stats never need a shuffle, and at 100 TB the
+    * explode alternative would shuffle ~n_words rows per doc for nothing.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val fold = (st: Column, x: Column) => {
+      val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+        .otherwise(lit(1L))
+      // strict '>' keeps the FIRST max run in sorted order = the
+      // lexicographically smallest 2-gram on ties (oracle: cnt DESC, gram ASC)
+      val better = run > st.getField("best")
+      struct(
+        x.as("prev"),
+        run.as("run"),
+        when(better, run).otherwise(st.getField("best")).as("best"),
+        when(better, x).otherwise(st.getField("gram")).as("gram"))
+    }
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("words"))).cast("long"))
+      .withColumn(
+        "word_chars",
+        aggregate(col("words"), lit(0L), (acc, w) => acc + length(w).cast("long")))
+      .withColumn(
+        "bigrams",
+        when(
+          col("n_words") >= 2,
+          zip_with(
+            slice(col("words"), lit(1), size(col("words")) - 1),
+            slice(col("words"), lit(2), size(col("words")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")))
+      .withColumn(
+        "top",
+        aggregate(
+          array_sort(col("bigrams")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit("").as("gram")),
+          fold,
+          st => struct(st.getField("best").as("cnt"), st.getField("gram").as("gram"))))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("(n_words - n_distinct) * 10000 div n_words"))
+          .as("dup_word_frac_x10000"),
+        col("top.gram").as("top_bigram"),
+        col("top.cnt").as("top_bigram_count"),
+        when(col("word_chars") === 0, 0L)
+          // chars covered per occurrence = the two words = len(gram) - 1 (separator)
+          .otherwise(expr("top.cnt * (length(top.gram) - 1) * 10000 div word_chars"))
+          .as("top_bigram_char_frac_x10000"))
+      .withColumn(
+        "keep",
+        col("dup_word_frac_x10000") <= MaxDupWordFracX10000 &&
+          col("top_bigram_char_frac_x10000") <= MaxTopBigramCharFracX10000)
+  }
+
+  /** PII redaction over a scraped-text table: email/phone match counts and
+    * the sha256 of the redacted text (emails replaced first, then phones —
+    * the sha lets the oracle assert BYTE equality of the full redacted
+    * string without hauling long text through the compare).
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      sha2(
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+        256).as("redacted_sha"))
+
+  /** URL extraction + host normalization + host-level rollup: lowercase
+    * host, strip a leading `www.`, then count URLs and distinct docs per
+    * host. The only shuffle is the (host) aggregation — map-side partial
+    * aggregation reduces it to |hosts| keys per partition.
+    */
+  def urlHosts(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .withColumn(
+        "host",
+        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+}

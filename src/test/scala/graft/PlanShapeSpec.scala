@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.Turn
-import graft.ops.RelationalOps
+import graft.ops.{RelationalOps, WebOps}
 import graft.pipeline.Pipeline
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -126,5 +126,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n$p")
     assert(p.contains("BroadcastHashJoin"), s"long-conv join should broadcast:\n$p")
+  }
+
+  test("repetition stats and PII redaction are scan->project: zero shuffles") {
+    // per-doc metrics must never shuffle — the explode+groupBy alternative
+    // would move ~n_words rows per doc for a per-row statistic
+    val p1 = plan(WebOps.repetitionStats(spark, dir))
+    assert(!p1.contains("Exchange"), s"repetitionStats shuffles:\n$p1")
+    val p2 = plan(WebOps.piiRedact(graft.synth.WebDocs.docs(spark, 100)))
+    assert(!p2.contains("Exchange"), s"piiRedact shuffles:\n$p2")
+  }
+
+  test("url host rollup shuffles only the aggregation, with map-side partials") {
+    val p = plan(WebOps.urlHosts(graft.synth.WebDocs.docs(spark, 100)))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected only the host agg + distinct exchanges:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
   }
 }

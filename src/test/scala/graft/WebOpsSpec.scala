@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.WebOps
+import graft.synth.WebDocs
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Local-truth tests for the web-corpus curation operators: handcrafted
+  * repetition expectations (incl. the count-tie lexicographic break), a
+  * java.util.regex recomputation of the PII redaction over the planted
+  * corpus, URL host-normalization merges, and generator determinism.
+  */
+class WebOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def repStats(docs: Seq[(Long, String)]): Map[Long, Row] = {
+    val dir = java.nio.file.Files.createTempDirectory("webops").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    WebOps.repetitionStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("repetitionStats: handcrafted duplicate-word and top-bigram fractions") {
+    val m = repStats(Seq(1L -> "a b a b c", 2L -> "solo", 3L -> "x y z"))
+    // doc 1: 5 words, 3 distinct -> dup = 10000*2/5; bigrams [a b, b a, a b, b c]
+    // top = "a b" x2; word chars = 5; covered chars per occurrence = 2
+    val r1 = m(1L)
+    assert(r1.getLong(r1.fieldIndex("n_words")) == 5L)
+    assert(r1.getLong(r1.fieldIndex("dup_word_frac_x10000")) == 4000L)
+    assert(r1.getString(r1.fieldIndex("top_bigram")) == "a b")
+    assert(r1.getLong(r1.fieldIndex("top_bigram_count")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("top_bigram_char_frac_x10000")) == 8000L)
+    assert(!r1.getBoolean(r1.fieldIndex("keep"))) // top-bigram gate trips
+    // doc 2: single word -> no bigrams, zero fractions, keep
+    val r2 = m(2L)
+    assert(r2.getLong(r2.fieldIndex("dup_word_frac_x10000")) == 0L)
+    assert(r2.getString(r2.fieldIndex("top_bigram")) == "")
+    assert(r2.getLong(r2.fieldIndex("top_bigram_count")) == 0L)
+    assert(r2.getBoolean(r2.fieldIndex("keep")))
+    // doc 3: all distinct; top bigram is a 1-count tie -> smallest wins
+    val r3 = m(3L)
+    assert(r3.getLong(r3.fieldIndex("dup_word_frac_x10000")) == 0L)
+    assert(r3.getString(r3.fieldIndex("top_bigram")) == "x y")
+  }
+
+  test("repetitionStats: count ties break to the lexicographically smallest bigram") {
+    // bigrams: "x y" x2, "y q" x2, "q r" x2, "r x" x1 -> tie, "q r" smallest
+    val m = repStats(Seq(9L -> "x y q r x y q r"))
+    val r = m(9L)
+    assert(r.getLong(r.fieldIndex("top_bigram_count")) == 2L)
+    assert(r.getString(r.fieldIndex("top_bigram")) == "q r")
+  }
+
+  test("piiRedact matches a java.util.regex local recomputation over the planted corpus") {
+    val n = 60L
+    val got = WebOps.piiRedact(WebDocs.docs(spark, n)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.size == n)
+    var sawEmail, sawPhoneA, sawPhoneB = false
+    (0L until n).foreach { id =>
+      val t = WebDocs.text(id)
+      val emails = WebOps.EmailRe.r.findAllIn(t).size
+      val phones = WebOps.PhoneRe.r.findAllIn(t).size
+      val redacted = t.replaceAll(WebOps.EmailRe, "<EMAIL>")
+        .replaceAll(WebOps.PhoneRe, "<PHONE>")
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id) == ((emails.toLong, phones.toLong, sha)), s"doc $id")
+      // redaction is complete: no residual matches
+      assert(WebOps.EmailRe.r.findFirstIn(redacted).isEmpty)
+      assert(WebOps.PhoneRe.r.findFirstIn(redacted).isEmpty)
+      sawEmail |= emails > 0; sawPhoneA |= t.contains("+1 "); sawPhoneB |= t.contains("tel (")
+    }
+    assert(sawEmail && sawPhoneA && sawPhoneB) // corpus actually plants all shapes
+  }
+
+  test("urlHosts lowercases, strips www., and merges host families") {
+    val docs = Seq(
+      (1L, "see https://WWW.Foo.COM/a and http://foo.com/b?x=1"),
+      (2L, "ref https://foo.com/c plus http://Bar.org/")).toDF("doc_id", "text")
+    val got = WebOps.urlHosts(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("foo.com" -> ((3L, 2L)), "bar.org" -> ((1L, 1L))))
+  }
+
+  test("WebDocs generation is deterministic and parallelism-independent") {
+    val a = WebDocs.docs(spark, 40).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val b = (0L until 40L).map(id => (id, WebDocs.text(id)))
+    assert(a.toSeq == b)
+  }
+}
