@@ -173,6 +173,11 @@ object SparkEntry {
     // acceptance metric for the approximate ANN paths: per-(method, query)
     // recall@k vs the exact brute-force top-k
     "q59_ann_recall" -> ((s, d) => SimilarityOps.annRecall(s, d)),
+    // token encoding with the top-V vocab (the q57 -> q63 -> q58 chain);
+    // V=20 < |corpus vocab| so OOV (id 0) genuinely occurs at verify scale
+    "q63_encode_docs" -> ((s, d) => TrainingOps.encodeDocs(s, d)),
+    // deterministic per-language stratified sampling (content-hash bucket)
+    "q64_stratified_sample" -> ((s, d) => TrainingOps.stratifiedSample(s, d)),
     // --- web-corpus curation (Gopher-style repetition, PII, URL norm) ---
     "q60_repetition" -> ((s, d) => WebOps.repetitionStats(s, d)),
     "q61_pii_redact" -> ((s, _) =>
@@ -924,6 +929,32 @@ object SparkEntry {
          SELECT 'ivf' AS method, q.query_id, coalesce(hi.hits, 0) AS hits,
                 CAST(${ops.SimilarityOps.DefaultK} AS INTEGER) AS k
          FROM q LEFT JOIN hi ON q.query_id = hi.query_id""",
+    // token encoding: DuckDB rebuilds the top-V vocab, encodes by explode +
+    // left join + ORDER BY position (the orthogonal algorithm to the
+    // engine's broadcast-map transform) and shas the joined id sequence
+    "q63_encode_docs" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS vocab_id
+               FROM (SELECT token, count(*) AS cnt
+                     FROM (SELECT unnest(words) AS token FROM d) u
+                     WHERE token <> '' GROUP BY 1) c
+               ORDER BY cnt DESC, token ASC
+               LIMIT ${ops.TrainingOps.EncodeVocabSize}),
+         tok AS (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS token FROM d),
+         enc AS (SELECT t.doc_id, t.pos, CAST(coalesce(v.vocab_id, 0) AS INTEGER) AS id
+                 FROM tok t LEFT JOIN v USING (token))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                sha256(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_sha
+         FROM enc GROUP BY doc_id""",
+    "q64_stratified_sample" ->
+      s"""SELECT doc_id, lang, bucket FROM (
+           SELECT doc_id, lang,
+                  CAST('0x' || substr(sha256('7|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+           FROM documents) t
+         WHERE bucket < (CASE lang ${ops.TrainingOps.DefaultStrata
+          .map { case (l, p) => s"WHEN '$l' THEN $p" }
+          .mkString(" ")} ELSE 0 END)""",
     // Gopher-style repetition stats: DuckDB recomputes the 2-gram
     // frequencies the ORTHOGONAL way (unnest + groupBy + window rank)
     // vs the engine's narrow array_sort+fold — same result, independent

@@ -190,6 +190,70 @@ object TrainingOps {
       .select(col("token"), col("cnt"), col("vocab_id"))
   }
 
+  /** Vocab size for the ENCODING query — deliberately smaller than the
+    * corpus vocabulary so out-of-vocabulary tokens (id 0) actually occur
+    * at verify scale and the OOV path is exercised, not just compiled.
+    */
+  val EncodeVocabSize = 20
+
+  /** Token encoding with the built vocabulary — the step between
+    * `vocabBuild` (q57) and `packSequences` (q58): each document becomes
+    * its id sequence (OOV -> 0), reported as (n_tokens, n_oov,
+    * sha256 of the comma-joined ids) so the oracle asserts BYTE equality
+    * of the whole sequence.
+    *
+    * Scale shape: the vocab is top-V by construction (V rows), so it is
+    * collapsed to ONE map column and broadcast; encoding is then a pure
+    * per-row `transform` lookup — no explode, no shuffle of token rows.
+    * The explode+join alternative would shuffle one row PER TOKEN of the
+    * corpus (~100x the doc count) to recompute a per-doc value.
+    */
+  def encodeDocs(spark: SparkSession, dir: String, vocabSize: Int = EncodeVocabSize): DataFrame = {
+    val vmap = vocabBuild(spark, dir, vocabSize)
+      .agg(map_from_entries(collect_list(struct(col("token"), col("vocab_id")))).as("vmap"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .crossJoin(broadcast(vmap))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        transform(col("words"), w => coalesce(element_at(col("vmap"), w), lit(0))).as("ids"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + when(x === 0, 1L).otherwise(0L)).as("n_oov"),
+        sha2(concat_ws(",", transform(col("ids"), _.cast("string"))), 256).as("ids_sha"))
+  }
+
+  /** Per-language sampling percentages for the stratified sampler —
+    * corpus policy, not operator logic (skewed so the dominant language
+    * is downsampled, the standard web-corpus rebalancing move).
+    */
+  val DefaultStrata: Seq[(String, Int)] = Seq(
+    "de" -> 80, "en" -> 40, "es" -> 60, "fr" -> 60, "zh" -> 80)
+
+  /** Deterministic stratified sampling: keep a doc iff its content-hash
+    * bucket (same sha256 family as `trainSplit`, different salt) falls
+    * under its language's percentage. Unlike `df.sampleBy` (RNG-and-
+    * partitioning dependent) this is a pure projection + filter — no
+    * shuffle, reproducible in any engine, and stable under corpus growth
+    * (adding docs never changes an existing doc's fate).
+    */
+  def stratifiedSample(
+      spark: SparkSession,
+      dir: String,
+      strata: Seq[(String, Int)] = DefaultStrata,
+      seed: String = "7"): DataFrame = {
+    val pctMap = map(strata.flatMap { case (l, p) => Seq(lit(l), lit(p)) }: _*)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn(
+        "bucket",
+        conv(substring(sha2(concat_ws("|", lit(seed), col("doc_id").cast("string")), 256), 1, 8),
+          16, 10).cast("long") % 100)
+      .filter(col("bucket") < coalesce(element_at(pctMap, col("lang")), lit(0)))
+  }
+
   /** Sequence packing: concat-and-chunk dataloader layout. Documents are
     * laid end-to-end in doc_id order and cut into fixed `budget`-token
     * chunks; each doc reports where it lands —

@@ -137,6 +137,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("Exchange"), s"piiRedact shuffles:\n$p2")
   }
 
+  test("stratified sample is a pure projection+filter: zero shuffles") {
+    val p = plan(graft.ops.TrainingOps.stratifiedSample(spark, dir))
+    assert(!p.contains("Exchange"), s"stratifiedSample shuffles:\n$p")
+  }
+
+  test("token encoding never shuffles the corpus: vocab is broadcast as one map row") {
+    val p = plan(graft.ops.TrainingOps.encodeDocs(spark, dir))
+    // allowed exchanges: the top-V vocab build (partial/final token counts
+    // + its single-row collapse) — never a corpus-keyed hashpartitioning
+    assert(p.contains("BroadcastNestedLoopJoin"), s"vocab map not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side join fell back to SMJ:\n$p")
+    val corpusExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(corpusExchanges == 0, s"encode shuffles the corpus:\n$p")
+  }
+
   test("url host rollup shuffles only the aggregation, with map-side partials") {
     val p = plan(WebOps.urlHosts(graft.synth.WebDocs.docs(spark, 100)))
     val exchanges = "Exchange".r.findAllIn(p).size

@@ -295,4 +295,46 @@ class TrainingIvfSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("encodeDocs matches a local vocab + encode recompute; OOV actually occurs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, t) =>
+      TextAlgos.tokenize(t).foreach(tok => counts(tok) = counts.getOrElse(tok, 0L) + 1)
+    }
+    val vocab = counts.toSeq
+      .sortBy { case (tok, c) => (-c, tok) }
+      .take(TrainingOps.EncodeVocabSize)
+      .zipWithIndex.map { case ((tok, _), i) => tok -> (i + 1) }.toMap
+    val got = TrainingOps.encodeDocs(spark, dir)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == docs.length)
+    var totalOov = 0L
+    docs.foreach { case (id, t) =>
+      val ids = t.trim.split("\\s+").toSeq.map(w => vocab.getOrElse(w, 0))
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(ids.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id) == ((id, ids.size.toLong, ids.count(_ == 0).toLong, sha)), s"doc $id")
+      totalOov += ids.count(_ == 0)
+    }
+    assert(totalOov > 0, "vocab cap must leave real OOV tokens at verify scale")
+  }
+
+  test("stratifiedSample keeps exactly the hash-bucket-eligible docs per language") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val pct = TrainingOps.DefaultStrata.toMap
+    val expected = docs.filter { case (id, lang) =>
+      localBucket("7", id) < pct.getOrElse(lang, 0)
+    }.toSet
+    val got = TrainingOps.stratifiedSample(spark, dir)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(got == expected)
+    // the sample is a genuine subset with every stratum represented
+    assert(got.size < docs.length)
+    assert(TrainingOps.DefaultStrata.map(_._1).forall(l => got.exists(_._2 == l)))
+  }
 }
