@@ -53,6 +53,39 @@ class WebOpsSpec extends AnyFunSuite {
     assert(r.getString(r.fieldIndex("top_bigram")) == "q r")
   }
 
+  test("repetitionStats matches a brute-force recompute over 60 seeded random docs") {
+    import graft.text.TextAlgos.mix64
+    val vocabArr = Array("aa", "bb", "cc", "d", "eee", "ff")
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + Math.floorMod(mix64(id * 31 + 7), 40L).toInt
+      id -> (0 until n)
+        .map(i => vocabArr(Math.floorMod(mix64(id * 131 + i), vocabArr.length.toLong).toInt))
+        .mkString(" ")
+    }
+    val got = repStats(docs)
+    docs.foreach { case (id, text) =>
+      val words = text.trim.split("\\s+").toSeq
+      val dupFrac = (words.size - words.distinct.size).toLong * 10000 / words.size
+      val bigrams = words.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val (topGram, topCnt) =
+        if (bigrams.isEmpty) ("", 0L)
+        else {
+          val byCnt = bigrams.groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+          val maxC = byCnt.values.max
+          (byCnt.filter(_._2 == maxC).keys.min, maxC)
+        }
+      val wordChars = words.map(_.length.toLong).sum
+      val topFrac =
+        if (wordChars == 0 || topCnt == 0) 0L
+        else topCnt * (topGram.length - 1) * 10000 / wordChars
+      val r = got(id)
+      assert(r.getLong(r.fieldIndex("dup_word_frac_x10000")) == dupFrac, s"doc $id dup")
+      assert(r.getString(r.fieldIndex("top_bigram")) == topGram, s"doc $id gram")
+      assert(r.getLong(r.fieldIndex("top_bigram_count")) == topCnt, s"doc $id cnt")
+      assert(r.getLong(r.fieldIndex("top_bigram_char_frac_x10000")) == topFrac, s"doc $id frac")
+    }
+  }
+
   test("piiRedact matches a java.util.regex local recomputation over the planted corpus") {
     val n = 60L
     val got = WebOps.piiRedact(WebDocs.docs(spark, n)).collect()
