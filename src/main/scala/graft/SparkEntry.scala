@@ -183,7 +183,9 @@ object SparkEntry {
     "q61_pii_redact" -> ((s, _) =>
       WebOps.piiRedact(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
     "q62_url_hosts" -> ((s, _) =>
-      WebOps.urlHosts(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
+      WebOps.urlHosts(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // C4-style duplicated-span coverage (planted near-dups share 5-grams)
+    "q65_dup_spans" -> ((s, d) => WebOps.dupSpanStats(s, d))
   )
 
   private val reviewerList =
@@ -996,6 +998,27 @@ object SparkEntry {
       s"""WITH u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS url
                    FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
          h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host FROM u)
-         SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY host"""
+         SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY host""",
+    // duplicated-span coverage: DuckDB rebuilds the k-grams with list
+    // comprehension slicing (engine: transform over a guarded sequence),
+    // hashes with the same sha prefix, and recounts cross-doc occurrence
+    "q65_dup_spans" -> {
+      val k = ops.WebOps.SpanK
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(words) >= $k
+                 THEN list_distinct([substr(sha256(array_to_string(words[i:i+${k - 1}], ' ')), 1, 16) for i in range(1, len(words)-${k - 2})])
+                 ELSE CAST([] AS VARCHAR[]) END AS grams FROM d),
+         e AS (SELECT doc_id, unnest(grams) AS gram_h FROM g),
+         c AS (SELECT gram_h, count(*) AS cnt FROM e GROUP BY 1),
+         a AS (SELECT e.doc_id, count(*) AS n_grams,
+                      sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_grams
+               FROM e JOIN c USING (gram_h) GROUP BY 1)
+         SELECT g.doc_id,
+                CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                CAST(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0
+                     ELSE a.n_dup_grams * 10000 // a.n_grams END AS BIGINT) AS dup_span_frac_x10000
+         FROM g LEFT JOIN a USING (doc_id)"""
+    }
   )
 }

@@ -118,6 +118,53 @@ object WebOps {
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
         256).as("redacted_sha"))
 
+  /** Span width for the duplicated-span statistic. */
+  val SpanK = 5
+
+  /** C4/RefinedWeb-style duplicated-span coverage: for each document, the
+    * fraction of its DISTINCT word `SpanK`-grams that also occur in at
+    * least one OTHER document (boilerplate/mirror detection — a high
+    * fraction means the doc is assembled from corpus-repeated spans).
+    *
+    * Scale shape: grams are built narrow per row (`transform` over a
+    * guarded `sequence`), deduped inside the row (`array_distinct`), and
+    * only then exploded — the two shuffles carry (16-hex-char sha prefix,
+    * doc_id) pairs, never text. Cross-doc occurrence needs a gram-keyed
+    * aggregation; everything else stays per-row. A doc with < SpanK words
+    * has no spans and reports zeros (sequence(1, n-k+1) would DESCEND for
+    * n < k — the `when` guard is load-bearing).
+    */
+  def dupSpanStats(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(
+        col("doc_id"),
+        when(
+          size(col("words")) >= SpanK,
+          array_distinct(transform(
+            sequence(lit(1), size(col("words")) - (SpanK - 1)),
+            i => substring(sha2(array_join(slice(col("words"), i, lit(SpanK)), " "), 256), 1, 16))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+    val exploded = grams
+      .select(col("doc_id"), explode(col("grams")).as("gram_h"))
+    val counts = exploded
+      .groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("cnt")) // distinct-per-doc, so cnt = #docs carrying it
+    exploded
+      .join(counts, "gram_h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .join(grams.select(col("doc_id")), Seq("doc_id"), "right") // keep span-less docs
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 0L)
+          .otherwise(expr("n_dup_grams * 10000 div n_grams")).as("dup_span_frac_x10000"))
+  }
+
   /** URL extraction + host normalization + host-level rollup: lowercase
     * host, strip a leading `www.`, then count URLs and distinct docs per
     * host. The only shuffle is the (host) aggregation — map-side partial

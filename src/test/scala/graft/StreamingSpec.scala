@@ -50,6 +50,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === batch.count() + 1)
   }
 
+  test("curation projections run unchanged on a stream: piiRedact stream equals batch") {
+    // pure per-row operators (PII redaction, quality, repetition) need no
+    // state — the SAME DataFrame function applies to a readStream source
+    val base = Files.createTempDirectory("graft-stream-pii").toString
+    val docs = graft.synth.WebDocs.docs(spark, 80)
+    docs.write.parquet(s"$base/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/in")
+    val q = graft.ops.WebOps.piiRedact(stream)
+      .writeStream.format("memory").queryName("pii")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("pii").collect().map(_.toSeq).toSet
+    val want = graft.ops.WebOps.piiRedact(docs).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("watermarked windowed failure aggregation matches batch recomputation") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-w").toString

@@ -109,6 +109,28 @@ class WebOpsSpec extends AnyFunSuite {
     assert(sawEmail && sawPhoneA && sawPhoneB) // corpus actually plants all shapes
   }
 
+  test("dupSpanStats counts cross-doc shared 5-grams, distinct within doc, zero under k words") {
+    val dir = java.nio.file.Files.createTempDirectory("dupspan").toString
+    Seq(
+      1L -> "a b c d e f", // grams: "a b c d e", "b c d e f"
+      2L -> "a b c d e x", // shares "a b c d e" with doc 1
+      3L -> "z z z z", // < 5 words: no spans
+      4L -> "q w e r t y q w e r t y") // internal repeat dedupes within the doc
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = WebOps.dupSpanStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 5000L)))
+    assert(got(2L) == ((2L, 1L, 5000L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    assert(got(4L) == ((6L, 0L, 0L))) // 8 positions, 6 distinct grams, none shared
+  }
+
+  test("dupSpanStats is non-vacuous on the sf corpus (planted near-dups share spans)") {
+    val df = WebOps.dupSpanStats(spark, "/root/testdata/sf0.001")
+    assert(df.filter(org.apache.spark.sql.functions.col("n_dup_grams") > 0).count() > 0)
+  }
+
   test("urlHosts lowercases, strips www., and merges host families") {
     val docs = Seq(
       (1L, "see https://WWW.Foo.COM/a and http://foo.com/b?x=1"),
