@@ -185,7 +185,12 @@ object SparkEntry {
     "q62_url_hosts" -> ((s, _) =>
       WebOps.urlHosts(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
     // C4-style duplicated-span coverage (planted near-dups share 5-grams)
-    "q65_dup_spans" -> ((s, d) => WebOps.dupSpanStats(s, d))
+    "q65_dup_spans" -> ((s, d) => WebOps.dupSpanStats(s, d)),
+    // linear quality-model application (integer dot product, exact oracle)
+    "q66_quality_logit" -> ((s, d) => TextOps.qualityLogit(s, d)),
+    // crawl-hygiene domain blocklist (narrow exists over extracted URLs)
+    "q67_domain_filter" -> ((s, _) =>
+      WebOps.domainFilter(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
   )
 
   private val reviewerList =
@@ -1019,6 +1024,33 @@ object SparkEntry {
                 CAST(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0
                      ELSE a.n_dup_grams * 10000 // a.n_grams END AS BIGINT) AS dup_span_frac_x10000
          FROM g LEFT JOIN a USING (doc_id)"""
-    }
+    },
+    // linear quality model: integer features (the q15 definitions) dotted
+    // with the engine's literal weights — exact in any engine
+    "q66_quality_logit" -> {
+      val Seq(wTok, wLen, wStop, wPunct) = ops.TextOps.QualityLogitWeights
+      s"""SELECT doc_id, n_tokens, mean_wordlen_x100, stopword_x1000, n_punct,
+                n_tokens * $wTok + mean_wordlen_x100 * $wLen
+                  + stopword_x1000 * $wStop + n_punct * $wPunct AS logit,
+                n_tokens * $wTok + mean_wordlen_x100 * $wLen
+                  + stopword_x1000 * $wStop + n_punct * $wPunct
+                  >= ${ops.TextOps.QualityLogitThreshold} AS model_pass
+         FROM (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+                  CAST(floor(length(regexp_replace(text, '\\s', '', 'g')) * 100.0
+                             / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS mean_wordlen_x100,
+                  CAST(floor(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|that|for)\\b')) * 1000.0
+                             / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS stopword_x1000
+           FROM documents) t"""
+    },
+    "q67_domain_filter" ->
+      s"""SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS BIGINT) AS n_urls
+         FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')
+         WHERE len(list_filter(regexp_extract_all(text, '${ops.WebOps.UrlRe}'),
+               u -> list_contains([${ops.WebOps.BlockedHosts.map(h => s"'$h'").mkString(", ")}],
+                    regexp_replace(lower(regexp_extract(u, '${ops.WebOps.HostRe}', 1)), '^www\\.', '')))) = 0"""
   )
 }

@@ -59,6 +59,37 @@ object TextOps {
       .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("n_punct"),
         col("mean_wordlen_x100"), col("stopword_x1000"), col("quality_pass"))
 
+  /** Fixed integer weights of the linear quality model (FEATURE ORDER:
+    * n_tokens, mean_wordlen_x100, stopword_x1000, n_punct) plus the accept
+    * threshold. The WEIGHTS are corpus policy (a stand-in for a trained
+    * fastText/logreg quality filter); the OPERATOR is the dataflow: model
+    * application is a pure integer dot product per row, so the score is
+    * bit-identical in any engine and at any parallelism (no float
+    * accumulation order, no sigmoid boundary jitter).
+    */
+  val QualityLogitWeights: Seq[Long] = Seq(2L, 3L, 5L, -40L)
+  val QualityLogitThreshold = 1475L // ~corpus median logit: a real split
+
+  /** Linear quality-model application — the shape of every learned
+    * document-quality filter at 100 TB: per-row feature vector (already
+    * integer, from `withQualityColumns`) dotted with broadcast-constant
+    * weights; filter on the logit. Narrow scan -> project -> filter.
+    * (Monotone in the sigmoid, so thresholding the logit IS thresholding
+    * the probability; skipping exp() keeps the oracle exact.)
+    */
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(wTok, wLen, wStop, wPunct) = QualityLogitWeights
+    withQualityColumns(table(spark, dir, "documents"))
+      .withColumn(
+        "logit",
+        col("n_tokens") * wTok + col("mean_wordlen_x100") * wLen +
+          col("stopword_x1000") * wStop + col("n_punct") * wPunct)
+      .select(
+        col("doc_id"), col("n_tokens"), col("mean_wordlen_x100"),
+        col("stopword_x1000"), col("n_punct"), col("logit"),
+        (col("logit") >= QualityLogitThreshold).as("model_pass"))
+  }
+
   private val langStopwords: Seq[(String, String)] = Seq(
     // (lang, regex of high-frequency function words)
     ("en", "\\b(the|and|of|to|in|is|that|for)\\b"),

@@ -118,6 +118,34 @@ object WebOps {
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
         256).as("redacted_sha"))
 
+  /** Blocked (normalized) hosts for the domain filter — corpus policy;
+    * shared verbatim with the oracle. The planted WebDocs corpus cites
+    * both, so the filter provably drops rows.
+    */
+  val BlockedHosts: Seq[String] = Seq("site3.com", "blog2.org")
+
+  /** Domain blocklist filter — the standard crawl-hygiene pass: drop any
+    * doc citing a blocked host (after the same lowercase + www-strip
+    * normalization as `urlHosts`). The blocklist is a literal array, so
+    * the whole filter is ONE narrow `exists` over the extracted URLs —
+    * no explode, no join, no shuffle. (A million-entry blocklist would
+    * broadcast-join the exploded hosts instead; at this size the array
+    * literal constant-folds into codegen.)
+    */
+  def domainFilter(docs: DataFrame): DataFrame = {
+    val blocked = array(BlockedHosts.map(lit): _*)
+    docs
+      .withColumn("urls", regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+      .withColumn(
+        "blocked",
+        exists(col("urls"), u =>
+          array_contains(
+            blocked,
+            regexp_replace(lower(regexp_extract(u, HostRe, 1)), "^www\\.", ""))))
+      .filter(!col("blocked"))
+      .select(col("doc_id"), size(col("urls")).cast("long").as("n_urls"))
+  }
+
   /** Span width for the duplicated-span statistic. */
   val SpanK = 5
 

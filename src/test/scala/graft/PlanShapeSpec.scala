@@ -152,6 +152,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(corpusExchanges == 0, s"encode shuffles the corpus:\n$p")
   }
 
+  test("quality model application and domain filter are narrow: zero shuffles") {
+    val p1 = plan(graft.ops.TextOps.qualityLogit(spark, dir))
+    assert(!p1.contains("Exchange"), s"qualityLogit shuffles:\n$p1")
+    val p2 = plan(WebOps.domainFilter(graft.synth.WebDocs.docs(spark, 100)))
+    assert(!p2.contains("Exchange") && !p2.contains("Join"),
+      s"domainFilter should be a per-row exists, no join/shuffle:\n$p2")
+  }
+
   test("url host rollup shuffles only the aggregation, with map-side partials") {
     val p = plan(WebOps.urlHosts(graft.synth.WebDocs.docs(spark, 100)))
     val exchanges = "Exchange".r.findAllIn(p).size

@@ -140,6 +140,41 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got == Map("foo.com" -> ((3L, 2L)), "bar.org" -> ((1L, 1L))))
   }
 
+  test("domainFilter drops exactly the docs citing a blocked host (local regex recompute)") {
+    val n = 80L
+    val got = WebOps.domainFilter(WebDocs.docs(spark, n)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hostRe = WebOps.HostRe.r
+    (0L until n).foreach { id =>
+      val urls = WebOps.UrlRe.r.findAllIn(WebDocs.text(id)).toSeq
+      val hosts = urls.map { u =>
+        hostRe.findFirstMatchIn(u).get.group(1).toLowerCase.replaceFirst("^www\\.", "")
+      }
+      val blocked = hosts.exists(WebOps.BlockedHosts.contains)
+      if (blocked) assert(!got.contains(id), s"doc $id cites a blocked host but survived")
+      else assert(got(id) == urls.size.toLong, s"doc $id")
+    }
+    assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
+  }
+
+  test("qualityLogit is the exact integer dot product of the q15 features") {
+    val dir = "/root/testdata/sf0.001"
+    val feats = graft.ops.TextOps.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(3)))).toMap
+    val Seq(wTok, wLen, wStop, wPunct) = graft.ops.TextOps.QualityLogitWeights
+    val got = graft.ops.TextOps.qualityLogit(spark, dir).collect()
+    assert(got.length == feats.size)
+    got.foreach { r =>
+      val (tok, len, stop, punct) = feats(r.getLong(0))
+      val logit = tok * wTok + len * wLen + stop * wStop + punct * wPunct
+      assert(r.getLong(r.fieldIndex("logit")) == logit)
+      assert(r.getBoolean(r.fieldIndex("model_pass")) ==
+        (logit >= graft.ops.TextOps.QualityLogitThreshold))
+    }
+    val passes = got.count(_.getBoolean(got.head.fieldIndex("model_pass")))
+    assert(passes > 0 && passes < got.length, "threshold must genuinely split the corpus")
+  }
+
   test("WebDocs generation is deterministic and parallelism-independent") {
     val a = WebDocs.docs(spark, 40).collect().map(r => (r.getLong(0), r.getString(1))).sorted
     val b = (0L until 40L).map(id => (id, WebDocs.text(id)))
