@@ -91,6 +91,10 @@ object HtmlExtractor {
         if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && html.charAt(i + 1) == '?') {
+          // processing instruction (<?xml ...?>): consume to '>' — never text
+          val end = html.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
         } else if (i + 1 < n && (html.charAt(i + 1).isLetter || html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!')) {
           // parse tag
           val closing = html.charAt(i + 1) == '/'

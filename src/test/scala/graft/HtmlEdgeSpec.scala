@@ -45,6 +45,37 @@ class HtmlEdgeSpec extends AnyFunSuite {
     assert(r.text == expected)
   }
 
+  test("DOCTYPE, XML prolog and comments are consumed, not emitted") {
+    val r = HtmlExtractor.extract(
+      s"""<!DOCTYPE html><?xml version="1.0"?><!-- header comment with <p>tags</p> -->$para""")
+    assert(r.text == expected)
+  }
+
+  test("numeric entity overflow and malformed entities degrade to literal text") {
+    // &#x110000; is above Character.MAX_CODE_POINT; &#zz; is unparseable;
+    // a '&' with no ';' within 10 chars is plain text — none may throw
+    val r = HtmlExtractor.extract(
+      "<p>a &#x110000; b &#zz; c & plain ampersand and body text padding</p>")
+    assert(r.text.contains("a &") && r.text.contains("c & plain ampersand"))
+    assert(r.failure.isEmpty)
+  }
+
+  test("'>' inside a quoted attribute value does not terminate the tag") {
+    val r = HtmlExtractor.extract(
+      s"""<div data-x="a > b" title='1 > 0'>$para</div>""")
+    assert(r.text == expected, s"got: '${r.text}'")
+  }
+
+  test("unterminated comment drops the remainder without throwing") {
+    val r = HtmlExtractor.extract(s"""$para<!-- never closed $para""")
+    assert(r.text == expected)
+  }
+
+  test("truncation mid-tag consumes the fragment silently") {
+    val r = HtmlExtractor.extract(s"""$para<div class="cut""")
+    assert(r.text == expected)
+  }
+
   test("multi-MB turn: single pass, O(depth) state, linear-ish time") {
     // north star: "streaming DOM tokenizer" must handle multi-MB turns
     // without materializing a DOM. 4 MB document, 50k paragraphs.
