@@ -225,6 +225,12 @@ object DedupOps {
       .join(idsA, col("doc_a") === col("__vtx_a"), "left_semi")
       .join(idsB, col("doc_b") === col("__vtx_b"), "left_semi")
     // symmetric, deduped edge list; small relative to the corpus
+    // (measured, Spark 4.1: LogicalRDD from localCheckpoint does NOT
+    // preserve outputPartitioning, so pre-partitioning the edge list by
+    // doc_a cannot elide the per-round join exchange — the edges
+    // re-shuffle each round by design of the DataFrame iteration. A
+    // custom SparkPlan holding a partitioned RDD would fix it; at the
+    // current edge-list sizes the exchange is not the bottleneck.)
     val sym = within
       .union(within.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
