@@ -225,16 +225,19 @@ object DedupOps {
       .join(idsA, col("doc_a") === col("__vtx_a"), "left_semi")
       .join(idsB, col("doc_b") === col("__vtx_b"), "left_semi")
     // symmetric, deduped edge list; small relative to the corpus
-    // (measured, Spark 4.1: LogicalRDD from localCheckpoint does NOT
-    // preserve outputPartitioning, so pre-partitioning the edge list by
-    // doc_a cannot elide the per-round join exchange — the edges
-    // re-shuffle each round by design of the DataFrame iteration. A
-    // custom SparkPlan holding a partitioned RDD would fix it; at the
-    // current edge-list sizes the exchange is not the bottleneck.)
+    // repartition by the per-round join key + persist — NOT checkpoint:
+    // localCheckpoint's LogicalRDD discards outputPartitioning (measured,
+    // Spark 4.1), but InMemoryTableScan preserves it, so every round's
+    // (sym ⋈ labels) reads the cached edges pre-partitioned and only
+    // sorts — the edge list shuffles ONCE for the whole iteration instead
+    // of once per round. sym's lineage is static across rounds, so the
+    // checkpoint's lineage-truncation role is not needed here (labels,
+    // which DO grow a lineage per round, keep their checkpoints).
     val sym = within
       .union(within.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
-      .localCheckpoint()
+      .repartition(col("doc_a"))
+      .persist()
 
     var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
@@ -270,6 +273,9 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    // labels are checkpointed RDDs with no reference back to sym — the
+    // cache can go regardless of convergence outcome
+    sym.unpersist(blocking = false)
     // silent truncation would split a >maxIters-diameter chain into
     // multiple clusters with no signal — surface it loudly instead
     if (!converged)

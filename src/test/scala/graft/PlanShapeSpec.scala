@@ -137,6 +137,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("Exchange"), s"piiRedact shuffles:\n$p2")
   }
 
+  test("persisted repartition partitioning survives into a join (clusterEdges invariant)") {
+    // clusterEdges caches the edge list as repartition(doc_a).persist so
+    // every propagation round joins WITHOUT re-shuffling the edges; this
+    // pins the Spark behavior that makes that work (InMemoryTableScan
+    // preserves outputPartitioning — localCheckpoint does NOT)
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val edges = spark.range(500).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        .repartition(col("doc_a")).persist()
+      edges.count()
+      val labels = spark.range(500).select(col("id").as("doc_id"), col("id").as("label"))
+      val p = plan(edges.join(labels, edges("doc_a") === labels("doc_id")))
+      edges.unpersist(blocking = false)
+      // exactly ONE requirement-driven exchange: the labels side. (The
+      // REPARTITION_BY_COL exchange inside the cached subtree is the
+      // one-time edge shuffle, not a per-join cost.)
+      val ensures = "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r.findAllIn(p).size
+      assert(ensures == 1, s"edge side re-shuffled despite cached partitioning:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stratified sample is a pure projection+filter: zero shuffles") {
     val p = plan(graft.ops.TrainingOps.stratifiedSample(spark, dir))
     assert(!p.contains("Exchange"), s"stratifiedSample shuffles:\n$p")
