@@ -84,6 +84,27 @@ class GoldenExtractionSpec extends AnyFunSuite {
     }
   }
 
+  test("pdf reading order is reconstructed from coordinates: run-stream order is irrelevant") {
+    // the north-star W2 invariant stated as a property: the OCR word
+    // stream arrives in arbitrary order at scale (parallel page workers),
+    // so extraction must be a pure function of the run COORDINATES —
+    // shuffling the input lines may not change the output
+    val pdfTurns = corpus.filter(g => g.kind == "pdfir" && g.expected_failure.isEmpty)
+    assert(pdfTurns.size > 20)
+    pdfTurns.foreach { g =>
+      val lines = g.text.split('\n').toSeq
+      // deterministic shuffle: sort by splitmix of (index, conv) — a
+      // fixed permutation unrelated to the original order
+      val shuffled = lines.zipWithIndex
+        .sortBy { case (_, i) => graft.text.TextAlgos.mix64(i * 7919L + g.conv_id.hashCode) }
+        .map(_._1).mkString("\n")
+      val (_, a) = Extract.one(g.text)
+      val (_, b) = Extract.one(shuffled)
+      assert(b.text == a.text,
+        s"(${g.conv_id},${g.turn_idx}) extraction depends on run-stream order")
+    }
+  }
+
   test("generator is deterministic (same seed, same corpus)") {
     val again = Synth.localCorpus(120)
     assert(again == corpus)

@@ -58,4 +58,22 @@ class SourcesSpec extends AnyFunSuite {
       Sources.PairCsvSchema.fields.map(_.dataType).toSeq)
     assert(df.filter(col("label") === 1).count() == 1)
   }
+
+  test("turn table round-trips through ORC with identical extraction results") {
+    // source-format agnosticism: the pipeline is a function of Dataset[Turn],
+    // not of the storage format — ORC (columnar, non-parquet) must yield
+    // byte-identical extraction
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-orc").toString
+    val turns = graft.synth.SynthDataset.turns(spark, 30L)
+    turns.write.orc(s"$base/turns.orc")
+    val viaOrc = graft.pipeline.Pipeline
+      .run(spark, spark.read.orc(s"$base/turns.orc").as[graft.model.Turn])
+      .select("conv_id", "turn_idx", "extracted_text")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.pipeline.Pipeline.run(spark, turns)
+      .select("conv_id", "turn_idx", "extracted_text")
+      .collect().map(_.toSeq).toSet
+    assert(viaOrc == direct && viaOrc.nonEmpty)
+  }
 }
