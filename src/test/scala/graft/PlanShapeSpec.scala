@@ -160,6 +160,42 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // salting (Pipeline.salted) handles the KNOWN skew axis; this pins the
+    // runtime safety net for UNKNOWN skew — AQE's OptimizeSkewedJoin must
+    // actually engage on this Spark build when a join partition blows past
+    // the threshold
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~90% of the left side
+      val left = spark.range(40000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val right = spark.range(200).select(col("id").as("k"), col("id").as("w"))
+      val j = left.join(right, "k")
+      // materialize THIS dataset (count() would build a separate query
+      // execution and leave j's adaptive plan unfinalized)
+      assert(j.collect().length > 30000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew-join did not engage on the hot key:\n${p.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("stratified sample is a pure projection+filter: zero shuffles") {
     val p = plan(graft.ops.TrainingOps.stratifiedSample(spark, dir))
     assert(!p.contains("Exchange"), s"stratifiedSample shuffles:\n$p")
