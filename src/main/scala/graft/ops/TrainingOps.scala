@@ -271,6 +271,26 @@ object TrainingOps {
     */
   val DefaultChunkBudget = 512L
 
+  /** Shard writer — the output-layout step of the training pipeline:
+    * materialize a table as `nShards` size-balanced, RANGE-sharded,
+    * internally sorted parquet files. Range sharding (vs hash) gives the
+    * property dataloaders want: shard k holds a contiguous key range, so
+    * concatenating shards in order replays the whole corpus in key order
+    * deterministically. `maxRecordsPerFile` caps file size at 100 TB
+    * (executor-local split, no extra shuffle); 0 = uncapped.
+    */
+  def writeShards(
+      df: DataFrame,
+      outDir: String,
+      nShards: Int,
+      orderCol: String,
+      maxRecordsPerFile: Long = 0L): Unit =
+    df.repartitionByRange(nShards, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(outDir)
+
   def packSequences(spark: SparkSession, dir: String, budget: Long = DefaultChunkBudget): DataFrame = {
     val toks = TextOps.tokenCountBpe(spark, dir)
       .withColumnRenamed("n_bpe_tokens", "n_tokens")

@@ -296,6 +296,36 @@ class TrainingIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards: range-sharded, balanced, internally sorted, content-complete") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/packed"
+    val packed = TrainingOps.packSequences(spark, dir)
+    TrainingOps.writeShards(packed, out, nShards = 4, orderCol = "doc_id")
+    // content equality
+    val back = spark.read.parquet(out)
+    assert(back.count() == packed.count())
+    assert(
+      back.select("doc_id", "start_offset").as[(Long, Long)].collect().toSet ==
+        packed.select("doc_id", "start_offset").as[(Long, Long)].collect().toSet)
+    // shard files hold NON-OVERLAPPING doc_id ranges (range sharding) and
+    // are individually sorted; sizes are balanced within 3x of each other
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 shards, got ${files.length}")
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath).select("doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not internally sorted")
+      (ids.min, ids.max, ids.length)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax, _), (bMin, _, _)) =>
+        assert(aMax < bMin, "shard key ranges overlap")
+      case _ =>
+    }
+    val sizes = ranges.map(_._3)
+    assert(sizes.max <= 3 * math.max(sizes.min, 1), s"shards unbalanced: ${sizes.mkString(",")}")
+  }
+
   test("encodeDocs matches a local vocab + encode recompute; OOV actually occurs") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
