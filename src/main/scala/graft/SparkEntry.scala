@@ -72,13 +72,12 @@ object SparkEntry {
     "q22_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q23_ngram_jaccard_pairs" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     // threshold 0.45 (not the 0.95 of a real near-dup corpus): the
-    // driver's embeddings are near-random (max pairwise cosine ~0.51 at
-    // verify scale), so the verify-time threshold is set where the data
-    // actually HAS pairs — the planted-near-dup ScalaTest covers the
-    // 0.95 regime. nPlanes=6 matches the DuckDB oracle's inlined planes;
-    // the oracle replicates all EmbDupNTables plane families.
+    // verify-scale threshold/planes are single-sourced in DedupOps (the
+    // oracle interpolates the SAME constants; see VerifyEmbDup* scaladoc)
     "q24_embedding_dup_pairs" -> ((s, d) =>
-      DedupOps.embeddingDupPairs(s, d, thresholdX10000 = 4500, nPlanes = 6)),
+      DedupOps.embeddingDupPairs(s, d,
+        thresholdX10000 = DedupOps.VerifyEmbDupThresholdX10000,
+        nPlanes = DedupOps.VerifyEmbDupPlanes)),
     "q36_dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
     "q37_class_balance" -> ((s, d) => RelationalOps.q14ClassBalance(s, d)),
     // frame boundaries only (the stub per-frame checksum uses wrapping
@@ -230,6 +229,10 @@ object SparkEntry {
   /** `a.b0 = b.b0 OR ...` — OR-amplified any-table bucket match. */
   private def anyTableMatchSql(a: String, b: String, nTables: Int): String =
     (0 until nTables).map(t => s"$a.b$t = $b.b$t").mkString(" OR ")
+
+  /** q24's bucket columns from the SAME constants as the engine call. */
+  private def bucketSqlColsEmbDup: String =
+    bucketColsSql("v", ops.DedupOps.VerifyEmbDupPlanes, ops.DedupOps.EmbDupNTables)
 
   /** CTE fragment recomputing the multi-table LSH candidate pairs of
     * `SimilarityOps.lshTopK` in DuckDB: per-table buckets b0..b{L-1}
@@ -628,12 +631,12 @@ object SparkEntry {
          FROM comp GROUP BY doc_id""",
     "q24_embedding_dup_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v, ${bucketColsSql("v", 6, ops.DedupOps.EmbDupNTables)} FROM e)
+         b AS (SELECT vec_id, v, ${bucketSqlColsEmbDup} FROM e)
          SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
                 CAST(floor(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cosine_x10000
          FROM b a JOIN b c ON a.vec_id < c.vec_id
            AND (${anyTableMatchSql("a", "c", ops.DedupOps.EmbDupNTables)})
-         WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= 4500""",
+         WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= ${ops.DedupOps.VerifyEmbDupThresholdX10000}""",
     "q26_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          $lshCandidateCtes,

@@ -342,7 +342,20 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"),
         expr("graft_cosine_x10000(emb_a, emb_b)").as("cosine_x10000"))
       .filter(col("cosine_x10000") >= thresholdX10000)
+      // uniqueness guarantee even under (out-of-contract) duplicate
+      // vec_id input rows — those fan out through the two fetch joins;
+      // deduping POST-threshold shuffles only the accepted pairs
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   val EmbDupNTables = 4
+
+  /** q24 verify-scale configuration — ONE definition feeding both the
+    * engine call and the DuckDB oracle (the driver's embeddings are
+    * near-random, max pairwise cosine ~0.51, so the verify threshold
+    * sits where the data has pairs; the 0.95 regime is covered by the
+    * planted-near-dup ScalaTest).
+    */
+  val VerifyEmbDupThresholdX10000 = 4500
+  val VerifyEmbDupPlanes = 6
 }

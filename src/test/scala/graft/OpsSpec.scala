@@ -395,6 +395,16 @@ class OpsSpec extends AnyFunSuite {
     // OR-amplification should catch MORE of the 8 planted pairs than the
     // ~0.43-recall single table did
     assert(expected.size >= 6, s"only ${expected.size} planted pairs survived bucketing")
+
+    // out-of-contract DUPLICATE vec_id rows fan out through the fetch
+    // joins; the post-threshold dedup must keep the output identical
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-embdup2").toString
+    (all ++ all.take(5)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp2/embeddings.parquet")
+    val got2 = DedupOps.embeddingDupPairs(spark, tmp2, threshold, nPlanes)
+      .as[(Long, Long, Long)].collect()
+    assert(got2.length == got2.toSet.size, "duplicate pairs under duplicate input rows")
+    assert(got2.toSet == got, "duplicate input rows changed the pair set")
   }
 
   test("page-range parse: '1-3,5' style strings explode to the exact page lists") {

@@ -137,6 +137,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("Exchange"), s"piiRedact shuffles:\n$p2")
   }
 
+  test("embedding near-dup: vectors never ride the bucket fan-out; pair dedup carries bare ids") {
+    import graft.ops.DedupOps
+    val p = plan(DedupOps.embeddingDupPairs(spark, dir,
+      DedupOps.VerifyEmbDupThresholdX10000, DedupOps.VerifyEmbDupPlanes))
+    // the posexplode fanning each vector into L (t,bucket) rows must
+    // retain ONLY vec_id — retaining the vector would move it L× through
+    // the candidate exchange/broadcast (the shape this design eliminates)
+    val gens = p.linesIterator.filter(_.contains("posexplode")).toSeq
+    assert(gens.nonEmpty, p)
+    gens.foreach(g =>
+      assert(!g.matches(".*embedding#\\d+[^\\[]*\\], false.*"),
+        s"vector retained through the bucket fan-out:\n$g"))
+    // the candidate pairs dedupe on bare (vec_a, vec_b) BEFORE the
+    // embedding fetch: an id-keyed dedup aggregate whose line carries no
+    // cosine column. (The post-threshold output dedup also groups on the
+    // ids but its row includes cosine_x10000 — it must not satisfy this.)
+    val idOnlyDedup = p.linesIterator.exists(l =>
+      l.contains("HashAggregate(keys=[vec_a#") && !l.contains("cosine"))
+    assert(idOnlyDedup, s"missing the pre-fetch bare-id pair dedup:\n$p")
+  }
+
   test("persisted repartition partitioning survives into a join (clusterEdges invariant)") {
     // clusterEdges caches the edge list as repartition(doc_a).persist so
     // every propagation round joins WITHOUT re-shuffling the edges; this
