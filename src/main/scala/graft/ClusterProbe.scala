@@ -18,22 +18,9 @@ object ClusterProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    locally {
-      // persist (unlike localCheckpoint) keeps the plan, so the cached
-      // repartition's outputPartitioning should elide the join exchange
-      import org.apache.spark.sql.functions._
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      val a = spark.range(1000).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-        .repartition(col("doc_a")).persist()
-      a.count()
-      val b = spark.range(1000).select(col("id").as("doc_id"), col("id").as("label"))
-      val p = a.join(b, a("doc_a") === b("doc_id")).queryExecution.executedPlan.toString
-      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-      println(s"[probe] exchanges with persisted repartition: $exchanges (1 = edge side elided)")
-      println(p.linesIterator.map(l => s"[probe] $l").mkString("\n"))
-      a.unpersist()
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760)
-    }
+    // (the partitioning-preservation probe this file once carried is now
+    // a PlanShapeSpec regression test — "persisted repartition
+    // partitioning survives into a join")
     // warm
     SparkEntry.queries("q36_dedup_clusters")(spark, dir).count()
     for (q <- Seq("q36_dedup_clusters", "q51_simhash_clusters")) {

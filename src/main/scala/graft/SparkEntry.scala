@@ -234,6 +234,24 @@ object SparkEntry {
   private def bucketSqlColsEmbDup: String =
     bucketColsSql("v", ops.DedupOps.VerifyEmbDupPlanes, ops.DedupOps.EmbDupNTables)
 
+  /** DuckDB derivation of the quality features (`TextOps
+    * .withQualityColumns` twin) — ONE definition feeding both q15 and
+    * q66 so the feature math cannot drift between their oracles. Plain
+    * (non-interpolated) literal: escape sequences are NOT processed, the
+    * single backslashes stand as written; interpolating this VALUE into
+    * an s-string inserts it verbatim.
+    */
+  private val qualityFeatureSql =
+    """SELECT doc_id,
+         length(text) AS n_chars_m,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100.0
+                    / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS mean_wordlen_x100,
+         CAST(floor(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) * 1000.0
+                    / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS stopword_x1000
+       FROM documents"""
+
   /** CTE fragment recomputing the multi-table LSH candidate pairs of
     * `SimilarityOps.lshTopK` in DuckDB: per-table buckets b0..b{L-1}
     * (each from the engine's exact plane family via bucketSqlExpr), a
@@ -321,18 +339,9 @@ object SparkEntry {
          min(len(string_split_regex(trim(text), '\s+'))) AS min_tokens
          FROM documents GROUP BY 1""",
     "q15_quality_score" ->
-      """SELECT doc_id, n_chars_m, n_tokens, n_punct, mean_wordlen_x100,
-                CAST(floor(n_stopwords * 1000.0 / n_tokens) AS BIGINT) AS stopword_x1000,
+      s"""SELECT doc_id, n_chars_m, n_tokens, n_punct, mean_wordlen_x100, stopword_x1000,
                 (n_tokens BETWEEN 10 AND 100000) AND (mean_wordlen_x100 BETWEEN 150 AND 1200) AS quality_pass
-         FROM (
-           SELECT doc_id,
-                  length(text) AS n_chars_m,
-                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-                  CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100.0
-                             / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS mean_wordlen_x100,
-                  len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS n_stopwords
-           FROM documents) t""",
+         FROM ($qualityFeatureSql) t""",
     "q16_lang_id" ->
       """SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
                 CASE WHEN score_en = best AND best > 0 THEN 'en'
@@ -1038,15 +1047,7 @@ object SparkEntry {
                 n_tokens * $wTok + mean_wordlen_x100 * $wLen
                   + stopword_x1000 * $wStop + n_punct * $wPunct
                   >= ${ops.TextOps.QualityLogitThreshold} AS model_pass
-         FROM (
-           SELECT doc_id,
-                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-                  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-                  CAST(floor(length(regexp_replace(text, '\\s', '', 'g')) * 100.0
-                             / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS mean_wordlen_x100,
-                  CAST(floor(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|that|for)\\b')) * 1000.0
-                             / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS stopword_x1000
-           FROM documents) t"""
+         FROM ($qualityFeatureSql) t"""
     },
     "q67_domain_filter" ->
       s"""SELECT doc_id,

@@ -92,9 +92,10 @@ object HtmlExtractor {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
         } else if (i + 1 < n && html.charAt(i + 1) == '?') {
-          // processing instruction (<?xml ...?>): consume to '>' — never text
-          val end = html.indexOf('>', i + 2)
-          i = if (end < 0) n else end + 1
+          // processing instruction: consume to the '?>' terminator — a bare
+          // '>' may sit inside quoted PI data (<?xml-stylesheet href="a>b"?>)
+          val end = html.indexOf("?>", i + 2)
+          i = if (end < 0) n else end + 2
         } else if (i + 1 < n && (html.charAt(i + 1).isLetter || html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!')) {
           // parse tag
           val closing = html.charAt(i + 1) == '/'

@@ -242,7 +242,7 @@ object DedupOps {
     var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
+    try while (!converged && iter < maxIters) {
       // each node offers its label to every neighbor; keep the min of
       // (own label, offered labels)
       val offered = sym
@@ -274,8 +274,10 @@ object DedupOps {
       iter += 1
     }
     // labels are checkpointed RDDs with no reference back to sym — the
-    // cache can go regardless of convergence outcome
-    sym.unpersist(blocking = false)
+    // cache can go regardless of convergence outcome; finally, because a
+    // failed round in a long-lived session (Verify/Bench swallow per-query
+    // errors) must not strand the cached edge list
+    finally sym.unpersist(blocking = false)
     // silent truncation would split a >maxIters-diameter chain into
     // multiple clusters with no signal — surface it loudly instead
     if (!converged)

@@ -279,14 +279,21 @@ object TrainingOps {
     * deterministically. `maxRecordsPerFile` caps file size at 100 TB
     * (executor-local split, no extra shuffle); 0 = uncapped.
     */
+  /** The layout transform `writeShards` materializes — exposed so its
+    * plan shape (exactly ONE range exchange + the per-shard sort; the
+    * file-size cap adds no further shuffle) is plan-assertable.
+    */
+  def shardLayout(df: DataFrame, nShards: Int, orderCol: String): DataFrame =
+    df.repartitionByRange(nShards, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+
   def writeShards(
       df: DataFrame,
       outDir: String,
       nShards: Int,
       orderCol: String,
       maxRecordsPerFile: Long = 0L): Unit =
-    df.repartitionByRange(nShards, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+    shardLayout(df, nShards, orderCol)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)

@@ -51,6 +51,12 @@ class HtmlEdgeSpec extends AnyFunSuite {
     assert(r.text == expected)
   }
 
+  test("processing instruction with '>' inside quoted data is fully consumed") {
+    val r = HtmlExtractor.extract(
+      s"""<?xml-stylesheet href="a>b.css" type="text/css"?>$para<?php if (1 > 0) ?>""")
+    assert(r.text == expected, s"PI data leaked: '${r.text}'")
+  }
+
   test("numeric entity overflow and malformed entities degrade to literal text") {
     // &#x110000; is above Character.MAX_CODE_POINT; &#zz; is unparseable;
     // a '&' with no ';' within 10 chars is plain text — none may throw

@@ -240,6 +240,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"domainFilter should be a per-row exists, no join/shuffle:\n$p2")
   }
 
+  test("shard layout costs exactly one range exchange plus the per-shard sort") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(10000).select(col("id").as("doc_id"), (col("id") * 2).as("payload"))
+    val p = plan(graft.ops.TrainingOps.shardLayout(df, 4, "doc_id"))
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected hash shuffle:\n$p")
+    assert(p.contains("Sort [doc_id"), s"missing per-shard sort:\n$p")
+  }
+
   test("url host rollup shuffles only the aggregation, with map-side partials") {
     val p = plan(WebOps.urlHosts(graft.synth.WebDocs.docs(spark, 100)))
     val exchanges = "Exchange".r.findAllIn(p).size
