@@ -28,19 +28,30 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val synthDir = Paths.get(outDir).toAbsolutePath.normalize.toString + "/_synth"
-    try {
+    // One try per synth table so a single failed write is attributed to
+    // the queries it feeds, instead of surfacing later as an opaque
+    // missing-file error in the DuckDB compare.
+    def synthWrite(label: String, affects: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[verify] synth $label failed (affects $affects): ${e.getMessage}")
+      }
+    {
       import spark.implicits._
-      synth.SynthDataset.golden(spark, SparkEntry.VerifyConvs)
-        .toDF().coalesce(1).write.mode("overwrite")
-        .parquet(s"$synthDir/golden_turns.parquet")
-      ops.ShredOps.structuredRecords(spark, SparkEntry.VerifyRecords)
-        .toDF().coalesce(1).write.mode("overwrite")
-        .parquet(s"$synthDir/records.parquet")
-      synth.WebDocs.docs(spark, SparkEntry.VerifyWebDocs)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$synthDir/web_docs.parquet")
-    } catch { case e: Throwable =>
-      System.err.println(s"[verify] synth materialization failed: ${e.getMessage}")
+      synthWrite("golden_turns", "extraction-family oracles") {
+        synth.SynthDataset.golden(spark, SparkEntry.VerifyConvs)
+          .toDF().coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_turns.parquet")
+      }
+      synthWrite("records", "shred-family oracles") {
+        ops.ShredOps.structuredRecords(spark, SparkEntry.VerifyRecords)
+          .toDF().coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/records.parquet")
+      }
+      synthWrite("web_docs", "q61/q62/q67") {
+        synth.WebDocs.docs(spark, SparkEntry.VerifyWebDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/web_docs.parquet")
+      }
     }
     // sf-dir-dependent intermediates: the engine's minhash pair list,
     // simhash values and ordered winnow grams. Their inner hash

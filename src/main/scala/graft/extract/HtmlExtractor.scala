@@ -93,9 +93,16 @@ object HtmlExtractor {
           i = if (end < 0) n else end + 3
         } else if (i + 1 < n && html.charAt(i + 1) == '?') {
           // processing instruction: consume to the '?>' terminator — a bare
-          // '>' may sit inside quoted PI data (<?xml-stylesheet href="a>b"?>)
+          // '>' may sit inside quoted PI data (<?xml-stylesheet href="a>b"?>).
+          // Unterminated PI (stray '<?' from a broken PHP short tag): HTML5
+          // bogus-comment semantics — end at the first '>' instead of
+          // swallowing the rest of the document.
           val end = html.indexOf("?>", i + 2)
-          i = if (end < 0) n else end + 2
+          i = if (end >= 0) end + 2
+          else {
+            val gt = html.indexOf('>', i + 2)
+            if (gt < 0) n else gt + 1
+          }
         } else if (i + 1 < n && (html.charAt(i + 1).isLetter || html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!')) {
           // parse tag
           val closing = html.charAt(i + 1) == '/'

@@ -22,7 +22,7 @@ object WebOps {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "(\\+1 )?(\\([0-9]{3}\\) |[0-9]{3}-)[0-9]{3}-[0-9]{4}"
-  val UrlRe = "https?://[^ ]+"
+  val UrlRe = "https?://[^\\s]+" // all whitespace, not just ' ' — a URL at end-of-line must not absorb the next line
   val HostRe = "https?://([^/ ?#]+)"
 
   /** Keep thresholds for the repetition gate (x10000 fixed point). The

@@ -50,6 +50,9 @@ object WebDocs {
     if (id % 2 == 0) sb.append(s" see https://WWW.Site${id % 13}.COM/p/$id?utm_source=x&id=$id")
     if (id % 7 == 0) sb.append(s" and http://blog${id % 5}.org/a/$id")
     if (id % 11 == 0) sb.append(s" ref https://site${id % 13}.com/dup/$id")
+    // newline-terminated URL: pins that UrlRe stops at ALL whitespace —
+    // with the old "[^ ]+" pattern the URL would absorb "trailing text"
+    if (id % 9 == 0) sb.append(s" nl https://news${id % 3}.net/x/$id\ntrailing text")
     sb.toString
   }
 

@@ -57,6 +57,14 @@ class HtmlEdgeSpec extends AnyFunSuite {
     assert(r.text == expected, s"PI data leaked: '${r.text}'")
   }
 
+  test("unterminated PI ends at the first '>' (bogus-comment semantics), not end-of-input") {
+    val r = HtmlExtractor.extract(s"""<?php broken short tag >$para""")
+    assert(r.text == expected, s"text after a stray '<?' must survive: '${r.text}'")
+    // no '>' at all after the stray '<?': nothing to recover, consume silently
+    val r2 = HtmlExtractor.extract(s"""$para<?php tail with no close""")
+    assert(r2.text == expected)
+  }
+
   test("numeric entity overflow and malformed entities degrade to literal text") {
     // &#x110000; is above Character.MAX_CODE_POINT; &#zz; is unparseable;
     // a '&' with no ';' within 10 chars is plain text — none may throw

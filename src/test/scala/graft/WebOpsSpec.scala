@@ -140,6 +140,16 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got == Map("foo.com" -> ((3L, 2L)), "bar.org" -> ((1L, 1L))))
   }
 
+  test("UrlRe stops at ALL whitespace: newline/tab-terminated URLs do not absorb following text") {
+    val docs = Seq((1L, "pre https://a.com/x\nnext line http://b.org/y\tend"))
+      .toDF("doc_id", "text")
+    val got = WebOps.urlHosts(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a.com" -> ((1L, 1L)), "b.org" -> ((1L, 1L))))
+    // the planted corpus now carries a newline-terminated URL (every 9th doc)
+    assert(WebDocs.text(9L).contains(".net/x/9\ntrailing"))
+  }
+
   test("domainFilter drops exactly the docs citing a blocked host (local regex recompute)") {
     val n = 80L
     val got = WebOps.domainFilter(WebDocs.docs(spark, n)).collect()
