@@ -139,8 +139,10 @@ object SparkEntry {
       val reg = new graft.pipeline.RuleRegistry(
         java.nio.file.Files.createTempDirectory("graft-rules").toString + "/rules.tsv")
       reg.register("quantities_within_range",
-        "actual_quantity BETWEEN allowed_range_min AND allowed_range_max")
-      reg.register("independent_check", "performed_by != checked_by")
+        "actual_quantity BETWEEN allowed_range_min AND allowed_range_max",
+        RuleRecipients("quantities_within_range").split(',').toSeq)
+      reg.register("independent_check", "performed_by != checked_by",
+        RuleRecipients("independent_check").split(',').toSeq)
       reg.evaluate(shredded)
     }),
     "q48_lang_accuracy" -> ((s, d) => TextOps.langAccuracy(s, d)),
@@ -189,8 +191,21 @@ object SparkEntry {
     "q66_quality_logit" -> ((s, d) => TextOps.qualityLogit(s, d)),
     // crawl-hygiene domain blocklist (narrow exists over extracted URLs)
     "q67_domain_filter" -> ((s, _) =>
-      WebOps.domainFilter(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
+      WebOps.domainFilter(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // --- round-3 additions ---
+    // ad-hoc SQL surface: engine tables as temp views + the reference's
+    // policy query (always join doc_info, group by doc, top_k 50)
+    "q68_sql_policy" -> ((s, _) =>
+      SqlSurface.policySummary(s, ShredOps.structuredRecords(s, VerifyRecords).toDF()))
   )
+
+  /** Notification recipients per workflow rule — ONE definition feeding
+    * both the q47 engine registration and its oracle (the reference
+    * persists an email list per rule, workflow_main.py:84-142).
+    */
+  val RuleRecipients: Map[String, String] = Map(
+    "quantities_within_range" -> "qa@plant.example,supervisor@plant.example",
+    "independent_check" -> "qa@plant.example")
 
   private val reviewerList =
     RelationalOps.reviewerNames.map(n => s"'$n'").mkString("[", ", ", "]")
@@ -571,7 +586,7 @@ object SparkEntry {
     "q46_base64_transport" ->
       """SELECT doc_id, to_base64(encode(text)) AS payload_b64 FROM documents""",
     "q47_rule_registry" ->
-      """WITH m AS (SELECT conv_id, unnest(material_usage_rows) AS r
+      s"""WITH m AS (SELECT conv_id, unnest(material_usage_rows) AS r
                     FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
          c AS (SELECT conv_id,
                  CAST(sum(CASE WHEN NOT (r.actual_quantity BETWEEN r.allowed_range_min AND r.allowed_range_max)
@@ -579,10 +594,12 @@ object SparkEntry {
                  CAST(sum(CASE WHEN NOT (r.performed_by <> r.checked_by)
                                THEN 1 ELSE 0 END) AS BIGINT) AS v_check
                FROM m GROUP BY 1)
-         SELECT 'quantities_within_range' AS rule_name, conv_id, v_range AS n_violations
+         SELECT 'quantities_within_range' AS rule_name, conv_id, v_range AS n_violations,
+                '${RuleRecipients("quantities_within_range")}' AS recipients
          FROM c WHERE v_range > 0
          UNION ALL
-         SELECT 'independent_check', conv_id, v_check FROM c WHERE v_check > 0""",
+         SELECT 'independent_check', conv_id, v_check,
+                '${RuleRecipients("independent_check")}' FROM c WHERE v_check > 0""",
     "q48_lang_accuracy" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
@@ -1055,6 +1072,24 @@ object SparkEntry {
          FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')
          WHERE len(list_filter(regexp_extract_all(text, '${ops.WebOps.UrlRe}'),
                u -> list_contains([${ops.WebOps.BlockedHosts.map(h => s"'$h'").mkString(", ")}],
-                    regexp_replace(lower(regexp_extract(u, '${ops.WebOps.HostRe}', 1)), '^www\\.', '')))) = 0"""
+                    regexp_replace(lower(regexp_extract(u, '${ops.WebOps.HostRe}', 1)), '^www\\.', '')))) = 0""",
+    // ad-hoc SQL policy query: DuckDB rebuilds doc_info (registry dense
+    // ids) and the material_usage shred from the records table and runs
+    // the SAME policy aggregation/ordering/limit as SqlSurface.PolicySql
+    "q68_sql_policy" ->
+      """WITH rp AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         d AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) AS reg_id
+               FROM (SELECT DISTINCT conv_id FROM rp)),
+         m AS (SELECT conv_id, r.actual_quantity AS actual_quantity,
+                      r.actual_quantity BETWEEN r.allowed_range_min AND r.allowed_range_max AS quantity_within_range
+               FROM (SELECT conv_id, unnest(material_usage_rows) AS r FROM rp))
+         SELECT d.conv_id, d.reg_id,
+                count(*) AS n_materials,
+                CAST(sum(CASE WHEN NOT m.quantity_within_range THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                CAST(sum(CAST(m.actual_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_actual_qty
+         FROM m JOIN d ON m.conv_id = d.conv_id
+         GROUP BY d.conv_id, d.reg_id
+         ORDER BY n_violations DESC, d.conv_id ASC
+         LIMIT 50"""
   )
 }

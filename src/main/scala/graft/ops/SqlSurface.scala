@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Ad-hoc SQL query surface — the engine analogue of the reference's #2
+  * entry point, the chat endpoint that turns a user question into SQL
+  * over the shredded store and executes it (ref: app.py `POST
+  * /api/chat_process`; agents/sql_agent/langchain_sql_agent.py:36-49).
+  *
+  * The engine's output tables register as temp views, arbitrary user SQL
+  * runs through `spark.sql`, and the reference's standing query POLICY
+  * ships as the flagship query: *always join the document registry, group
+  * by document name, cap results at top_k 50* (ref: agents/sql_agent/
+  * utils.py:1-12 — "always join doc_info", "doc_name in GROUP BY",
+  * "top_k 50").
+  *
+  * Scale shape: the registry is a per-document dimension (one row per
+  * conversation, two thin columns) — at 100 TB of shredded rows it is
+  * still broadcastable, so the policy join is hinted BROADCAST and the
+  * `ORDER BY … LIMIT 50` compiles to TakeOrderedAndProject (per-partition
+  * top-k, no global sort) — both pinned by PlanShapeSpec.
+  */
+object SqlSurface {
+
+  /** Views registered by [[registerViews]]. `doc_info` mirrors the
+    * reference's registry table name (agents/sql_agent/json_to_db.py:
+    * 25-47); the rest are the shredded child tables.
+    */
+  val Views: Seq[String] = Seq("doc_info", "material_usage", "equipment", "temperature")
+
+  /** Register the engine's relational outputs as session temp views so
+    * any SQL client of the session can query them by name.
+    */
+  def registerViews(records: DataFrame): Unit = {
+    ShredOps.registry(records).createOrReplaceTempView("doc_info")
+    ShredOps.shredMaterialUsage(records).createOrReplaceTempView("material_usage")
+    ShredOps.flattenEquipment(records).createOrReplaceTempView("equipment")
+    ShredOps.shredTemperatureRecords(records).createOrReplaceTempView("temperature")
+  }
+
+  /** Run arbitrary ad-hoc SQL against the registered views (the NL→SQL
+    * agent's execution step; text-to-SQL itself is out of engine scope).
+    */
+  def adHoc(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
+  /** The reference's policy query, expressed once as SQL text: document
+    * rollup that always joins `doc_info`, groups by the document key, and
+    * returns the top 50 — here "top" = most rule violations (the rollup
+    * the workflow agent alerts on), with a full deterministic tiebreak so
+    * LIMIT is stable. Aggregates are exact (counts + DECIMAL sum) so the
+    * result is partial-aggregation-order independent.
+    */
+  val PolicySql: String =
+    """SELECT /*+ BROADCAST(d) */
+           d.conv_id, d.reg_id,
+           count(*) AS n_materials,
+           CAST(sum(CASE WHEN NOT m.quantity_within_range THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           CAST(sum(CAST(m.actual_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_actual_qty
+       FROM material_usage m
+       JOIN doc_info d ON m.conv_id = d.conv_id
+       GROUP BY d.conv_id, d.reg_id
+       ORDER BY n_violations DESC, d.conv_id ASC
+       LIMIT 50"""
+
+  /** Flagship ad-hoc query (q68): register views, run the policy SQL. */
+  def policySummary(spark: SparkSession, records: DataFrame): DataFrame = {
+    registerViews(records)
+    adHoc(spark, PolicySql)
+  }
+}

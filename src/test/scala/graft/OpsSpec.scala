@@ -436,15 +436,28 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-rr").toString + "/rules.tsv"
     val reg = new graft.pipeline.RuleRegistry(path)
-    reg.register("in_range", "actual_quantity BETWEEN allowed_range_min AND allowed_range_max")
+    reg.register("in_range", "actual_quantity BETWEEN allowed_range_min AND allowed_range_max",
+      Seq("qa@x.example", "lead@x.example"))
     intercept[IllegalArgumentException](reg.register("in_range", "true"))
+    intercept[IllegalArgumentException](
+      reg.register("bad_recipient", "true", Seq("a,b@x.example")))
     reg.register("independent_check", "performed_by != checked_by")
     val reopened = new graft.pipeline.RuleRegistry(path)
     assert(reopened.rules().map(_._1) == Seq("in_range", "independent_check"))
+    // recipients persist across reopen; a rule without any loads as empty
+    assert(reopened.rules().map(_._3) ==
+      Seq(Seq("qa@x.example", "lead@x.example"), Seq.empty))
 
     val shredded = ShredOps.shredMaterialUsage(
       ShredOps.structuredRecords(spark, 50).toDF()).cache()
-    val got = reopened.evaluate(shredded)
+    val alerts = reopened.evaluate(shredded).cache()
+    // every alert is routable: recipients match the rule's stored list
+    assert(alerts.filter(col("rule_name") === "in_range")
+      .select("recipients").distinct().as[String].collect().toSeq ==
+      Seq("qa@x.example,lead@x.example"))
+    assert(alerts.filter(col("rule_name") === "independent_check")
+      .select("recipients").distinct().as[String].collect().toSeq == Seq(""))
+    val got = alerts.select("rule_name", "conv_id", "n_violations")
       .as[(String, String, Long)].collect().toSet
     def expectFor(name: String, pred: org.apache.spark.sql.Column) = shredded
       .filter(!pred).groupBy($"conv_id").count()
@@ -455,6 +468,7 @@ class OpsSpec extends AnyFunSuite {
       expectFor("independent_check", col("performed_by") =!= col("checked_by"))
     assert(got == expected)
     assert(got.exists(_._1 == "independent_check"), "no self-check violations in corpus (vacuous)")
+    alerts.unpersist()
     shredded.unpersist()
   }
 

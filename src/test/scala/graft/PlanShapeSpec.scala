@@ -90,6 +90,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in recall plan:\n$p")
   }
 
+  test("ad-hoc policy SQL: registry join broadcasts; LIMIT 50 is TakeOrderedAndProject") {
+    val recs = graft.ops.ShredOps.structuredRecords(spark, 60L).toDF()
+    val p = plan(graft.ops.SqlSurface.policySummary(spark, recs))
+    assert(p.contains("BroadcastHashJoin"), s"doc_info join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"policy join fell back to SMJ:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top_k 50 fell back to a global sort:\n$p")
+  }
+
   test("vocab build: global top-V via TakeOrderedAndProject with partial counts") {
     val p = plan(graft.ops.TrainingOps.vocabBuild(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"top-V fell back to a global sort:\n$p")

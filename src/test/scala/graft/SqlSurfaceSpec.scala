@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{ShredOps, SqlSurface}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Local truths for the ad-hoc SQL surface: view registration, arbitrary
+  * SQL execution, and the policy query's contract (registry join, per-doc
+  * grouping, deterministic top-50).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("registered views resolve and answer arbitrary ad-hoc SQL") {
+    val recs = ShredOps.structuredRecords(spark, 40).toDF()
+    SqlSurface.registerViews(recs)
+    SqlSurface.Views.foreach { v =>
+      assert(spark.sql(s"SELECT count(*) AS n FROM $v").as[Long].head() > 0,
+        s"view $v is empty or unresolvable")
+    }
+    val viaSql = SqlSurface.adHoc(spark,
+      """SELECT m.conv_id, count(*) AS n
+         FROM material_usage m JOIN doc_info d ON m.conv_id = d.conv_id
+         GROUP BY m.conv_id""")
+      .as[(String, Long)].collect().toMap
+    val viaDf = ShredOps.shredMaterialUsage(recs)
+      .groupBy("conv_id").count().as[(String, Long)].collect().toMap
+    assert(viaSql == viaDf)
+  }
+
+  test("policy query: per-doc rollup, top-50 by violations with stable tiebreak") {
+    val recs = ShredOps.structuredRecords(spark, 80).toDF()
+    val rows = SqlSurface.policySummary(spark, recs).collect()
+    assert(rows.length == 50, "top_k 50 policy must truncate the 80-doc corpus")
+    val ordered = rows.map(r =>
+      (r.getLong(r.fieldIndex("n_violations")), r.getString(r.fieldIndex("conv_id"))))
+    assert(ordered.sameElements(ordered.sortBy { case (v, c) => (-v, c) }),
+      "output must be ordered by n_violations DESC, conv_id ASC")
+    // local recompute of the per-doc rollup for every returned doc
+    val shredded = ShredOps.shredMaterialUsage(recs)
+      .select($"conv_id", $"quantity_within_range")
+      .as[(String, Boolean)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val conv = r.getString(r.fieldIndex("conv_id"))
+      val mats = shredded(conv)
+      assert(r.getLong(r.fieldIndex("n_materials")) == mats.size.toLong, conv)
+      assert(r.getLong(r.fieldIndex("n_violations")) == mats.count(!_._2).toLong, conv)
+    }
+  }
+}
