@@ -196,8 +196,20 @@ object SparkEntry {
     // ad-hoc SQL surface: engine tables as temp views + the reference's
     // policy query (always join doc_info, group by doc, top_k 50)
     "q68_sql_policy" -> ((s, _) =>
-      SqlSurface.policySummary(s, ShredOps.structuredRecords(s, VerifyRecords).toDF()))
+      SqlSurface.policySummary(s, ShredOps.structuredRecords(s, VerifyRecords).toDF())),
+    // schema identification: try-parse dispatch against candidate schemas
+    // in deterministic first-match order (ambiguous + malformed planted)
+    "q69_schema_classify" -> ((s, _) =>
+      SchemaOps.classifyJson(graft.synth.JsonRecords.docs(s, VerifyJsonRecords), "payload")
+        .select(col("rec_id"), col("schema_name"), col("key_field"))),
+    // exact-before-near dedup composition: the canonical keep-set frame
+    // that feeds the near-dup family (DedupOps.nearDupPairsCanonical)
+    "q70_canonical_docs" -> ((s, d) =>
+      DedupOps.canonicalDocs(s, d).select(col("doc_id"), col("lang")))
   )
+
+  /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
+  val VerifyJsonRecords = 200L
 
   /** Notification recipients per workflow rule — ONE definition feeding
     * both the q47 engine registration and its oracle (the reference
@@ -1090,6 +1102,26 @@ object SparkEntry {
          FROM m JOIN d ON m.conv_id = d.conv_id
          GROUP BY d.conv_id, d.reg_id
          ORDER BY n_violations DESC, d.conv_id ASC
-         LIMIT 50"""
+         LIMIT 50""",
+    // schema dispatch: DuckDB re-classifies the SAME payloads via JSON
+    // field-presence predicates in the SAME first-match order (json_valid
+    // guard nulls out malformed payloads -> 'unknown', as the engine's
+    // from_json null-struct does)
+    "q69_schema_classify" ->
+      """WITH r AS (SELECT rec_id, CASE WHEN json_valid(payload) THEN payload ELSE NULL END AS j
+                    FROM read_parquet('__SYNTH__/json_records.parquet/*.parquet'))
+         SELECT rec_id,
+                CASE WHEN json_extract_string(j, '$.material_name') IS NOT NULL THEN 'material_usage'
+                     WHEN json_extract_string(j, '$.step_no') IS NOT NULL THEN 'step'
+                     WHEN json_extract_string(j, '$.time_point') IS NOT NULL THEN 'temperature'
+                     ELSE 'unknown' END AS schema_name,
+                CASE WHEN json_extract_string(j, '$.material_name') IS NOT NULL THEN json_extract_string(j, '$.material_name')
+                     WHEN json_extract_string(j, '$.step_no') IS NOT NULL THEN json_extract_string(j, '$.description')
+                     WHEN json_extract_string(j, '$.time_point') IS NOT NULL THEN json_extract_string(j, '$.time_point')
+                     ELSE NULL END AS key_field
+         FROM r""",
+    "q70_canonical_docs" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))"""
   )
 }

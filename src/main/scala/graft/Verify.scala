@@ -52,6 +52,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/web_docs.parquet")
       }
+      synthWrite("json_records", "q69") {
+        synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/json_records.parquet")
+      }
     }
     // sf-dir-dependent intermediates: the engine's minhash pair list,
     // simhash values and ordered winnow grams. Their inner hash

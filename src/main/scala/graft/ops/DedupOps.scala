@@ -37,17 +37,58 @@ object DedupOps {
         min(col("doc_id")).as("doc_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Exact-before-near composition guard: the documents table reduced to
+    * one representative row per distinct content (min doc_id per
+    * sha256(text) — the same winner rule as [[exactDedup]]). Feeding the
+    * near-dup family from THIS frame is what keeps an m-copy exact-dup
+    * clique from producing O(m²) near-dup candidates: the clique
+    * collapses to one canonical before any banding happens.
+    *
+    * Scale shape: the keep-set aggregation shuffles (32-byte hash,
+    * doc_id) pairs with map-side partial min; the semi join back shuffles
+    * ids — document text never crosses an exchange.
+    */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val keep = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   val MinhashK = 64
   val LshBands = 16
   val ShingleW = 3
 
-  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    * Output: (doc_a, doc_b, jaccard_x1000) for verified pairs
-    * (jaccard >= threshold/1000), doc_a < doc_b.
+  /** MinHash+LSH near-dup pairs over the sf-dir documents table — see
+    * [[minhashPairsOf]]. Prefer [[nearDupPairsCanonical]], which enforces
+    * the exact-before-near composition.
     */
-  def minhashPairs(spark: SparkSession, dir: String, thresholdX1000: Int = 700): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String, thresholdX1000: Int = 700): DataFrame =
+    minhashPairsOf(
+      table(spark, dir, "documents").select(col("doc_id"), col("text")), thresholdX1000)
+
+  /** The enforced composition: exact dedup first (canonical
+    * representatives), MinHash+LSH near-dup pairs over the canonicals
+    * only. This is the production near-dup entry point — identical-copy
+    * cliques (the common web-mirror case) are exactDedup's job and never
+    * reach the quadratic pair listing.
+    */
+  def nearDupPairsCanonical(
+      spark: SparkSession, dir: String, thresholdX1000: Int = 700): DataFrame =
+    minhashPairsOf(
+      canonicalDocs(spark, dir).select(col("doc_id"), col("text")), thresholdX1000)
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification over any
+    * (doc_id, text) frame. Output: (doc_a, doc_b, jaccard_x1000) for
+    * verified pairs (jaccard >= threshold/1000), doc_a < doc_b.
+    */
+  def minhashPairsOf(input: DataFrame, thresholdX1000: Int = 700): DataFrame = {
+    val spark = input.sparkSession
     import spark.implicits._
-    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = input.select(col("doc_id"), col("text"))
 
     // one narrow pass: doc -> band keys. Docs with fewer tokens than one
     // shingle (empty shingle set) are EXCLUDED: their minhash signature is

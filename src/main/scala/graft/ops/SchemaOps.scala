@@ -98,6 +98,80 @@ object SchemaOps {
     mergeBatches(Seq(a, b))
   }
 
+  /** A schema-dispatch candidate: (schema_name, schema, required field,
+    * display key field). A record matches the candidate when the required
+    * field parses non-null under the candidate schema.
+    */
+  type DispatchCandidate = (String, StructType, String, String)
+
+  /** The engine's default dispatch set — the three child-record shapes
+    * the shredder produces, in deterministic try order (the reference
+    * tries its known Pydantic schemas in a fixed order and takes the
+    * first that parses, db_init_llm.py:100-129).
+    */
+  val DispatchCandidates: Seq[DispatchCandidate] = Seq(
+    ("material_usage",
+      StructType(Seq(
+        StructField("material_name", StringType),
+        StructField("actual_quantity", LongType),
+        StructField("checked_by", StringType))),
+      "material_name", "material_name"),
+    ("step",
+      StructType(Seq(
+        StructField("step_no", IntegerType),
+        StructField("description", StringType))),
+      "step_no", "description"),
+    ("temperature",
+      StructType(Seq(
+        StructField("time_point", StringType),
+        StructField("temperature_c", IntegerType))),
+      "time_point", "time_point"))
+
+  /** Schema identification / try-parse dispatch (ref: agents/sql_agent/
+    * db_init_llm.py:100-129: each incoming JSON is classified by
+    * attempting every known schema; first success wins): adds
+    * `schema_name` (first candidate whose required field parses
+    * non-null, else 'unknown' — malformed JSON parses to a null struct
+    * and lands there too) and `key_field` (the matched candidate's
+    * display field, as string).
+    *
+    * Pure per-row projection — `from_json` + conditionals, zero shuffle
+    * at any scale (PlanShapeSpec pins the no-Exchange shape).
+    */
+  def classifyJson(
+      df: DataFrame, jsonCol: String,
+      candidates: Seq[DispatchCandidate] = DispatchCandidates): DataFrame = {
+    require(candidates.nonEmpty, "classifyJson: no candidates")
+    val parsed = candidates.map { case (n, sc, req, key) =>
+      (n, from_json(col(jsonCol), sc), req, key)
+    }
+    val name = parsed.foldRight(lit("unknown")) { case ((n, p, req, _), acc) =>
+      when(p.getField(req).isNotNull, lit(n)).otherwise(acc)
+    }
+    val keyField = parsed.foldRight(lit(null).cast("string")) { case ((_, p, req, key), acc) =>
+      when(p.getField(req).isNotNull, p.getField(key).cast("string")).otherwise(acc)
+    }
+    df.withColumn("schema_name", name).withColumn("key_field", keyField)
+  }
+
+  /** Route records to their per-type shred: one typed frame per
+    * candidate, carrying every non-payload column plus the parsed fields
+    * (the reference inserts each classified JSON into that schema's
+    * table family). Unmatched records are the residue under
+    * `schema_name = 'unknown'` in [[classifyJson]]'s output.
+    */
+  def routeBySchema(
+      df: DataFrame, jsonCol: String,
+      candidates: Seq[DispatchCandidate] = DispatchCandidates): Seq[(String, DataFrame)] = {
+    val classified = classifyJson(df, jsonCol, candidates)
+    val carry = df.columns.filterNot(_ == jsonCol).map(col).toSeq
+    candidates.map { case (n, sc, _, _) =>
+      (n, classified.filter(col("schema_name") === n)
+        .withColumn("__parsed", from_json(col(jsonCol), sc))
+        .select(carry ++ sc.fieldNames.map(f => col(s"__parsed.$f")): _*))
+    }
+  }
+
   /** ALTER TABLE ADD COLUMN analogue (ref: utils.py:52-71): add every
     * `target` column the frame lacks as a typed null, preserving target
     * column order for the existing+added set.

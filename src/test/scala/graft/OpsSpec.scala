@@ -472,6 +472,31 @@ class OpsSpec extends AnyFunSuite {
     shredded.unpersist()
   }
 
+  test("exact-before-near composition: a 1000-copy exact-dup clique stays O(clique), never O(clique^2)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-clique").toString
+    val base = (0 until 60).map(i => s"tok${i * 7 % 61} w$i").mkString(" ")
+    val rows = (0L until 1000L).map(i => (i, "en", base)) ++ Seq(
+      (1000L, "en", base + " tail alpha"),
+      (1001L, "en", base + " tail beta"),
+      (1002L, "en", (0 until 90).map(i => s"z$i q${i % 7}").mkString(" ")))
+    rows.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val canon = DedupOps.canonicalDocs(spark, dir)
+    assert(canon.count() == 4)
+    assert(canon.select("doc_id").as[Long].collect().toSet == Set(0L, 1000L, 1001L, 1002L),
+      "canonical = min doc_id per distinct content")
+    val pairs = DedupOps.nearDupPairsCanonical(spark, dir).collect()
+    // the clique collapsed to one canonical BEFORE banding: pair count is
+    // bounded by the canonical set (C(3,2)=3), not the raw clique's ~500k
+    assert(pairs.length <= 3, s"composition leaked clique pairs: ${pairs.length}")
+    assert(pairs.nonEmpty, "planted tail variants must verify as near-dups")
+    pairs.foreach { r =>
+      assert(Set(0L, 1000L, 1001L).contains(r.getLong(0)), r.toString)
+      assert(Set(0L, 1000L, 1001L).contains(r.getLong(1)), r.toString)
+    }
+  }
+
   test("lang id: scores nonnegative, predicted in domain, en beats others on English text") {
     import spark.implicits._
     val out = TextOps.langId(spark, dir)

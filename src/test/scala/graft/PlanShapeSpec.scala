@@ -90,6 +90,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in recall plan:\n$p")
   }
 
+  test("schema dispatch is a pure per-row projection: zero shuffles") {
+    val p = plan(graft.ops.SchemaOps.classifyJson(
+      graft.synth.JsonRecords.docs(spark, 50), "payload"))
+    assert(!p.contains("Exchange"), s"classifyJson must not shuffle:\n$p")
+  }
+
+  test("canonical keep-set: hash-keyed agg with map-side partial min, no all-pairs") {
+    val p = plan(graft.ops.DedupOps.canonicalDocs(spark, dir))
+    assert(p.contains("content_hash"), s"keep-set must aggregate on the content hash:\n$p")
+    assert(p.contains("partial_min"), s"keep-set agg lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"canonicalDocs degenerated to all-pairs:\n$p")
+  }
+
   test("ad-hoc policy SQL: registry join broadcasts; LIMIT 50 is TakeOrderedAndProject") {
     val recs = graft.ops.ShredOps.structuredRecords(spark, 60L).toDF()
     val p = plan(graft.ops.SqlSurface.policySummary(spark, recs))

@@ -80,4 +80,50 @@ class SchemaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("classifyJson: first-match dispatch, ambiguous order, malformed -> unknown") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, """{"material_name":"mat-1","actual_quantity":120,"checked_by":"r1"}"""),
+      (1L, """{"step_no":4,"description":"mix"}"""),
+      (2L, """{"time_point":"t3","temperature_c":25}"""),
+      (3L, """{"material_name":"mat-9","step_no":7}"""), // ambiguous: first match wins
+      (4L, """{"vendor":"v-1"}"""), // valid but unknown shape
+      (5L, """{"material_name": busted"""), // malformed JSON
+      (6L, """not json at all"""))
+      .toDF("rec_id", "payload")
+    val got = SchemaOps.classifyJson(rows, "payload")
+      .select("rec_id", "schema_name", "key_field")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(got(0L) == (("material_usage", Some("mat-1"))))
+    assert(got(1L) == (("step", Some("mix"))))
+    assert(got(2L) == (("temperature", Some("t3"))))
+    assert(got(3L) == (("material_usage", Some("mat-9"))), "ambiguous record must take the FIRST matching candidate")
+    assert(got(4L) == (("unknown", None)))
+    assert(got(5L) == (("unknown", None)))
+    assert(got(6L) == (("unknown", None)))
+  }
+
+  test("routeBySchema: each family parses round-trip; families partition the matched set") {
+    import spark.implicits._
+    val docs = graft.synth.JsonRecords.docs(spark, 100)
+    val routed = SchemaOps.routeBySchema(docs, "payload")
+    assert(routed.map(_._1) == Seq("material_usage", "step", "temperature"))
+    val counts = routed.map { case (n, df) => n -> df.count() }.toMap
+    // generator plants ids ≡ {0,3} mod 5 as material (+ ambiguous ids ≡ 4
+    // mod 5 with id % 4 == 0), ≡ 1 as step, ≡ 2 as temperature
+    val expMaterial = (0L until 100L).count(id =>
+      id % 5 == 0 || id % 5 == 3 || (id % 5 == 4 && id % 4 == 0)).toLong
+    assert(counts("material_usage") == expMaterial)
+    assert(counts("step") == (0L until 100L).count(_ % 5 == 1).toLong)
+    assert(counts("temperature") == (0L until 100L).count(_ % 5 == 2).toLong)
+    // routed frames carry the parsed typed fields
+    val step = routed.find(_._1 == "step").get._2
+    assert(step.columns.toSeq == Seq("rec_id", "step_no", "description"))
+    assert(step.filter(col("step_no").isNull).count() == 0)
+    // classified + unknown partitions cover the corpus exactly
+    val unknown = SchemaOps.classifyJson(docs, "payload")
+      .filter(col("schema_name") === "unknown").count()
+    assert(counts.values.sum + unknown == 100L)
+  }
 }
