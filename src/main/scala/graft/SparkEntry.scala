@@ -205,7 +205,25 @@ object SparkEntry {
     // exact-before-near dedup composition: the canonical keep-set frame
     // that feeds the near-dup family (DedupOps.nearDupPairsCanonical)
     "q70_canonical_docs" -> ((s, d) =>
-      DedupOps.canonicalDocs(s, d).select(col("doc_id"), col("lang")))
+      DedupOps.canonicalDocs(s, d).select(col("doc_id"), col("lang"))),
+    // snapshot diff (T6): planted next-snapshot delta — first 5 convs
+    // deleted, every turn 0 drifted, one turn added per conv ≡ 0 mod 10 —
+    // the engine's content-hash anti join must find EXACTLY that delta
+    "q71_snapshot_diff" -> ((s, _) => {
+      import s.implicits._
+      val prev = SynthDataset.turns(s, VerifyConvs)
+      val added = s.range(VerifyConvs)
+        .filter(c => c >= 5L && c % 10 == 0)
+        .map(c => graft.model.Turn(f"conv-$c%06d", 999, "user",
+          "<p>late-arriving appended turn body text</p>", null,
+          new java.sql.Timestamp(1735689600000L)))
+      val next = prev
+        .filter((t: graft.model.Turn) => t.conv_id >= "conv-000005")
+        .map((t: graft.model.Turn) =>
+          if (t.turn_idx == 0) t.copy(text = t.text + " drift") else t)
+        .union(added)
+      Pipeline.changedTurnKeys(prev, next)
+    })
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1122,6 +1140,17 @@ object SparkEntry {
          FROM r""",
     "q70_canonical_docs" ->
       """SELECT doc_id, lang FROM documents
-         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))"""
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))""",
+    // snapshot diff: DuckDB derives the SAME planted delta from the
+    // mutation rules (drifted turn-0 rows of surviving convs + the added
+    // turn-999 rows) — deletions are correctly absent from the diff
+    "q71_snapshot_diff" ->
+      """WITH g AS (SELECT DISTINCT conv_id, turn_idx
+                    FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
+                    WHERE conv_id >= 'conv-000005')
+         SELECT conv_id, turn_idx FROM g WHERE turn_idx = 0
+         UNION ALL
+         SELECT DISTINCT conv_id, CAST(999 AS INT) AS turn_idx FROM g
+         WHERE CAST(substr(conv_id, 6) AS INT) % 10 = 0"""
   )
 }

@@ -83,6 +83,54 @@ object Pipeline {
     turns.filter($"turn_idx".isin(wanted.toSeq: _*))
   }
 
+  /** T6 completion — snapshot diff: the (conv_id, turn_idx) keys of
+    * `next` whose content is NEW or CHANGED relative to `prev` (the
+    * last-snapshot-wins re-ingest set). Content identity is the sha256 of
+    * the JSON-serialized payload fields (to_json omits null fields, so a
+    * null-vs-value move between columns never collides the way a
+    * separator concat would).
+    *
+    * Scale shape: both sides reduce to (conv_id, turn_idx, 32-byte sha)
+    * BEFORE the anti join — the join shuffles keys+hashes only, never
+    * turn text; unchanged buckets' payloads are read once (for hashing)
+    * and dropped at the scan-adjacent projection. At Iceberg scale the
+    * prev side's hashes would come from a persisted column, making the
+    * diff a pure metadata-scale join.
+    */
+  def changedTurnKeys(prev: Dataset[Turn], next: Dataset[Turn]): org.apache.spark.sql.DataFrame = {
+    def keyed(d: Dataset[Turn]) = d.toDF().select(
+      col("conv_id"), col("turn_idx"),
+      sha2(to_json(struct(col("role"), col("text"), col("tool"), col("ts"))), 256)
+        .as("content_sha"))
+    keyed(next)
+      .join(keyed(prev), Seq("conv_id", "turn_idx", "content_sha"), "left_anti")
+      .select(col("conv_id"), col("turn_idx"))
+  }
+
+  /** Incremental re-ingest between input snapshots: re-extract ONLY the
+    * changed/new turns of `next`, reuse `prevExtracted` rows for
+    * unchanged turns, drop rows whose key left the input (deletes). The
+    * result is row-for-row equal to a full `run` over `next` — pinned by
+    * PipelineSpec — at the cost of extracting just the delta.
+    */
+  def incrementalRun(
+      spark: SparkSession,
+      prevTurns: Dataset[Turn],
+      prevExtracted: Dataset[ExtractedTurn],
+      nextTurns: Dataset[Turn]
+  ): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    val changed = changedTurnKeys(prevTurns, nextTurns)
+    val fresh = run(spark,
+      nextTurns.toDF().join(changed, Seq("conv_id", "turn_idx"), "left_semi").as[Turn])
+    val nextKeys = nextTurns.toDF().select(col("conv_id"), col("turn_idx"))
+    val kept = prevExtracted.toDF()
+      .join(changed, Seq("conv_id", "turn_idx"), "left_anti") // changed: re-extracted below
+      .join(nextKeys, Seq("conv_id", "turn_idx"), "left_semi") // deleted: gone from next
+      .as[ExtractedTurn]
+    kept.unionByName(fresh)
+  }
+
   /** Full pipeline: salt → sort → extract. */
   def run(
       spark: SparkSession,

@@ -121,6 +121,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(subsetRun == fullRun)
   }
 
+  test("snapshot diff + incremental re-ingest: delta-only extraction equals a full re-run") {
+    import spark.implicits._
+    val prev = SynthDataset.turns(spark, 60L)
+    val prevExtracted = Pipeline.run(spark, prev)
+    // next snapshot: one conv deleted, one turn's content drifted, one turn added
+    val next = prev
+      .filter((t: Turn) => t.conv_id != "conv-000003")
+      .map((t: Turn) =>
+        if (t.conv_id == "conv-000005" && t.turn_idx == 0)
+          t.copy(text = t.text + " drifted tail") else t)
+      .union(Seq(Turn("conv-000900", 0, "user",
+        "<p>twenty-five-plus characters of brand new body text</p>", null,
+        new java.sql.Timestamp(0L))).toDS())
+    val changed = Pipeline.changedTurnKeys(prev, next)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(changed == Set(("conv-000005", 0), ("conv-000900", 0)),
+      s"diff must be exactly the drifted + added keys, got $changed")
+    val inc = Pipeline.incrementalRun(spark, prev, prevExtracted, next).collect().toSet
+    val full = Pipeline.run(spark, next).collect().toSet
+    assert(inc == full, "incremental result must be row-for-row equal to the full re-run")
+    assert(!inc.exists(_.conv_id == "conv-000003"), "deleted conv must not survive")
+  }
+
   test("resume drops stale lineage partitions left by a crash before the manifest update") {
     import spark.implicits._
     val turns = SynthDataset.turns(spark, 40L).cache()

@@ -90,6 +90,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in recall plan:\n$p")
   }
 
+  test("snapshot diff: anti join keyed on content sha; incremental extraction reads only the semi-joined delta") {
+    val prev = graft.synth.SynthDataset.turns(spark, 20L)
+    val next = graft.synth.SynthDataset.turns(spark, 22L)
+    val p1 = plan(Pipeline.changedTurnKeys(prev, next))
+    assert(p1.contains("LeftAnti"), s"diff must be an anti join:\n$p1")
+    assert(p1.contains("content_sha"), s"anti join must key on the content hash:\n$p1")
+    val p2 = plan(Pipeline.incrementalRun(spark, prev, Pipeline.run(spark, prev), next).toDF())
+    assert(p2.contains("LeftSemi"),
+      s"re-extraction input must be the semi-joined changed-key delta:\n$p2")
+  }
+
   test("schema dispatch is a pure per-row projection: zero shuffles") {
     val p = plan(graft.ops.SchemaOps.classifyJson(
       graft.synth.JsonRecords.docs(spark, 50), "payload"))
