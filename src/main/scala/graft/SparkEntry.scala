@@ -223,7 +223,14 @@ object SparkEntry {
           if (t.turn_idx == 0) t.copy(text = t.text + " drift") else t)
         .union(added)
       Pipeline.changedTurnKeys(prev, next)
-    })
+    }),
+    // RAG overlap chunking (ref config 128/16; verify-scale 32/8 so the
+    // short sf docs genuinely multi-chunk — defaults pinned by RagOpsSpec)
+    "q72_rag_chunks" -> ((s, d) =>
+      RagOps.chunkDocs(RelationalOps.table(s, d, "documents"),
+        RagOps.VerifyChunkSize, RagOps.VerifyChunkOverlap)),
+    // RAG chunk-level retrieval with doc provenance + accept threshold
+    "q73_rag_retrieve" -> ((s, d) => RagOps.retrieveChunks(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1151,6 +1158,67 @@ object SparkEntry {
          SELECT conv_id, turn_idx FROM g WHERE turn_idx = 0
          UNION ALL
          SELECT DISTINCT conv_id, CAST(999 AS INT) AS turn_idx FROM g
-         WHERE CAST(substr(conv_id, 6) AS INT) % 10 = 0"""
+         WHERE CAST(substr(conv_id, 6) AS INT) % 10 = 0""",
+    // RAG chunking: DuckDB re-chunks via 1-based stride range + inclusive
+    // list slicing (engine: 0-based sequence + slice) and shas the joined
+    // chunk tokens — byte equality of every chunk's content
+    "q72_rag_chunks" -> {
+      val sz = ops.RagOps.VerifyChunkSize
+      val stride = sz - ops.RagOps.VerifyChunkOverlap
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         c AS (SELECT doc_id, words, len(words) AS n,
+                      unnest(range(1, len(words) + 1, $stride)) AS s,
+                      generate_subscripts(range(1, len(words) + 1, $stride), 1) - 1 AS chunk_idx
+               FROM d)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, CAST(s - 1 AS INT) AS start_tok,
+                CAST(least($sz, n - (s - 1)) AS INT) AS n_chunk_tokens,
+                sha256(array_to_string(words[s : s + ${sz - 1}], ' ')) AS chunk_sha
+         FROM c"""
+    },
+    // RAG retrieval: DuckDB rebuilds the chunk count-vectors (sha-prefix
+    // feature hashing), scores every (query chunk, corpus chunk) pair
+    // with the SAME exact-integer cos^2 x10000, keeps the best chunk per
+    // corpus doc (provenance) and the top-k docs per query chunk
+    "q73_rag_retrieve" -> {
+      val sz = ops.RagOps.VerifyChunkSize
+      val stride = sz - ops.RagOps.VerifyChunkOverlap
+      val dims = ops.RagOps.RagDims
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         c AS (SELECT doc_id,
+                      generate_subscripts(range(1, len(words) + 1, $stride), 1) - 1 AS chunk_idx,
+                      unnest(range(1, len(words) + 1, $stride)) AS s,
+                      words FROM d),
+         t AS (SELECT doc_id, chunk_idx, s - 1 AS start_tok, words[s : s + ${sz - 1}] AS toks FROM c),
+         v AS (SELECT doc_id, chunk_idx, start_tok,
+                      [CAST(len(list_filter(toks, tk ->
+                         (CAST('0x' || substr(sha256(tk), 1, 8) AS BIGINT) % $dims) = dd)) AS BIGINT)
+                       for dd in range(0, $dims)] AS vec
+               FROM t),
+         nn AS (SELECT *, CAST(list_sum([x * x for x in vec]) AS BIGINT) AS nrm FROM v),
+         q AS (SELECT doc_id AS q_doc, chunk_idx AS q_chunk, vec AS q_vec, nrm AS q_nrm
+               FROM nn WHERE doc_id < ${ops.RagOps.RagNQueryDocs}),
+         cor AS (SELECT * FROM nn WHERE doc_id >= ${ops.RagOps.RagNQueryDocs}),
+         sc0 AS (SELECT q.q_doc, q.q_chunk, cor.doc_id, cor.chunk_idx, cor.start_tok,
+                        q.q_nrm, cor.nrm,
+                        CAST(list_sum([q.q_vec[i] * cor.vec[i] for i in range(1, ${dims + 1})]) AS BIGINT) AS dot
+                 FROM q CROSS JOIN cor),
+         sc AS (SELECT q_doc, q_chunk, doc_id, chunk_idx, start_tok,
+                       CAST(CASE WHEN q_nrm = 0 OR nrm = 0 THEN 0
+                            ELSE (dot * dot * 10000) // (q_nrm * nrm) END AS BIGINT) AS cos2_x10000
+                FROM sc0),
+         b AS (SELECT q_doc, q_chunk, doc_id,
+                      max(cos2_x10000) AS cos2_x10000,
+                      first(chunk_idx ORDER BY cos2_x10000 DESC, chunk_idx ASC) AS best_chunk_idx,
+                      first(start_tok ORDER BY cos2_x10000 DESC, chunk_idx ASC) AS best_start_tok
+               FROM sc GROUP BY 1, 2, 3),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_doc, q_chunk
+                         ORDER BY cos2_x10000 DESC, doc_id ASC) AS rank FROM b)
+         SELECT q_doc, CAST(q_chunk AS INT) AS q_chunk, CAST(rank AS INT) AS rank, doc_id,
+                CAST(best_chunk_idx AS INT) AS best_chunk_idx,
+                CAST(best_start_tok AS INT) AS best_start_tok,
+                CAST(cos2_x10000 AS BIGINT) AS cos2_x10000,
+                cos2_x10000 >= ${ops.RagOps.VerifyRagThresholdX10000} AS accepted
+         FROM r WHERE rank <= ${ops.RagOps.RagK}"""
+    }
   )
 }

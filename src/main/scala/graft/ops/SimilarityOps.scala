@@ -197,12 +197,26 @@ object SimilarityOps {
     */
   def ivfCentroids(
       spark: SparkSession, dir: String,
-      nList: Int = IvfNList, iters: Int = IvfIters): DataFrame = {
+      nList: Int = IvfNList, iters: Int = IvfIters): DataFrame =
+    ivfCentroidsOf(
+      table(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      nList, iters)
+
+  /** [[ivfCentroids]] over any (vec_id, embedding:array<float>) frame —
+    * the generic entry the RAG chunk index composes with. Init is the
+    * nList smallest vec_ids (deterministic for any id domain).
+    */
+  def ivfCentroidsOf(
+      vecs: DataFrame, nList: Int = IvfNList, iters: Int = IvfIters): DataFrame = {
+    val spark = vecs.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     var centroids = vecs
-      .filter(col("vec_id") < nList)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      .orderBy(col("vec_id").asc).limit(nList)
+      .select(
+        // dense 0..nList-1 cell ids from the init ranks, so cell ids stay
+        // small ints for any vec_id domain
+        (row_number().over(Window.orderBy(col("vec_id").asc)) - 1).as("cell"),
+        col("embedding").as("centroid"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val assigned = assignCells(vecs, centroids)
@@ -235,16 +249,28 @@ object SimilarityOps {
   def ivfTopK(
       spark: SparkSession, dir: String, k: Int = DefaultK,
       nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val centroids = ivfCentroids(spark, dir, nList, iters)
+    val queries = vecs
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    ivfTopKOf(vecs, queries, k, nList, nProbe, iters)
+  }
+
+  /** [[ivfTopK]] over any corpus (vec_id, embedding:array<float>) and
+    * query (query_id, q_embedding) frames — the generic entry the RAG
+    * chunk index composes with (centroids train on the corpus frame;
+    * self-matches are excluded by id).
+    */
+  def ivfTopKOf(
+      vecs: DataFrame, queries: DataFrame, k: Int = DefaultK,
+      nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val centroids = ivfCentroidsOf(vecs, nList, iters)
     // (vec_id, cell, embedding) — the argmin agg carries ids only; the
     // embeddings rejoin here (at scale this materializes as the
     // cell-partitioned index, written once and reused across query sets)
     val indexed = assignCells(vecs, centroids).join(vecs, "vec_id")
-    val probes = vecs
-      .filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val probes = queries
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_embedding"), col("cell"),
         expr("graft_l2_x10000(q_embedding, centroid)").as("l2_x10000"))

@@ -90,6 +90,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in recall plan:\n$p")
   }
 
+  test("RAG chunking is a narrow explode: zero shuffles") {
+    val p = plan(graft.ops.RagOps.chunkDocs(
+      RelationalOps.table(spark, dir, "documents"), 32, 8))
+    assert(p.contains("Generate"), s"expected the posexplode generate:\n$p")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("RAG retrieval broadcasts query chunks; per-query top-k limits before the shuffle") {
+    val p = plan(graft.ops.RagOps.retrieveChunks(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query chunks not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-side cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"missing rank-limit pushdown:\n$p")
+  }
+
   test("snapshot diff: anti join keyed on content sha; incremental extraction reads only the semi-joined delta") {
     val prev = graft.synth.SynthDataset.turns(spark, 20L)
     val next = graft.synth.SynthDataset.turns(spark, 22L)
