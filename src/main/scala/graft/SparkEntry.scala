@@ -86,7 +86,10 @@ object SparkEntry {
       .select(col("doc_id"), col("frame_idx"), col("n_bytes"))),
     // --- similarity search (embeddings table) ---
     "q25_ann_brute_topk" -> ((s, d) => SimilarityOps.bruteTopK(s, d)),
-    "q26_ann_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
+    // AUTO-TUNED multi-table LSH (b, l derived from the sampled
+    // neighbor-agreement estimate; the fixed-default path remains as
+    // SimilarityOps.lshTopK and is covered by its ScalaTest)
+    "q26_ann_lsh_topk" -> ((s, d) => SimilarityOps.lshTopKTuned(s, d)),
     // --- multimodal plumbing ---
     "q27_media_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     // --- extraction pipeline (synthetic corpus; golden-tested) ---
@@ -230,7 +233,10 @@ object SparkEntry {
       RagOps.chunkDocs(RelationalOps.table(s, d, "documents"),
         RagOps.VerifyChunkSize, RagOps.VerifyChunkOverlap)),
     // RAG chunk-level retrieval with doc provenance + accept threshold
-    "q73_rag_retrieve" -> ((s, d) => RagOps.retrieveChunks(s, d))
+    "q73_rag_retrieve" -> ((s, d) => RagOps.retrieveChunks(s, d)),
+    // the surfaced LSH auto-tune derivation (sample estimates + chosen
+    // params) — DuckDB recomputes the whole chain independently
+    "q74_lsh_params" -> ((s, d) => SimilarityOps.lshParamsDf(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -304,18 +310,66 @@ object SparkEntry {
                     / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS stopword_x1000
        FROM documents"""
 
-  /** CTE fragment recomputing the multi-table LSH candidate pairs of
-    * `SimilarityOps.lshTopK` in DuckDB: per-table buckets b0..b{L-1}
-    * (each from the engine's exact plane family via bucketSqlExpr), a
-    * candidate = any-table bucket match. Expects a CTE `e(vec_id, v)`.
-    * Yields CTEs `lb` (bucketed corpus) and `lcand(query_id, neighbor_id)`.
+  /** x^n at x10000 scale as unrolled SQL — the oracle twin of
+    * `SimilarityOps.fxPow`'s left-fold (p*x // 10000, n times).
+    */
+  private def fxPowSql(x: String, n: Int): String =
+    (2 to n).foldLeft(x)((acc, _) => s"(($acc * $x) // 10000)")
+
+  /** Per-pair plane-sign agreement count over the full-width bucket
+    * columns b0..b{L-1} (8 planes each): Σ_t (8 - hamming(b_t, b_t)).
+    */
+  private def lshAgreeSql(a: String, b: String): String =
+    (0 until ops.SimilarityOps.TuneMaxTables)
+      .map(t => s"(8 - bit_count(xor($a.b$t, $b.b$t)))")
+      .mkString("CAST((", " + ", ") AS BIGINT)")
+
+  /** CTE fragment recomputing `SimilarityOps.lshTopKTuned`'s AUTO-TUNED
+    * candidate pairs in DuckDB, end to end: full-width per-table buckets
+    * (8 planes, 16 tables — the engine's fixed-stride plane family),
+    * the sample's top-k neighbor pairs and their empirical plane-sign
+    * agreement (qnear/qrand), the fixed-point (b, l) grid search, and
+    * the candidate join masked to the CHOSEN b low bits over the CHOSEN
+    * l tables. Expects a CTE `e(vec_id, v)`. Yields `tune`, `grid`,
+    * `chosen` and `lcand(query_id, neighbor_id)`.
     */
   private def lshCandidateCtes: String = {
-    val L = ops.SimilarityOps.LshNTables
-    s"""lb AS (SELECT vec_id, v, ${bucketColsSql("v", ops.SimilarityOps.LshNPlanes, L)} FROM e),
+    val L = ops.SimilarityOps.TuneMaxTables
+    val B = ops.SimilarityOps.TuneMaxPlanes
+    val target = ops.SimilarityOps.TuneTargetRecallX10000
+    val fbList = (0 until L).map(t => s"b$t").mkString("[", ", ", "]")
+    val pows = (1 to B).map(b =>
+      s"SELECT $b AS b, CAST(${fxPowSql("qnear", b)} AS BIGINT) AS pnear, " +
+        s"CAST(${fxPowSql("qrand", b)} AS BIGINT) AS prand FROM tune")
+      .mkString(" UNION ALL ")
+    val grid = (1 to L).map(l =>
+      s"SELECT b, $l AS l, 10000 - CAST(${fxPowSql("(10000 - pnear)", l)} AS BIGINT) AS r, " +
+        s"$l * prand AS v FROM pows")
+      .mkString(" UNION ALL ")
+    s"""fb AS (SELECT vec_id, v, ${bucketColsSql("v", B, L)} FROM e),
+       samp AS (SELECT * FROM fb WHERE vec_id < ${ops.SimilarityOps.TuneSampleN}),
+       pair AS (SELECT a.vec_id AS ia, c.vec_id AS ic,
+                       CAST(floor(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cos,
+                       ${lshAgreeSql("a", "c")} AS agree
+                FROM samp a JOIN samp c ON a.vec_id <> c.vec_id),
+       near AS (SELECT ia, ic, agree FROM (
+                  SELECT *, row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ic ASC) AS rn
+                  FROM pair) z WHERE rn <= ${ops.SimilarityOps.TuneK}),
+       tune AS (SELECT
+                  CAST((SELECT sum(agree) * 10000 // (count(*) * ${L * B}) FROM near) AS BIGINT) AS qnear,
+                  CAST((SELECT sum(agree) * 10000 // (count(*) * ${L * B}) FROM pair WHERE ia < ic) AS BIGINT) AS qrand),
+       pows AS ($pows),
+       grid AS ($grid),
+       chosen AS (SELECT b, l FROM grid
+                  ORDER BY (CASE WHEN r >= $target THEN 0 ELSE 1 END),
+                           (CASE WHEN r >= $target THEN v ELSE 10000 - r END),
+                           l, b LIMIT 1),
+       lbl AS (SELECT vec_id, v, $fbList AS fbl FROM fb),
        lcand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
-                 FROM (SELECT * FROM lb WHERE vec_id < ${ops.SimilarityOps.NQueries}) q
-                 JOIN lb n ON n.vec_id <> q.vec_id AND (${anyTableMatchSql("q", "n", L)}))"""
+                 FROM (SELECT * FROM lbl WHERE vec_id < ${ops.SimilarityOps.NQueries}) q, lbl n, chosen ch
+                 WHERE n.vec_id <> q.vec_id
+                   AND len(list_filter(range(1, ch.l + 1),
+                         t -> (q.fbl[t] % (1 << ch.b)) = (n.fbl[t] % (1 << ch.b)))) > 0)"""
   }
 
   /** DuckDB-runnable oracle SQL (same parquet tables registered by name).
@@ -1219,6 +1273,17 @@ object SparkEntry {
                 CAST(cos2_x10000 AS BIGINT) AS cos2_x10000,
                 cos2_x10000 >= ${ops.RagOps.VerifyRagThresholdX10000} AS accepted
          FROM r WHERE rank <= ${ops.RagOps.RagK}"""
-    }
+    },
+    // LSH auto-tune derivation, recomputed END TO END by DuckDB: sample
+    // cosines + top-k neighbor selection, empirical plane-sign agreement
+    // (the same 128-plane family), the fixed-point (b, l) grid search,
+    // and the chosen row's estimates
+    "q74_lsh_params" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         $lshCandidateCtes
+         SELECT CAST(ch.b AS INT) AS n_planes, CAST(ch.l AS INT) AS n_tables,
+                t.qnear AS q_near_x10000, t.qrand AS q_rand_x10000,
+                CAST(g.r AS BIGINT) AS exp_recall_x10000, CAST(g.v AS BIGINT) AS exp_volume_x10000
+         FROM chosen ch, tune t, grid g WHERE g.b = ch.b AND g.l = ch.l"""
   )
 }

@@ -73,6 +73,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LSH probe degenerated to all-pairs:\n$p")
   }
 
+  test("tuned LSH top-k keeps the broadcast bucket equi-join shape") {
+    val p = plan(graft.ops.SimilarityOps.lshTopKTuned(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"bucketed query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"tuned LSH probe degenerated to all-pairs:\n$p")
+  }
+
   test("IVF top-k: probe set broadcast, scoring is an equi-join on cell id") {
     val p = plan(graft.ops.SimilarityOps.ivfTopK(spark, dir))
     // the only NLJ allowed is vectors × broadcast centroids (assignment);
