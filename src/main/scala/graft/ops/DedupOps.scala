@@ -281,6 +281,17 @@ object DedupOps {
       .persist()
 
     var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id")).localCheckpoint()
+    // Convergence detection WITHOUT a per-round join: labels only ever
+    // decrease (min-propagation), so the label sum strictly decreases iff
+    // ANY label changed — equal consecutive sums ⟺ fixed point. One
+    // decimal(38,0) aggregate per round (exact at any corpus size; a
+    // long sum could wrap at 10^12 ids) replaces the round-2 design's
+    // full self-join + limit(1).count() action.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     try while (!converged && iter < maxIters) {
@@ -306,12 +317,10 @@ object DedupOps {
           propagated("doc_id"),
           coalesce(col("lbl_label"), propagated("label")).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     // labels are checkpointed RDDs with no reference back to sym — the

@@ -93,18 +93,27 @@ object RagOps {
 
   /** Deterministic chunk feature vector: token t lands in dimension
     * sha256(t)[0:8] mod dims (the hex-prefix bucket trick shared with the
-    * oracle), vector = per-dimension token counts (exact longs). At
-    * production scale this projection would move into a codegen'd
-    * Catalyst expression like CosineX10000; the dims×tokens `filter`
-    * transform keeps verify-scale cost trivial and the semantics in one
-    * place.
+    * oracle), vector = per-dimension token counts (exact longs).
+    *
+    * Shape matters: a per-dimension `filter` over the tokens would embed
+    * the sha expression in every one of the `dims` branches — Catalyst's
+    * project-collapse then re-hashes each token `dims` times (measured:
+    * 20 s for q73 at sf0.1). The aggregate-histogram below hashes each
+    * token ONCE (the transform is the fold's input) and pays only cheap
+    * integer compares per (token, dim). At production scale this whole
+    * projection would move into a codegen'd Catalyst expression like
+    * CosineX10000.
     */
-  private def countVector(toks: Column, dims: Int): Column =
-    transform(
-      sequence(lit(0), lit(dims - 1)),
-      d => size(filter(toks, t =>
-        pmod(conv(substring(sha2(t, 256), 1, 8), 16, 10).cast("long"), lit(dims.toLong))
-          === d.cast("long"))).cast("long"))
+  private def countVector(toks: Column, dims: Int): Column = {
+    val dimOf = (t: Column) =>
+      pmod(conv(substring(sha2(t, 256), 1, 8), 16, 10).cast("long"), lit(dims.toLong))
+    aggregate(
+      transform(toks, dimOf),
+      array_repeat(lit(0L), dims),
+      (acc, d) => zip_with(
+        acc, sequence(lit(0L), lit(dims - 1L)),
+        (v, i) => when(i === d, v + 1L).otherwise(v)))
+  }
 
   /** Chunks with their count vectors: (doc_id, chunk_idx, start_tok, vec). */
   def chunkVectors(
