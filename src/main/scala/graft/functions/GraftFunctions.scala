@@ -159,6 +159,83 @@ case class HyperplaneBucket(first: Expression, second: Expression, third: Expres
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Native Catalyst expression: feature-hash count vector (histogram) of a
+  * token array — token t lands in dimension sha256(t)[0:4-bytes] mod dims.
+  * One digest per token; the equivalent SQL fold
+  * (`aggregate(transform(toks, sha...), zip_with...)`) allocates two
+  * dims-length arrays PER TOKEN and was q73's entire cost at sf0.1. `dims`
+  * must be a foldable positive int literal.
+  */
+case class CountVec(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val toksOk = left.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!toksOk) TypeCheckResult.TypeCheckFailure(
+      s"graft_count_vec requires array<string>, got ${left.dataType.catalogString}")
+    else if (right.dataType != org.apache.spark.sql.types.IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_count_vec requires a literal int dimension count")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_count_vec"
+
+  override protected def nullSafeEval(toks: Any, dims: Any): Any =
+    TextAlgos.countVecArrayData(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dims.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (toks, dims) => s"graft.text.TextAlgos.countVecArrayData($toks, $dims)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountVec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: floor(cos²(a,b) · 10000) over two
+  * `array<bigint>` count vectors — exact integer arithmetic end to end
+  * (no float parity risk), the RAG chunk-scoring kernel. The SQL-fold
+  * equivalent runs three interpreted 64-element lambdas per scored PAIR;
+  * this stays inside WholeStageCodegen.
+  */
+case class Cos2X10000(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cos2_x10000 requires two array<bigint> arguments, " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cos2_x10000"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgos.cos2X10000LongArrayData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.TextAlgos.cos2X10000LongArrayData($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Cos2X10000 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Catalyst expression: canonical decimal string of a double
   * (Python str(float) / DuckDB varchar-cast format) — the cross-system
   * numeric canonicalization feeding signature hashes (the reference's
@@ -229,6 +306,22 @@ object GraftFunctions {
         val off = if (children.size == 3) children(2)
           else org.apache.spark.sql.catalyst.expressions.Literal(0)
         HyperplaneBucket(children.head, children(1), off)
+      }),
+    (FunctionIdentifier("graft_cos2_x10000"),
+      new ExpressionInfo(
+        classOf[Cos2X10000].getName, null, "graft_cos2_x10000",
+        "_FUNC_(a, b) - floor(cos_squared(a, b) * 10000) over array<bigint>, exact integer.", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cos2_x10000 takes exactly two arguments")
+        Cos2X10000(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_count_vec"),
+      new ExpressionInfo(
+        classOf[CountVec].getName, null, "graft_count_vec",
+        "_FUNC_(toks, dims) - sha256-bucketed token count histogram as array<bigint>.", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_count_vec takes exactly two arguments")
+        CountVec(children.head, children(1))
       }),
     (FunctionIdentifier("graft_canon_double"),
       new ExpressionInfo(

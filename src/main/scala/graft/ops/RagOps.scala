@@ -95,52 +95,41 @@ object RagOps {
     * sha256(t)[0:8] mod dims (the hex-prefix bucket trick shared with the
     * oracle), vector = per-dimension token counts (exact longs).
     *
-    * Shape matters: a per-dimension `filter` over the tokens would embed
-    * the sha expression in every one of the `dims` branches — Catalyst's
-    * project-collapse then re-hashes each token `dims` times (measured:
-    * 20 s for q73 at sf0.1). The aggregate-histogram below hashes each
-    * token ONCE (the transform is the fold's input) and pays only cheap
-    * integer compares per (token, dim). At production scale this whole
-    * projection would move into a codegen'd Catalyst expression like
-    * CosineX10000.
+    * Shape matters — two slower formulations measured at sf0.1 before the
+    * codegen'd `graft_count_vec` expression (graft.functions.CountVec,
+    * one digest per token, one long[dims] per row): a per-dimension
+    * `filter` re-hashes each token `dims` times after project-collapse
+    * (q73 = 20 s), and an `aggregate`/`zip_with` fold hashes once but
+    * allocates two dims-length arrays per token (q73 = 6.9 s). The
+    * expression's bucket function is bit-identical to
+    * `pmod(conv(substring(sha2(t,256),1,8),16,10), dims)`, so the DuckDB
+    * oracle SQL is untouched (parity pinned in FunctionsSpec/RagOpsSpec).
     */
-  private def countVector(toks: Column, dims: Int): Column = {
-    val dimOf = (t: Column) =>
-      pmod(conv(substring(sha2(t, 256), 1, 8), 16, 10).cast("long"), lit(dims.toLong))
-    aggregate(
-      transform(toks, dimOf),
-      array_repeat(lit(0L), dims),
-      (acc, d) => zip_with(
-        acc, sequence(lit(0L), lit(dims - 1L)),
-        (v, i) => when(i === d, v + 1L).otherwise(v)))
-  }
+  private def countVector(toks: Column, dims: Int): Column =
+    call_function("graft_count_vec", toks, lit(dims))
 
   /** Chunks with their count vectors: (doc_id, chunk_idx, start_tok, vec). */
   def chunkVectors(
       docs: DataFrame,
       chunkSize: Int = ChunkSize,
       chunkOverlap: Int = ChunkOverlap,
-      dims: Int = RagDims): DataFrame =
+      dims: Int = RagDims): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     chunked(docs, chunkSize, chunkOverlap)
       .select(
         col("doc_id"), col("chunk_idx"), col("start_tok"),
         countVector(col("chunk_toks"), dims).as("vec"))
+  }
 
   /** floor(cos²(a,b) · 10000) over two long-count vectors — exact integer
-    * arithmetic end to end (dot and norms are exact; `div` == DuckDB `//`
-    * on the nonnegative operands). Zero-norm chunks score 0.
+    * arithmetic end to end (dot and norms are exact longs; Java integer
+    * division == DuckDB `//` on the nonnegative operands). Zero-norm
+    * chunks score 0. Codegen'd expression (graft.functions.Cos2X10000) —
+    * the SQL-fold formulation it replaced paid three interpreted
+    * 64-element lambdas per scored PAIR (parity pinned in FunctionsSpec).
     */
-  private def cos2X10000(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    val na = aggregate(a, lit(0L), (acc, x) => acc + x * x)
-    val nb = aggregate(b, lit(0L), (acc, x) => acc + x * x)
-    val num = dot * dot * lit(10000L)
-    val den = na * nb
-    // exact floor division via the pmod trick (Column./ is double division;
-    // num - pmod(num, den) is exactly divisible, so the quotient is exact)
-    when(na === lit(0L) || nb === lit(0L), lit(0L))
-      .otherwise(((num - pmod(num, den)) / den).cast("long"))
-  }
+  private def cos2X10000(a: Column, b: Column): Column =
+    call_function("graft_cos2_x10000", a, b)
 
   /** Chunk-level retrieval with doc provenance: every chunk of the first
     * `nQueryDocs` docs queries the chunks of all OTHER docs; per

@@ -194,6 +194,64 @@ object TextAlgos {
       planeOffset: Int): Int =
     hyperplaneBucket(a.toFloatArray(), nPlanes, planeOffset)
 
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** Codegen entry point for `graft_count_vec` (graft.functions.CountVec):
+    * feature-hash histogram of a token array — token t increments dimension
+    * (first 4 sha256(utf8(t)) bytes as unsigned big-endian) mod dims. This
+    * is bit-identical to the SQL formulation
+    * `pmod(conv(substring(sha2(t, 256), 1, 8), 16, 10), dims)` (first 8 hex
+    * chars = first 4 digest bytes) and to the DuckDB oracle's
+    * `substring(sha256(t), 1, 8)::... % dims`, so the expression can replace
+    * the fold without touching any oracle. Null tokens are skipped — in the
+    * SQL fold their null dimension matches no bucket.
+    */
+  def countVecArrayData(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      dims: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = new Array[Long](dims)
+    val md = sha256Local.get()
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(i).getBytes)
+        val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        counts((u % dims).toInt) += 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  /** Codegen entry point for `graft_cos2_x10000` (graft.functions.
+    * Cos2X10000): floor(cos²(a,b) · 10000) over two long-count vectors in
+    * EXACT integer arithmetic — dot and norms are exact longs, and Java
+    * integer division on the nonnegative operands IS floor division, so
+    * the result is bit-identical to the SQL-fold formulation
+    * `(dot² · 10000 - pmod(..)) / (na · nb)` and to DuckDB `//`.
+    * Zero-norm vectors score 0 (the convention RagOps documents).
+    */
+  def cos2X10000LongArrayData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements()
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0L
+    else dot * dot * 10000L / (na * nb)
+  }
+
   /** Codegen entry point for `graft_l2_x10000`
     * (graft.functions.L2X10000): floor(l2 * 10000), integer-scaled for
     * engine-independent comparison.

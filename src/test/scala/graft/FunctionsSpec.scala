@@ -99,6 +99,86 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("SerializeFromObject"), "bucketing fell out of codegen")
   }
 
+  test("graft_count_vec equals the SQL sha-fold and a local recompute; null-safe; codegen'd") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val dims = 16
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+    // the exact SQL formulation the expression replaced (RagOps round-2 fold)
+    val sqlFold =
+      s"""aggregate(
+         |  transform(toks, t -> pmod(cast(conv(substring(sha2(t, 256), 1, 8), 16, 10) AS bigint), ${dims}L)),
+         |  array_repeat(0L, $dims),
+         |  (acc, d) -> zip_with(acc, sequence(0L, ${dims - 1}L), (v, i) -> IF(i = d, v + 1L, v)))""".stripMargin
+    val viaExpr = docs.selectExpr("doc_id", s"graft_count_vec(toks, $dims) AS v")
+      .as[(Long, Array[Long])].collect().toMap
+    val viaFold = docs.selectExpr("doc_id", s"$sqlFold AS v")
+      .as[(Long, Array[Long])].collect().toMap
+    assert(viaExpr.keySet == viaFold.keySet)
+    viaExpr.foreach { case (id, v) => assert(v.toSeq == viaFold(id).toSeq, s"doc $id") }
+    // independent local recompute (hex-prefix mod, as in the DuckDB oracle)
+    val local = docs.as[(Long, Array[String])].collect().map { case (id, toks) =>
+      val v = new Array[Long](dims)
+      toks.foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        v((BigInt(hex, 16) % dims).toInt) += 1L
+      }
+      id -> v
+    }.toMap
+    viaExpr.foreach { case (id, v) => assert(v.toSeq == local(id).toSeq, s"doc $id local") }
+    // null array -> null; null TOKEN skipped (parity with the fold's null dim)
+    val edge = Seq(
+      (1L, Array("a", null, "a")),
+      (2L, null: Array[String])).toDF("id", "toks")
+    val rows = edge.selectExpr("id", "graft_count_vec(toks, 4) AS v")
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1).sum == 2L, "null token must not count")
+    assert(rows(1).isNullAt(1))
+    val plan = docs.selectExpr("graft_count_vec(toks, 64)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), "count_vec fell out of codegen")
+  }
+
+  test("graft_cos2_x10000 equals the SQL integer-fold and a BigInt recompute; null-safe") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.tabulate(200) { i =>
+      def v() = Array.fill(16)(rnd.nextInt(9).toLong)
+      (i.toLong, v(), if (i % 17 == 0) Array.fill(16)(0L) else v())
+    }
+    val df = pairs.toDF("id", "a", "b")
+    // the exact SQL formulation the expression replaced (RagOps round-2 fold)
+    val sqlFold =
+      """CASE WHEN aggregate(a, 0L, (acc, x) -> acc + x * x) = 0L
+        |       OR aggregate(b, 0L, (acc, x) -> acc + x * x) = 0L THEN 0L
+        |  ELSE CAST((pow10k - pmod(pow10k, den)) / den AS bigint) END""".stripMargin
+    val prepared = df.selectExpr("id", "a", "b",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS dot",
+      "aggregate(a, 0L, (acc, x) -> acc + x * x) * aggregate(b, 0L, (acc, x) -> acc + x * x) AS den")
+      .selectExpr("id", "a", "b", "den", "dot * dot * 10000L AS pow10k")
+    val viaFold = prepared.selectExpr("id", s"$sqlFold AS c")
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = df.selectExpr("id", "graft_cos2_x10000(a, b) AS c")
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaFold)
+    // independent exact recompute
+    pairs.foreach { case (id, a, b) =>
+      val dot = a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+      val den = a.map(x => BigInt(x) * x).sum * b.map(x => BigInt(x) * x).sum
+      val want = if (den == 0) 0L else (dot * dot * 10000 / den).toLong
+      assert(viaExpr(id) == want, s"pair $id")
+    }
+    val rows = Seq((Array(1L, 2L), null: Array[Long])).toDF("a", "b")
+      .selectExpr("graft_cos2_x10000(a, b)").collect()
+    assert(rows(0).isNullAt(0))
+    val plan = df.selectExpr("graft_cos2_x10000(a, b)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), "cos2 fell out of codegen")
+  }
+
   test("graft_canon_double: pinned str(float)-format edges; expression matches scala path") {
     import spark.implicits._
     GraftFunctions.register(spark)
