@@ -73,10 +73,17 @@ object Pipeline {
     */
   def turnSubset(turns: Dataset[Turn], ranges: String): Dataset[Turn] = {
     // same grammar/semantics as RelationalOps.parsePageRanges: empty
-    // tokens ("1,,3") are skipped, reversed tokens ("5-3") select nothing
+    // tokens ("1,,3") are skipped, reversed tokens ("5-3") select nothing,
+    // and NON-NUMERIC tokens ("a-b") select nothing — parsePageRanges'
+    // cast-to-null does the same, and the extraction path's convention is
+    // swallow-and-continue, never throw (ref app.py:98-109 is unguarded;
+    // this is the one place we deviate, deliberately)
     val wanted = ranges.split(',').map(_.trim).filter(_.nonEmpty).flatMap { tok =>
       val parts = tok.split('-')
-      (parts.head.trim.toInt to parts.last.trim.toInt)
+      (parts.head.trim.toIntOption, parts.last.trim.toIntOption) match {
+        case (Some(lo), Some(hi)) => lo to hi
+        case _                    => Nil
+      }
     }.toSet
     val spark = turns.sparkSession
     import spark.implicits._

@@ -121,6 +121,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(subsetRun == fullRun)
   }
 
+  test("turn-subset range grammar: malformed/reversed/empty tokens select nothing, never throw") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, 30L)
+    def idxs(ranges: String): Set[Int] =
+      Pipeline.turnSubset(turns, ranges).select($"turn_idx").as[Int].collect().toSet
+    // parsePageRanges parity: "a-b" casts to null there and selects nothing
+    assert(idxs("a-b") == Set.empty)
+    assert(idxs("a-b,1,x,3-2,,2") == Set(1, 2), "good tokens survive bad neighbors")
+    assert(idxs("") == Set.empty)
+    assert(idxs("5-3") == Set.empty, "reversed range is empty (to-semantics)")
+  }
+
   test("snapshot diff + incremental re-ingest: delta-only extraction equals a full re-run") {
     import spark.implicits._
     val prev = SynthDataset.turns(spark, 60L)
