@@ -236,7 +236,10 @@ object SparkEntry {
     "q73_rag_retrieve" -> ((s, d) => RagOps.retrieveChunks(s, d)),
     // the surfaced LSH auto-tune derivation (sample estimates + chosen
     // params) — DuckDB recomputes the whole chain independently
-    "q74_lsh_params" -> ((s, d) => SimilarityOps.lshParamsDf(s, d))
+    "q74_lsh_params" -> ((s, d) => SimilarityOps.lshParamsDf(s, d)),
+    // integer-LM surprise quality filter (CCNet shape: unigram LM trained
+    // on the quality-passing subset, every doc scored in whole bits)
+    "q75_lm_surprise" -> ((s, d) => TextOps.lmSurprise(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1284,6 +1287,41 @@ object SparkEntry {
          SELECT CAST(ch.b AS INT) AS n_planes, CAST(ch.l AS INT) AS n_tables,
                 t.qnear AS q_near_x10000, t.qrand AS q_rand_x10000,
                 CAST(g.r AS BIGINT) AS exp_recall_x10000, CAST(g.v AS BIGINT) AS exp_volume_x10000
-         FROM chosen ch, tune t, grid g WHERE g.b = ch.b AND g.l = ch.l"""
+         FROM chosen ch, tune t, grid g WHERE g.b = ch.b AND g.l = ch.l""",
+    // integer-LM surprise: DuckDB retrains the unigram LM on the same
+    // quality-passing subset (shared qualityFeatureSql) and rescores every
+    // doc by explode + LEFT JOIN (the orthogonal algorithm to the engine's
+    // broadcast-map fold). bits(x) = floor(log2 x) = length(bin(x)) - 1;
+    // both engines' binary strings are unpadded, so the log is exact.
+    "q75_lm_surprise" ->
+      s"""WITH feat AS ($qualityFeatureSql),
+         train AS (SELECT d.doc_id, d.text FROM documents d JOIN feat f USING (doc_id)
+                   WHERE (f.n_tokens BETWEEN 10 AND 100000)
+                     AND (f.mean_wordlen_x100 BETWEEN 150 AND 1200)),
+         tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+                 FROM train),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_total FROM c),
+         v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT ${ops.TextOps.LmVocabSize}),
+         sm AS (SELECT v.token,
+                       CAST(length(bin(t.n_total)) - length(bin(CAST(v.cnt AS BIGINT))) AS BIGINT) AS surprise
+                FROM v, tot t),
+         alltok AS (SELECT doc_id,
+                           unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+                    FROM documents),
+         scored AS (SELECT a.doc_id,
+                           coalesce(sm.surprise, (SELECT length(bin(n_total)) - 1 FROM tot)) AS s
+                    FROM alltok a LEFT JOIN sm USING (token)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(sum(s) AS BIGINT) AS surprise_bits
+                 FROM scored GROUP BY 1)
+         SELECT doc_id, n_tokens, surprise_bits, mean_surprise_x100,
+                n_tokens > 0 AND mean_surprise_x100 <= ${ops.TextOps.LmSurpriseThresholdX100} AS lm_pass
+         FROM (SELECT d.doc_id,
+                      CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                      CAST(coalesce(a.surprise_bits, 0) AS BIGINT) AS surprise_bits,
+                      CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+                           ELSE a.surprise_bits * 100 // a.n_tokens END AS BIGINT) AS mean_surprise_x100
+               FROM documents d LEFT JOIN agg a USING (doc_id)) t"""
   )
 }

@@ -90,6 +90,75 @@ object TextOps {
         (col("logit") >= QualityLogitThreshold).as("model_pass"))
   }
 
+  /** LM vocabulary size for the surprise filter — deliberately below the
+    * verify corpus' 31-token vocabulary so OOV tokens genuinely occur
+    * (same reasoning as `TrainingOps.EncodeVocabSize`); top-20 covers
+    * ~68% of token mass, so per-doc OOV mix drives real score variance.
+    */
+  val LmVocabSize = 20
+
+  /** Accept threshold for mean surprise (x100) — set between the verify
+    * corpus' score modes so the gate genuinely splits at sf0.001 and
+    * sf0.01 (distribution pinned in OpsSpec).
+    */
+  val LmSurpriseThresholdX100 = 700L
+
+  /** CCNet-style LM quality filter in EXACT integer arithmetic: a unigram
+    * LM is trained on the clean subset (docs passing the q15 quality
+    * gate — CCNet trains on Wikipedia and scores the crawl; the composed
+    * gate is this engine's analogue), then every doc is scored by its
+    * mean per-token surprise. Surprise of token t is measured in whole
+    * bits: bits(N) - bits(cnt_t) where bits(x) = floor(log2 x) =
+    * length-1 of the minimal binary string — `conv(x, 10, 2)` here,
+    * `bin(x)` in DuckDB, both unpadded, so the oracle is bit-exact with
+    * no float log anywhere. OOV tokens cost bits(N) (count-1 smoothing).
+    *
+    * Scale shape: the LM is top-V by construction (V rows), collapsed to
+    * ONE map column of PRE-COMPUTED per-token surprises and broadcast;
+    * scoring is a pure per-row lookup + fold — no explode, no shuffle of
+    * token rows (the explode+join alternative would shuffle one row per
+    * corpus token). The only shuffles are the train-side count agg.
+    */
+  def lmSurprise(
+      spark: SparkSession,
+      dir: String,
+      vocabSize: Int = LmVocabSize,
+      thresholdX100: Long = LmSurpriseThresholdX100): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    def bits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (length(conv(c, 10, 2)) - 1).cast("long")
+    val counts = withQualityColumns(docs)
+      .filter(col("quality_pass"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
+    val smap = counts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .crossJoin(broadcast(total))
+      .select(col("token"), (bits(col("n_total")) - bits(col("cnt"))).as("surprise"))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("surprise")))).as("smap"))
+    docs
+      .select(col("doc_id"), filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("words"))
+      .crossJoin(broadcast(smap))
+      .crossJoin(broadcast(total.select(bits(col("n_total")).as("oov_surprise"))))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("words"), w => coalesce(element_at(col("smap"), w), col("oov_surprise"))),
+          lit(0L), (a, x) => a + x).as("surprise_bits"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("surprise_bits"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("surprise_bits * 100 div n_tokens")).as("mean_surprise_x100"))
+      .withColumn(
+        "lm_pass",
+        col("n_tokens") > 0L && col("mean_surprise_x100") <= thresholdX100)
+  }
+
   private val langStopwords: Seq[(String, String)] = Seq(
     // (lang, regex of high-frequency function words)
     ("en", "\\b(the|and|of|to|in|is|that|for)\\b"),

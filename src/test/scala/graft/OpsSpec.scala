@@ -503,4 +503,41 @@ class OpsSpec extends AnyFunSuite {
     val domain = Set("en", "fr", "es", "de", "unknown")
     out.select("predicted_lang").as[String].collect().foreach(l => assert(domain.contains(l)))
   }
+
+  test("LM surprise: matches a full local integer recompute; gate genuinely splits") {
+    import spark.implicits._
+    def toks(t: String): Array[String] = t.trim.split("\\s+").filter(_.nonEmpty)
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x) // floor(log2), x >= 1
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // local twin of the engine's train-side: quality gate, counts, top-V
+    val trainToks = docs.flatMap { case (_, t) =>
+      val tk = toks(t)
+      val letters = t.replaceAll("\\s", "").length
+      val meanLen = math.floor(letters * 100.0 / tk.length).toLong
+      if (tk.length >= 10 && tk.length <= 100000 && meanLen >= 150 && meanLen <= 1200) tk
+      else Array.empty[String]
+    }
+    val counts = trainToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTotal = counts.values.sum
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(TextOps.LmVocabSize).toMap
+    val surprise = vocab.map { case (t, c) => t -> (bits(nTotal) - bits(c)) }
+    val localScore = docs.map { case (id, t) =>
+      val tk = toks(t)
+      val s = tk.map(w => surprise.getOrElse(w, bits(nTotal))).sum
+      id -> (tk.length.toLong, s, if (tk.isEmpty) 0L else s * 100 / tk.length)
+    }.toMap
+    val got = TextOps.lmSurprise(spark, dir)
+      .select($"doc_id", $"n_tokens", $"surprise_bits", $"mean_surprise_x100", $"lm_pass")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, n, s, m, pass) =>
+      val (ln, ls, lm) = localScore(id)
+      assert((n, s, m) == (ln, ls, lm), s"doc $id")
+      assert(pass == (n > 0 && m <= TextOps.LmSurpriseThresholdX100))
+    }
+    val passes = got.count(_._5)
+    assert(passes > 0 && passes < got.length,
+      s"threshold must genuinely split the corpus, passed $passes/${got.length}")
+  }
 }

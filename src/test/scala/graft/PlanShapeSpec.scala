@@ -286,6 +286,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(corpusExchanges == 0, s"encode shuffles the corpus:\n$p")
   }
 
+  test("LM surprise never shuffles the scored corpus: LM is broadcast as one map row") {
+    val p = plan(graft.ops.TextOps.lmSurprise(spark, dir))
+    // allowed exchanges: the train-side token count agg + its single-row
+    // collapses — never a corpus/doc-keyed hashpartitioning (the
+    // explode+join alternative would shuffle one row per corpus token)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"LM map not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scoring fell back to SMJ:\n$p")
+    val corpusExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(corpusExchanges == 0, s"lmSurprise shuffles the corpus:\n$p")
+  }
+
   test("quality model application and domain filter are narrow: zero shuffles") {
     val p1 = plan(graft.ops.TextOps.qualityLogit(spark, dir))
     assert(!p1.contains("Exchange"), s"qualityLogit shuffles:\n$p1")
