@@ -239,7 +239,14 @@ object SparkEntry {
     "q74_lsh_params" -> ((s, d) => SimilarityOps.lshParamsDf(s, d)),
     // integer-LM surprise quality filter (CCNet shape: unigram LM trained
     // on the quality-passing subset, every doc scored in whole bits)
-    "q75_lm_surprise" -> ((s, d) => TextOps.lmSurprise(s, d))
+    "q75_lm_surprise" -> ((s, d) => TextOps.lmSurprise(s, d)),
+    // C4-style duplicated-span removal (the cleaning step measured by
+    // q65): first occurrence wins, kept text sha'd for byte equality
+    "q76_remove_dup_spans" -> ((s, d) => WebOps.removeDupSpans(s, d)),
+    // SFT pair assembly: user turn + immediately-following assistant
+    // turn over EXTRACTED text (re-pins extraction equality per pair)
+    "q77_sft_pairs" -> ((s, _) =>
+      TrainingOps.sftPairs(s, SynthDataset.turns(s, VerifyConvs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1322,6 +1329,50 @@ object SparkEntry {
                       CAST(coalesce(a.surprise_bits, 0) AS BIGINT) AS surprise_bits,
                       CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
                            ELSE a.surprise_bits * 100 // a.n_tokens END AS BIGINT) AS mean_surprise_x100
-               FROM documents d LEFT JOIN agg a USING (doc_id)) t"""
+               FROM documents d LEFT JOIN agg a USING (doc_id)) t""",
+    // duplicated-span removal: DuckDB recomputes positioned grams, picks
+    // the same lexicographic-first keeper via a window (the orthogonal
+    // algorithm to the engine's min-struct agg), masks tokens with a
+    // range anti-exists, and shas the kept sequence
+    "q76_remove_dup_spans" -> {
+      val k = ops.WebOps.SpanK
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         g0 AS (SELECT doc_id, CASE WHEN len(words) >= $k
+                  THEN [substr(sha256(array_to_string(words[i:i+${k - 1}], ' ')), 1, 16) for i in range(1, len(words)-${k - 2})]
+                  ELSE CAST([] AS VARCHAR[]) END AS grams FROM d),
+         g AS (SELECT doc_id, generate_subscripts(grams, 1) AS pos, unnest(grams) AS gram_h FROM g0),
+         r AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY gram_h ORDER BY doc_id, pos) AS rn
+               FROM g),
+         rem AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+         tok AS (SELECT doc_id, generate_subscripts(words, 1) AS j, unnest(words) AS w FROM d),
+         kept AS (SELECT t.doc_id, t.j, t.w FROM tok t
+                  WHERE NOT EXISTS (SELECT 1 FROM rem x
+                                    WHERE x.doc_id = t.doc_id
+                                      AND t.j BETWEEN x.pos AND x.pos + ${k - 1})),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      sha256(string_agg(w, ' ' ORDER BY j)) AS cleaned_sha
+               FROM kept GROUP BY 1)
+         SELECT d.doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+                CAST(len(words) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+                coalesce(a.cleaned_sha, sha256('')) AS cleaned_sha
+         FROM d LEFT JOIN a USING (doc_id)"""
+    },
+    // SFT pairs: DuckDB re-derives adjacency with lead() over the golden
+    // turns and shas the generator's by-construction expected text — the
+    // engine's pair shas over EXTRACTED text must equal them byte-for-byte
+    "q77_sft_pairs" ->
+      """WITH t AS (SELECT conv_id, turn_idx, role, expected_text,
+                           lead(role) OVER w AS next_role,
+                           lead(turn_idx) OVER w AS next_idx,
+                           lead(expected_text) OVER w AS next_text
+                    FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
+                    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+         SELECT conv_id, CAST(turn_idx AS INTEGER) AS prompt_idx,
+                sha256(expected_text) AS prompt_sha,
+                sha256(next_text) AS response_sha,
+                CAST(length(expected_text) + length(next_text) AS BIGINT) AS n_chars
+         FROM t
+         WHERE role = 'user' AND next_role = 'assistant' AND next_idx = turn_idx + 1"""
   )
 }

@@ -326,4 +326,36 @@ object TrainingOps {
         col("doc_id"), col("n_tokens"), col("start_offset"),
         col("chunk_first"), col("chunk_last"))
   }
+
+  /** SFT prompt-response pair assembly from extracted transcripts: a
+    * user turn immediately followed (turn_idx + 1, same conv) by an
+    * assistant turn becomes one training pair. Pairs carry shas of the
+    * EXTRACTED text (the pipeline's product, so the oracle re-pins
+    * per-turn extraction equality inside the pair) plus the combined
+    * length for budget-aware downstream packing.
+    *
+    * Scale shape: one conv-partitioned window (turns of a conv are
+    * already co-located after the pipeline's salt shuffle; the window's
+    * conv_id repartition is the op's only exchange), then a narrow
+    * filter + projection. No global window, no join.
+    */
+  def sftPairs(
+      spark: SparkSession,
+      turns: org.apache.spark.sql.Dataset[graft.model.Turn]): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    graft.pipeline.Pipeline.run(spark, turns).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("extracted_text"))
+      .withColumn("next_role", lead(col("role"), 1).over(w))
+      .withColumn("next_idx", lead(col("turn_idx"), 1).over(w))
+      .withColumn("next_text", lead(col("extracted_text"), 1).over(w))
+      .filter(
+        col("role") === "user" && col("next_role") === "assistant" &&
+          col("next_idx") === col("turn_idx") + 1)
+      .select(
+        col("conv_id"),
+        col("turn_idx").as("prompt_idx"),
+        sha2(col("extracted_text"), 256).as("prompt_sha"),
+        sha2(col("next_text"), 256).as("response_sha"),
+        (length(col("extracted_text")) + length(col("next_text"))).cast("long").as("n_chars"))
+  }
 }

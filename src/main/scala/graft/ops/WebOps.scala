@@ -193,6 +193,62 @@ object WebOps {
           .otherwise(expr("n_dup_grams * 10000 div n_grams")).as("dup_span_frac_x10000"))
   }
 
+  /** C4-style duplicated-span REMOVAL — the cleaning step that q65's
+    * coverage stats measure: every occurrence of a duplicated `SpanK`-gram
+    * except the globally-first one (lexicographic min (doc_id, pos)) is
+    * removed; a token survives iff no removed occurrence covers its
+    * position. Output is (doc_id, n_tokens, n_removed, cleaned_sha) with
+    * the sha over the space-joined kept tokens, so the oracle asserts
+    * byte equality of the CLEANED text without hauling text through the
+    * compare.
+    *
+    * Scale shape (same discipline as q65): the gram shuffle carries
+    * 16-hex sha prefixes + (doc_id, pos) — never text; the keeper choice
+    * is one aggregation; removal positions come back as one
+    * (doc_id)-keyed agg whose payload is bounded by the doc's own gram
+    * count; the mask application is a per-row fold. A pathological
+    * all-duplicate doc costs O(tokens · removed_intervals) in the fold —
+    * interval merging would cap that, documented not needed at current
+    * dup rates.
+    */
+  def removeDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+    val grams = docs
+      .filter(size(col("words")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("words")) - (k - 1)),
+          i => substring(sha2(array_join(slice(col("words"), i, lit(k)), " "), 256), 1, 16))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram_h"))
+    val keepers = grams
+      .groupBy(col("gram_h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"))
+    val removed = grams
+      .join(keepers, "gram_h")
+      .filter(!(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    val masks = removed
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("rem_starts"))
+    docs
+      .join(masks, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("words"),
+        coalesce(col("rem_starts"), array().cast("array<int>")).as("rem"))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        filter(col("words"), (_, j) =>
+          !exists(col("rem"), s => s <= j + 1 && j + 1 <= s + (k - 1))).as("kept"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        sha2(array_join(col("kept"), " "), 256).as("cleaned_sha"))
+  }
+
   /** URL extraction + host normalization + host-level rollup: lowercase
     * host, strip a leading `www.`, then count URLs and distinct docs per
     * host. The only shuffle is the (host) aggregation — map-side partial

@@ -133,6 +133,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(idxs("5-3") == Set.empty, "reversed range is empty (to-semantics)")
   }
 
+  test("SFT pairs: user->assistant adjacency over extracted text matches the golden recompute") {
+    import spark.implicits._
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nConvs = 40
+    val golden = graft.synth.Synth.localCorpus(nConvs)
+    val local = golden.groupBy(_.conv_id).toSeq.flatMap { case (_, ts) =>
+      val byIdx = ts.sortBy(_.turn_idx)
+      byIdx.zip(byIdx.drop(1)).collect {
+        case (u, a) if u.role == "user" && a.role == "assistant" && a.turn_idx == u.turn_idx + 1 =>
+          (u.conv_id, u.turn_idx) ->
+            ((sha(u.expected_text), sha(a.expected_text),
+              (u.expected_text.length + a.expected_text.length).toLong))
+      }
+    }.toMap
+    val got = graft.ops.TrainingOps
+      .sftPairs(spark, SynthDataset.turns(spark, nConvs.toLong))
+      .as[(String, Int, String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet == local.keySet, "pair key sets differ")
+    got.foreach { case (k, v) => assert(v == local(k), s"pair $k") }
+    assert(got.nonEmpty, "corpus must yield pairs")
+    // tool turns break adjacency: no pair may span a tool turn
+    val toolKeys = golden.filter(_.role == "tool").map(t => (t.conv_id, t.turn_idx)).toSet
+    got.keys.foreach { case (c, i) =>
+      assert(!toolKeys.contains((c, i)) && !toolKeys.contains((c, i + 1)))
+    }
+  }
+
   test("snapshot diff + incremental re-ingest: delta-only extraction equals a full re-run") {
     import spark.implicits._
     val prev = SynthDataset.turns(spark, 60L)

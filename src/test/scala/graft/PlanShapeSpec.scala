@@ -297,6 +297,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(corpusExchanges == 0, s"lmSurprise shuffles the corpus:\n$p")
   }
 
+  test("SFT pairs: conv-partitioned window, never a global (empty-key) window") {
+    val p = plan(graft.ops.TrainingOps.sftPairs(
+      spark, graft.synth.SynthDataset.turns(spark, 100L)))
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    assert(!p.contains("Window [lead") || !p.contains("windowspecdefinition(")
+      || p.contains("windowspecdefinition(conv_id"),
+      s"window must partition by conv_id:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pairs must come from a window, not a join:\n$p")
+  }
+
+  test("dup-span removal shuffles gram hashes and doc keys, never wider") {
+    val p = plan(WebOps.removeDupSpans(spark, dir))
+    // allowed: the keeper agg / join keyed on the 16-hex gram sha, and the
+    // (doc_id)-keyed mask agg + join back to tokens (the irreducible
+    // corpus rewrite cost — bucket-partitioned docs make it local at scale)
+    val keys = "Exchange hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("gram_h", "doc_id")), s"unexpected shuffle keys $keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join shape:\n$p")
+  }
+
   test("quality model application and domain filter are narrow: zero shuffles") {
     val p1 = plan(graft.ops.TextOps.qualityLogit(spark, dir))
     assert(!p1.contains("Exchange"), s"qualityLogit shuffles:\n$p1")

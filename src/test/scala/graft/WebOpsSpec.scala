@@ -131,6 +131,60 @@ class WebOpsSpec extends AnyFunSuite {
     assert(df.filter(org.apache.spark.sql.functions.col("n_dup_grams") > 0).count() > 0)
   }
 
+  test("removeDupSpans: handcrafted first-occurrence-wins removal with position masks") {
+    val dir = java.nio.file.Files.createTempDirectory("remspan").toString
+    Seq(
+      1L -> "a b c d e f", // keeper of "a b c d e" (doc 1 < doc 2)
+      2L -> "a b c d e x", // loses "a b c d e": tokens 1-5 masked, keeps "x"
+      3L -> "z z z z", // < 5 words: untouched
+      4L -> "p q r s t p q r s t") // internal repeat: second occurrence masked
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = WebOps.removeDupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((6L, 0L, sha("a b c d e f"))))
+    assert(got(2L) == ((6L, 5L, sha("x"))))
+    assert(got(3L) == ((4L, 0L, sha("z z z z"))))
+    // doc 4: grams at 1.."p q r s t",2,3,4,5,6."p q r s t"(dup; masks 6-10)
+    assert(got(4L) == ((10L, 5L, sha("p q r s t"))))
+  }
+
+  test("removeDupSpans matches a brute-force local recompute over the sf corpus") {
+    import spark.implicits._
+    val k = WebOps.SpanK
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // global keeper map: gram text -> first (doc_id, pos)
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    val occs = docs.flatMap { case (id, t) =>
+      val w = t.trim.split("\\s+")
+      (0 to w.length - k).map(p => (id, p, w.slice(p, p + k).mkString(" ")))
+    }
+    occs.sortBy(o => (o._1, o._2)).foreach { case (id, p, g) =>
+      if (!first.contains(g)) first(g) = (id, p)
+    }
+    val local = docs.map { case (id, t) =>
+      val w = t.trim.split("\\s+")
+      val masked = Array.fill(w.length)(false)
+      (0 to w.length - k).foreach { p =>
+        val g = w.slice(p, p + k).mkString(" ")
+        if (first(g) != ((id, p))) (p until p + k).foreach(masked(_) = true)
+      }
+      val kept = w.indices.filterNot(masked).map(w)
+      id -> ((w.length.toLong, (w.length - kept.length).toLong, sha(kept.mkString(" "))))
+    }.toMap
+    val got = WebOps.removeDupSpans(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == local.keySet)
+    got.foreach { case (id, v) => assert(v == local(id), s"doc $id") }
+    assert(got.values.exists(_._2 > 0L), "planted near-dups must cause removals")
+    assert(got.values.exists(_._2 == 0L), "not everything may be removed")
+  }
+
   test("urlHosts lowercases, strips www., and merges host families") {
     val docs = Seq(
       (1L, "see https://WWW.Foo.COM/a and http://foo.com/b?x=1"),
