@@ -212,12 +212,14 @@ object RagOps {
       .select(col("vec_id"), col("embedding"))
     val queries = chunks.filter(col("doc_id") < nQueryDocs)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // `div`, not `/`: Column `/` promotes long to double, which rounds
+    // once vec_id exceeds 2^53 (doc_id >= 2^33) and mis-decodes provenance
     SimilarityOps.ivfTopKOf(corpus, queries, k, nList, nProbe)
       .select(
-        (col("query_id") / ChunkIdBase).cast("long").as("q_doc"),
+        expr(s"query_id div ${ChunkIdBase}L").as("q_doc"),
         pmod(col("query_id"), lit(ChunkIdBase)).cast("int").as("q_chunk"),
         col("rank"),
-        (col("neighbor_id") / ChunkIdBase).cast("long").as("doc_id"),
+        expr(s"neighbor_id div ${ChunkIdBase}L").as("doc_id"),
         pmod(col("neighbor_id"), lit(ChunkIdBase)).cast("int").as("chunk_idx"),
         col("cosine_x10000"))
   }

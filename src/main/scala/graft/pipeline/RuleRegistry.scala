@@ -56,6 +56,9 @@ final class RuleRegistry(path: String) {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"invalid rule name (use letters/digits/underscore): '$name'")
     require(!predicate.contains('\n'), "predicate must be single-line SQL")
+    // the registry file is tab-delimited: a tab inside the predicate would
+    // split it into extra fields and corrupt every later rules() read
+    require(!predicate.contains('\t'), "predicate must not contain tabs")
     recipients.foreach { r =>
       require(r.nonEmpty && !r.exists(c => c == '\t' || c == '\n' || c == ','),
         s"invalid recipient (no tab/newline/comma, non-empty): '$r'")

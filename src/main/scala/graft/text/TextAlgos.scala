@@ -249,7 +249,18 @@ object TextAlgos {
       i += 1
     }
     if (na == 0L || nb == 0L) 0L
-    else dot * dot * 10000L / (na * nb)
+    else if (dot <= 30000000L && na <= Long.MaxValue / nb)
+      dot * dot * 10000L / (na * nb)
+    else {
+      // exact big-integer fallback: for heavy count vectors dot²·10⁴ (or
+      // na·nb) wraps 2^63 in long arithmetic — wrap would return garbage
+      // silently where DuckDB raises; stay exact instead (result ≤ 10000)
+      val d = java.math.BigInteger.valueOf(dot)
+      d.multiply(d).multiply(java.math.BigInteger.valueOf(10000L))
+        .divide(java.math.BigInteger.valueOf(na)
+          .multiply(java.math.BigInteger.valueOf(nb)))
+        .longValueExact()
+    }
   }
 
   /** Codegen entry point for `graft_l2_x10000`

@@ -148,6 +148,11 @@ class FunctionsSpec extends AnyFunSuite {
     val pairs = Seq.tabulate(200) { i =>
       def v() = Array.fill(16)(rnd.nextInt(9).toLong)
       (i.toLong, v(), if (i % 17 == 0) Array.fill(16)(0L) else v())
+    } ++ Seq.tabulate(8) { i =>
+      // heavy count masses: dot²·10⁴ and na·nb exceed 2^63, exercising the
+      // exact big-integer fallback (the fast path alone would wrap)
+      def v() = Array.fill(16)(100000L + rnd.nextInt(200000).toLong)
+      (200L + i, v(), v())
     }
     val df = pairs.toDF("id", "a", "b")
     // the exact SQL formulation the expression replaced (RagOps round-2 fold)
@@ -155,7 +160,10 @@ class FunctionsSpec extends AnyFunSuite {
       """CASE WHEN aggregate(a, 0L, (acc, x) -> acc + x * x) = 0L
         |       OR aggregate(b, 0L, (acc, x) -> acc + x * x) = 0L THEN 0L
         |  ELSE CAST((pow10k - pmod(pow10k, den)) / den AS bigint) END""".stripMargin
-    val prepared = df.selectExpr("id", "a", "b",
+    // the fold reference wraps 2^63 on the heavy rows (ANSI mode errors
+    // there, as DuckDB would) — fold parity is asserted on the small-mass
+    // rows; the heavy rows are pinned by the BigInt recompute below
+    val prepared = df.filter("id < 200").selectExpr("id", "a", "b",
       "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS dot",
       "aggregate(a, 0L, (acc, x) -> acc + x * x) * aggregate(b, 0L, (acc, x) -> acc + x * x) AS den")
       .selectExpr("id", "a", "b", "den", "dot * dot * 10000L AS pow10k")
@@ -163,7 +171,7 @@ class FunctionsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     val viaExpr = df.selectExpr("id", "graft_cos2_x10000(a, b) AS c")
       .as[(Long, Long)].collect().toMap
-    assert(viaExpr == viaFold)
+    assert(viaFold.forall { case (id, c) => viaExpr(id) == c })
     // independent exact recompute
     pairs.foreach { case (id, a, b) =>
       val dot = a.zip(b).map { case (x, y) => BigInt(x) * y }.sum

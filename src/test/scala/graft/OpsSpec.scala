@@ -441,6 +441,9 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](reg.register("in_range", "true"))
     intercept[IllegalArgumentException](
       reg.register("bad_recipient", "true", Seq("a,b@x.example")))
+    // a tab would split the tab-delimited registry line into extra fields
+    intercept[IllegalArgumentException](
+      reg.register("tab_pred", "a BETWEEN 1\tAND 5"))
     reg.register("independent_check", "performed_by != checked_by")
     val reopened = new graft.pipeline.RuleRegistry(path)
     assert(reopened.rules().map(_._1) == Seq("in_range", "independent_check"))
