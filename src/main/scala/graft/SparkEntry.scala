@@ -246,7 +246,18 @@ object SparkEntry {
     // SFT pair assembly: user turn + immediately-following assistant
     // turn over EXTRACTED text (re-pins extraction equality per pair)
     "q77_sft_pairs" -> ((s, _) =>
-      TrainingOps.sftPairs(s, SynthDataset.turns(s, VerifyConvs)))
+      TrainingOps.sftPairs(s, SynthDataset.turns(s, VerifyConvs))),
+    // chat-context assembly: per assistant turn, the maximal contiguous
+    // run of preceding turns fitting a token budget (the context an SFT
+    // fine-tune packs in front of the target), sha'd over extracted text
+    "q78_context_assembly" -> ((s, _) =>
+      TrainingOps.contextAssembly(s, SynthDataset.turns(s, VerifyConvs))),
+    // distributed BPE tokenizer training: q79 is the kernel of one round
+    // (weighted adjacent-pair counts), q80 the learned merge table after
+    // DefaultMerges rounds, q81 the corpus re-encoded with those merges
+    "q79_bpe_pair_counts" -> ((s, d) => BpeOps.topPairs(s, d)),
+    "q80_bpe_merges" -> ((s, d) => BpeOps.mergeTable(s, d)),
+    "q81_bpe_encode" -> ((s, d) => BpeOps.encode(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1373,6 +1384,63 @@ object SparkEntry {
                 sha256(next_text) AS response_sha,
                 CAST(length(expected_text) + length(next_text) AS BIGINT) AS n_chars
          FROM t
-         WHERE role = 'user' AND next_role = 'assistant' AND next_idx = turn_idx + 1"""
+         WHERE role = 'user' AND next_role = 'assistant' AND next_idx = turn_idx + 1""",
+    // running token sums are non-decreasing, so the budget-fitting run is
+    // exactly the preceding turns with pre >= pre(target) - budget; the
+    // oracle rebuilds the same per-conv list and filters it per target
+    "q78_context_assembly" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, role, expected_text,
+                           COALESCE(SUM(len(list_filter(
+                               regexp_split_to_array(expected_text, '\\s+'), x -> x <> '')))
+                             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+                    FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
+         l AS (SELECT conv_id,
+                      list(struct_pack(turn_idx := turn_idx, pre := pre,
+                                       txt := expected_text) ORDER BY turn_idx) AS arr
+               FROM t GROUP BY conv_id),
+         a AS (SELECT t.conv_id, t.turn_idx, t.pre,
+                      list_filter(l.arr, x -> x.turn_idx < t.turn_idx
+                        AND x.pre >= t.pre - ${TrainingOps.CtxBudgetTokens}) AS kept
+               FROM t JOIN l USING (conv_id)
+               WHERE t.role = 'assistant')
+         SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                CAST(len(kept) AS INTEGER) AS n_ctx_turns,
+                CAST(CASE WHEN len(kept) > 0 THEN pre - kept[1].pre ELSE 0 END AS BIGINT) AS ctx_tokens,
+                sha256(coalesce(array_to_string([x.txt for x in kept], chr(10)), '')) AS ctx_sha
+         FROM a""",
+    // BPE family: DuckDB independently retrains the merges from raw text
+    // via BpeOps.duckdbTrainCtes (same packed-string replace semantics,
+    // same tie-breaks) — nothing engine-materialized is trusted
+    "q79_bpe_pair_counts" ->
+      s"""WITH ${BpeOps.duckdbTrainCtes(0)},
+         p1 AS (SELECT pr.l AS lhs, pr.r AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+             SELECT unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS pr, cnt FROM (
+               SELECT str_split(trim(packed), '  ') AS s, cnt FROM w0) z) e
+             GROUP BY pr.l, pr.r)
+         SELECT lhs, rhs, pair_count FROM p1
+         ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT ${BpeOps.PairTopK}""",
+    "q80_bpe_merges" -> {
+      val rounds = (1 to BpeOps.DefaultMerges)
+        .map(r => s"SELECT $r AS rr, lhs, rhs, pair_count FROM m$r")
+        .mkString(" UNION ALL ")
+      s"""WITH ${BpeOps.duckdbTrainCtes(BpeOps.DefaultMerges)}
+         SELECT CAST(rr AS INTEGER) AS merge_rank, lhs, rhs, pair_count
+         FROM ($rounds) allm"""
+    },
+    "q81_bpe_encode" -> {
+      val n = BpeOps.DefaultMerges
+      s"""WITH ${BpeOps.duckdbTrainCtes(n)},
+         enc AS (SELECT word, trim(packed) AS e FROM w$n),
+         docw AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws
+                  FROM documents),
+         ex AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word FROM docw),
+         j AS (SELECT ex.doc_id, ex.pos, enc.e FROM ex JOIN enc USING (word))
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+                CAST(SUM(len(str_split(e, '  '))) AS BIGINT) AS n_bpe_tokens,
+                sha256(string_agg(e, ' | ' ORDER BY pos)) AS enc_sha
+         FROM j GROUP BY doc_id"""
+    }
   )
 }

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training over the document corpus.
+  *
+  * The reference ships a fixed tokenizer; training one from the corpus is
+  * the missing upstream of the engine's vocab/encode family (q57/q63) and
+  * a standard large-scale pipeline step, so it is built here as a
+  * first-class operator (beyond-reference, like the dedup/ANN families).
+  *
+  * Scale design: all iterative state lives on the WORD HISTOGRAM — the
+  * corpus is aggregated once to (word, cnt) and never touched again, so a
+  * 100 TB corpus costs one word-keyed shuffle total; every merge round
+  * re-aggregates only the vocabulary-sized histogram (pair keys shuffle a
+  * few bytes each), and the driver collects exactly ONE row per round
+  * (the argmax pair) plus the final vocab-sized mapping — bounded by
+  * vocabulary, not data, the same driver-loop contract as the IVF Lloyd
+  * trainer (`SimilarityOps`).
+  *
+  * Exactness: a word's symbol state is a packed string with DOUBLE-space
+  * separators (` a  b  c `). A merge of pair (l, r) is then one plain
+  * left-to-right non-overlapping `replace(packed, " l  r ", " lr ")`:
+  * each match consumes one boundary space from either side, leaving the
+  * neighbour's separator intact, so back-to-back merges in one scan are
+  * exactly BPE's leftmost-first non-overlapping semantics (including odd
+  * runs: `a a a` -> `aa a`), with no regex, no fold, and byte-identical
+  * behavior in Spark and DuckDB `replace`. Argmax ties break
+  * (count DESC, lhs ASC, rhs ASC) — byte-lexicographic in both engines.
+  */
+object BpeOps {
+
+  /** Merge rounds for the driver-facing queries (vocab is synthetic and
+    * small; real corpora would use thousands — the loop shape is the
+    * same, each round touches only the histogram).
+    */
+  val DefaultMerges = 8
+
+  /** Top-k for the pair-count query (q79). */
+  val PairTopK = 20
+
+  /** Whitespace words of `text`, empties dropped (split parity with
+    * DuckDB `regexp_split_to_array(trim(text), '\s+')` + filter).
+    */
+  private def words(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => w =!= "")
+
+  /** (word, cnt) histogram of the corpus — the ONLY corpus-wide pass. */
+  def wordHistogram(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** ` a  b  c ` packed form: every char its own symbol, double-space
+    * separators, single-space ends.
+    */
+  private def pack(word: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+
+  /** Weighted adjacent-pair counts of the current symbolization:
+    * (lhs, rhs, pair_count). Shuffles pair keys of the histogram only.
+    */
+  def pairCounts(packedHist: DataFrame): DataFrame =
+    packedHist
+      .select(col("cnt"), split(trim(col("packed")), "  ").as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS lhs, s[i] AS rhs))")).as("pr"))
+      .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+      .agg(sum(col("cnt")).as("pair_count"))
+
+  /** q79: the distributed kernel of one training round — top-k weighted
+    * adjacent symbol pairs of the initial (character) symbolization.
+    */
+  def topPairs(spark: SparkSession, dir: String, k: Int = PairTopK): DataFrame =
+    pairCounts(
+      wordHistogram(RelationalOps.table(spark, dir, "documents"))
+        .withColumn("packed", pack(col("word"))))
+      .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+      .limit(k)
+
+  /** Train `nMerges` merges. Returns (merge table rows
+    * (rank, lhs, rhs, pair_count), final word -> trimmed-packed mapping).
+    * Stops early if no pair remains. Histogram persisted per round,
+    * previous round released — bounded lineage, vocab-sized state.
+    */
+  def train(docs: DataFrame, nMerges: Int): (Seq[(Int, String, String, Long)], Seq[(String, String)]) = {
+    var cur = wordHistogram(docs).withColumn("packed", pack(col("word"))).persist()
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = pairCounts(cur)
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, c))
+        val next = cur.withColumn("packed",
+          replace(col("packed"), lit(s" $l  $rr "), lit(s" $l$rr "))).persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+        r += 1
+      }
+    }
+    val mapping = cur.select(col("word"), trim(col("packed")).as("enc"))
+      .collect().map(row => (row.getString(0), row.getString(1))).toSeq
+    cur.unpersist()
+    (merges.toSeq, mapping)
+  }
+
+  /** q80: the learned merge table (merge_rank, lhs, rhs, pair_count). */
+  def mergeTable(spark: SparkSession, dir: String, nMerges: Int = DefaultMerges): DataFrame = {
+    val (merges, _) = train(RelationalOps.table(spark, dir, "documents"), nMerges)
+    spark.createDataFrame(merges).toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** q81: encode the corpus with the learned merges. The vocab-sized
+    * word -> symbolization mapping rides a broadcast map literal (the
+    * q63 token-encoding pattern): scoring is a narrow per-row lookup,
+    * ZERO corpus shuffles. Output re-pins the full symbolization bytes
+    * per document (enc_sha over ` | `-joined per-word encodings).
+    */
+  def encode(spark: SparkSession, dir: String, nMerges: Int = DefaultMerges): DataFrame = {
+    val docs = RelationalOps.table(spark, dir, "documents")
+    val (_, mapping) = train(docs, nMerges)
+    val m = typedLit(mapping.toMap)
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        aggregate(
+          transform(col("ws"), w => size(split(element_at(m, w), "  ")).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"),
+        sha2(array_join(transform(col("ws"), w => element_at(m, w)), " | "), 256).as("enc_sha"))
+  }
+
+  /** DuckDB CTE chain replicating `train` exactly: w0 is the packed
+    * histogram; each round r computes pair counts (p_r), the argmax merge
+    * (m_r, same tie-break), and the merged histogram (w_r) via the same
+    * double-space `replace`. Interpolated into the q80/q81 oracles so
+    * DuckDB independently retrains rather than trusting engine output.
+    */
+  def duckdbTrainCtes(nMerges: Int): String = {
+    val b = new StringBuilder
+    b ++= """w0 AS (SELECT word, ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS packed, cnt FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
+          FROM documents) u GROUP BY word))"""
+    for (r <- 1 to nMerges) b ++= s""",
+      p$r AS (SELECT pr.l AS lhs, pr.r AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+          SELECT unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS pr, cnt FROM (
+            SELECT str_split(trim(packed), '  ') AS s, cnt FROM w${r - 1}) z) e
+          GROUP BY pr.l, pr.r),
+      m$r AS (SELECT lhs, rhs, pair_count FROM p$r ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+      w$r AS (SELECT word, replace(packed, ' ' || m.lhs || '  ' || m.rhs || ' ', ' ' || m.lhs || m.rhs || ' ') AS packed, cnt
+              FROM w${r - 1}, m$r m)"""
+    b.toString
+  }
+}

@@ -358,4 +358,51 @@ object TrainingOps {
         sha2(col("next_text"), 256).as("response_sha"),
         (length(col("extracted_text")) + length(col("next_text"))).cast("long").as("n_chars"))
   }
+
+  /** Token budget for [[contextAssembly]] (whitespace tokens of extracted
+    * text; ~3 synthetic turns' worth, so contexts get truncated often
+    * enough to exercise the budget cut).
+    */
+  val CtxBudgetTokens = 120L
+
+  /** Chat-context assembly over EXTRACTED turn text: for every assistant
+    * turn, the training example's context is the maximal contiguous run
+    * of immediately-preceding turns whose whitespace-token total fits a
+    * budget (the window an SFT/chat fine-tune would pack in front of the
+    * target). Because running token sums `pre` are non-decreasing, the
+    * fitting run is exactly the preceding turns with
+    * `pre >= pre(target) - budget` — one conv-partitioned window pass plus
+    * one conv-keyed collect, same hash partitioning, so the whole operator
+    * costs a single shuffle at any scale (conversations are bounded-depth;
+    * the 10^12-turn table is wide in conv_id, not deep per conv).
+    * Output: (conv_id, turn_idx, n_ctx_turns, ctx_tokens, ctx_sha) where
+    * ctx_sha is sha-256 of the newline-joined context texts — re-pinning
+    * per-turn extraction equality inside every assembled context.
+    */
+  def contextAssembly(
+      spark: SparkSession,
+      turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+      budgetTokens: Long = CtxBudgetTokens): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val t = graft.pipeline.Pipeline.run(spark, turns).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("extracted_text"))
+      .withColumn("n_tokens",
+        size(filter(split(col("extracted_text"), "\\s+"), x => x =!= "")).cast("long"))
+      .withColumn("pre", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    t.groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(struct(
+        col("turn_idx"), col("role"), col("pre"), col("extracted_text").as("txt")))).as("arr"))
+      .select(col("conv_id"), col("arr"), posexplode(col("arr")))
+      .filter(col("col.role") === "assistant")
+      .withColumn("kept", filter(slice(col("arr"), lit(1), col("pos")),
+        x => x("pre") >= col("col.pre") - budgetTokens))
+      .select(
+        col("conv_id"),
+        col("col.turn_idx").as("turn_idx"),
+        size(col("kept")).as("n_ctx_turns"),
+        when(size(col("kept")) > 0, col("col.pre") - element_at(col("kept"), 1)("pre"))
+          .otherwise(lit(0L)).as("ctx_tokens"),
+        sha2(array_join(transform(col("kept"), x => x("txt")), "\n"), 256).as("ctx_sha"))
+  }
 }

@@ -162,6 +162,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("context assembly: budgeted preceding-turn window matches the golden recompute") {
+    import spark.implicits._
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nConvs = 40
+    val budget = graft.ops.TrainingOps.CtxBudgetTokens
+    def nTok(s: String): Long = s.split("\\s+").count(_.nonEmpty).toLong
+    val golden = graft.synth.Synth.localCorpus(nConvs)
+    val local = golden.groupBy(_.conv_id).toSeq.flatMap { case (_, ts) =>
+      val byIdx = ts.sortBy(_.turn_idx)
+      byIdx.zipWithIndex.collect { case (t, i) if t.role == "assistant" =>
+        // maximal suffix of the preceding turns that fits the budget
+        var toks = 0L; var a = i
+        while (a > 0 && toks + nTok(byIdx(a - 1).expected_text) <= budget) {
+          toks += nTok(byIdx(a - 1).expected_text); a -= 1
+        }
+        (t.conv_id, t.turn_idx) ->
+          ((i - a, toks, sha(byIdx.slice(a, i).map(_.expected_text).mkString("\n"))))
+      }
+    }.toMap
+    val got = graft.ops.TrainingOps
+      .contextAssembly(spark, SynthDataset.turns(spark, nConvs.toLong))
+      .as[(String, Int, Int, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet == local.keySet, "assistant-turn key sets differ")
+    got.foreach { case (k, v) => assert(v == local(k), s"turn $k") }
+    // the corpus must exercise both regimes: full histories and budget cuts
+    val preceding = golden.groupBy(_.conv_id).values.flatMap { ts =>
+      val byIdx = ts.sortBy(_.turn_idx)
+      byIdx.zipWithIndex.collect { case (t, i) if t.role == "assistant" =>
+        (t.conv_id, t.turn_idx) -> i
+      }
+    }.toMap
+    assert(got.exists { case (k, v) => v._1 == preceding(k) && v._1 > 0 },
+      "expected at least one untruncated nonempty context")
+    assert(got.exists { case (k, v) => v._1 < preceding(k) },
+      "expected at least one budget-truncated context")
+  }
+
   test("snapshot diff + incremental re-ingest: delta-only extraction equals a full re-run") {
     import spark.implicits._
     val prev = SynthDataset.turns(spark, 60L)

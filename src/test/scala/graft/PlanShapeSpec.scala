@@ -311,6 +311,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pairs must come from a window, not a join:\n$p")
   }
 
+  test("context assembly: conv-partitioned windows only, no joins") {
+    val p = plan(graft.ops.TrainingOps.contextAssembly(
+      spark, graft.synth.SynthDataset.turns(spark, 100L)))
+    val specs = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_ == "windowspecdefinition(conv_id"),
+      s"every window must partition by conv_id, got $specs:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"context must come from windows/aggregation, not a join:\n$p")
+    // window pass and per-conv collect share the conv_id hash partitioning:
+    // no exchange may sit between the final collect aggregate and the
+    // window below it (the pipeline's own salted bucketing is separate)
+    val seg = p.substring(p.indexOf("ObjectHashAggregate"), p.indexOf("Window ["))
+    assert(seg.nonEmpty && !seg.contains("Exchange"),
+      s"window and collect must share one conv shuffle:\n$p")
+  }
+
+  test("BPE pair counts: histogram-sized shuffles only, top-k compiles to TakeOrderedAndProject") {
+    val p = plan(graft.ops.BpeOps.topPairs(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    // corpus leaves through ONE word-keyed aggregation; everything after
+    // shuffles vocabulary-sized (word / pair-key) rows only
+    val keys = "Exchange hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    // pair keys print as _groupingexpression (struct-field grouping)
+    assert(keys.subsetOf(Set("word", "lhs", "_groupingexpression")),
+      s"unexpected shuffle keys $keys:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"histogram aggregation must be map-side partial:\n$p")
+  }
+
+  test("BPE encode never shuffles the corpus: merges ride a broadcast map literal") {
+    val p = plan(graft.ops.BpeOps.encode(spark, dir))
+    // the returned frame is a pure projection over the documents scan —
+    // training already happened driver-side on the vocab histogram
+    assert(!p.contains("Exchange"), s"encode must be narrow:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"encode must look words up in the map literal, not join:\n$p")
+  }
+
   test("dup-span removal shuffles gram hashes and doc keys, never wider") {
     val p = plan(WebOps.removeDupSpans(spark, dir))
     // allowed: the keeper agg / join keyed on the 16-hex gram sha, and the
