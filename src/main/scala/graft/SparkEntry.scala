@@ -257,7 +257,12 @@ object SparkEntry {
     // DefaultMerges rounds, q81 the corpus re-encoded with those merges
     "q79_bpe_pair_counts" -> ((s, d) => BpeOps.topPairs(s, d)),
     "q80_bpe_merges" -> ((s, d) => BpeOps.mergeTable(s, d)),
-    "q81_bpe_encode" -> ((s, d) => BpeOps.encode(s, d))
+    "q81_bpe_encode" -> ((s, d) => BpeOps.encode(s, d)),
+    // time-gap sessionization of the event stream (lag + running break
+    // count in one user-partitioned window; rollup reuses the partitioning)
+    "q82_sessionize" -> ((s, d) => RelationalOps.sessionize(s, d)),
+    // exact per-language token-count quantiles via integer rank math
+    "q83_token_quantiles" -> ((s, d) => TextOps.tokenQuantiles(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1441,6 +1446,37 @@ object SparkEntry {
                 CAST(SUM(len(str_split(e, '  '))) AS BIGINT) AS n_bpe_tokens,
                 sha256(string_agg(e, ' | ' ORDER BY pos)) AS enc_sha
          FROM j GROUP BY doc_id"""
-    }
+    },
+    "q82_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us FROM events),
+         b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                OR us - lag(us) OVER w > ${RelationalOps.SessionGapUs}
+                              THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_idx
+               FROM b)
+         SELECT user_id, session_idx,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(ts) AS start_ts, max(ts) AS end_ts,
+                CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+                CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors
+         FROM s GROUP BY user_id, session_idx""",
+    // the p-th percentile is the value at 1-based rank ceil(p/100*n) of
+    // the sorted counts — integer rank math, identical in both engines
+    "q83_token_quantiles" ->
+      s"""WITH d AS (SELECT lang,
+                CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+         r AS (SELECT lang, n_tokens,
+                      row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM d),
+         x AS (SELECT lang, n_tokens, rn, n,
+                      unnest([${TextOps.QuantilePcts.mkString(", ")}]) AS pct
+               FROM r)
+         SELECT lang, CAST(pct AS INTEGER) AS pct, n_tokens AS token_count,
+                CAST(n AS BIGINT) AS n_docs
+         FROM x WHERE rn = (n * pct + 99) // 100"""
   )
 }

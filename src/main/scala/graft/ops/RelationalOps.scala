@@ -182,6 +182,41 @@ object RelationalOps {
         count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
 
+  /** Session gap for [[sessionize]] (8h in microseconds — near the median
+    * inter-event gap of the synthetic stream, so both regimes occur).
+    */
+  val SessionGapUs = 28800000000L
+
+  /** Time-gap sessionization of the event stream: a session breaks when
+    * the gap to the previous event of the same user exceeds the
+    * threshold. session_idx is the running break count (lag + running sum
+    * over ONE user-partitioned window); the per-session rollup groups by
+    * (user_id, session_idx), which the window's hash partitioning already
+    * satisfies (subset clustering), so the whole operator costs a single
+    * user-keyed shuffle at any scale. Gap arithmetic is exact integer
+    * microseconds (`unix_micros` == DuckDB `epoch_us`), never float
+    * epoch seconds.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapUs: Long = SessionGapUs): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      // ts is TIMESTAMP_NTZ; the session tz is pinned UTC everywhere, so
+      // the cast is tz-free and micros match DuckDB epoch_us on naive ts
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        (sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L).cast("int"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+  }
+
   /** A5/J4: per-group argmin via min_by — nearest-neighbor distance shape
     * (ref: signature_detect.py:96-108 best-match per detected signature).
     * Here: cheapest supplier-part pairing per brand by retail price.

@@ -269,4 +269,31 @@ object TextOps {
     table(spark, dir, "documents")
       .select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
   }
+
+  /** Percentiles reported by [[tokenQuantiles]]. */
+  val QuantilePcts: Seq[Int] = Seq(50, 90, 99)
+
+  /** Exact per-language token-count quantiles (discrete, no
+    * interpolation): the p-th percentile is the value at 1-based rank
+    * `ceil(p/100 · n)` of the sorted counts — pure integer rank math
+    * (`(n·p + 99) div 100`), so engine and oracle agree bit-for-bit with
+    * no float percentile semantics to reconcile. Ties in the sort are
+    * harmless: the VALUE at a rank of a sorted multiset is deterministic.
+    * One lang-partitioned window pass (row_number + count share the
+    * partitioning) — a single shuffle of (lang, n_tokens) pairs.
+    */
+  def tokenQuantiles(spark: SparkSession, dir: String,
+      pcts: Seq[Int] = QuantilePcts): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    table(spark, dir, "documents")
+      .select(col("lang"),
+        size(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(byLang.orderBy(col("n_tokens"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .select(col("lang"), col("n_tokens"), col("rn"), col("n"),
+        explode(typedLit(pcts)).as("pct"))
+      .filter(col("rn") === expr("(n * pct + 99) div 100"))
+      .select(col("lang"), col("pct"), col("n_tokens").as("token_count"),
+        col("n").as("n_docs"))
+  }
 }

@@ -432,6 +432,61 @@ class OpsSpec extends AnyFunSuite {
     assert(wrapped == 0, "base64 output contains newlines")
   }
 
+  test("sessionization matches a naive per-user recompute; durations consistent") {
+    import spark.implicits._
+    val gap = RelationalOps.SessionGapUs
+    val events = RelationalOps.table(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts".cast("timestamp")), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val want = events.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var idx = -1
+      var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev == Long.MinValue || e._3 - prev > gap) idx += 1
+        prev = e._3
+        (idx, e)
+      }
+      tagged.groupBy(_._1).map { case (s, ts) =>
+        (u, s) -> ((ts.size.toLong, ts.map(_._2._3).min, ts.map(_._2._3).max,
+          ts.count(_._2._4 == "error").toLong))
+      }
+    }
+    val got = RelationalOps.sessionize(spark, dir)
+      .select($"user_id", $"session_idx", $"n_events",
+        unix_micros($"start_ts".cast("timestamp")),
+        unix_micros($"end_ts".cast("timestamp")), $"duration_us", $"n_errors")
+      .as[(Long, Int, Long, Long, Long, Long, Long)].collect()
+    val gotMap = got.map(r => (r._1, r._2.toInt) -> ((r._3, r._4, r._5, r._7))).toMap
+    assert(gotMap.keySet == want.keySet, "session key sets differ")
+    gotMap.foreach { case (k, v) => assert(v == want(k), s"session $k") }
+    got.foreach(r => assert(r._6 == r._5 - r._4, s"duration mismatch for ${(r._1, r._2)}"))
+    // the threshold must exercise both regimes on this corpus
+    assert(got.exists(_._2 > 0), "expected a user with multiple sessions")
+    assert(got.exists(_._3 > 1), "expected a multi-event session")
+  }
+
+  test("token quantiles: integer rank math matches a sorted-values recompute") {
+    import spark.implicits._
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+      .map { case (l, t) => (l, t.trim.split("\\s+").count(_.nonEmpty).toLong) }
+    val want = docs.groupBy(_._1).flatMap { case (lang, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val n = sorted.length.toLong
+      TextOps.QuantilePcts.map { p =>
+        (lang, p) -> ((sorted(((n * p + 99) / 100).toInt - 1), n))
+      }
+    }
+    val got = TextOps.tokenQuantiles(spark, dir)
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"quantile $k") }
+    // p50 < p99 for at least one language (distribution actually spreads)
+    assert(got.exists { case ((l, p), (v, _)) => p == 50 && v < got((l, 99))._1 })
+  }
+
   test("rule registry: persists across reopen, rejects duplicates, violations match filters") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-rr").toString + "/rules.tsv"

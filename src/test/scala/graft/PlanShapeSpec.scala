@@ -350,6 +350,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"encode must look words up in the map literal, not join:\n$p")
   }
 
+  test("sessionization: one user-keyed shuffle; rollup reuses the window partitioning") {
+    val p = plan(graft.ops.RelationalOps.sessionize(spark, dir))
+    // lag + running sum share one window spec; the (user_id, session_idx)
+    // aggregation is subset-clustered by hashpartitioning(user_id), so the
+    // whole plan carries exactly ONE exchange
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected a single shuffle:\n$p")
+    val specs = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_ == "windowspecdefinition(user_id"),
+      s"every window must partition by user_id, got $specs:\n$p")
+  }
+
+  test("token quantiles: one lang-keyed shuffle, windows lang-partitioned") {
+    val p = plan(graft.ops.TextOps.tokenQuantiles(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected a single shuffle:\n$p")
+    val specs = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_ == "windowspecdefinition(lang"),
+      s"every window must partition by lang, got $specs:\n$p")
+  }
+
   test("dup-span removal shuffles gram hashes and doc keys, never wider") {
     val p = plan(WebOps.removeDupSpans(spark, dir))
     // allowed: the keeper agg / join keyed on the 16-hex gram sha, and the
