@@ -1438,14 +1438,18 @@ object SparkEntry {
       s"""WITH ${BpeOps.duckdbTrainCtes(n)},
          enc AS (SELECT word, trim(packed) AS e FROM w$n),
          docw AS (SELECT doc_id,
-                         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws
+                         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
                   FROM documents),
          ex AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word FROM docw),
-         j AS (SELECT ex.doc_id, ex.pos, enc.e FROM ex JOIN enc USING (word))
-         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
-                CAST(SUM(len(str_split(e, '  '))) AS BIGINT) AS n_bpe_tokens,
-                sha256(string_agg(e, ' | ' ORDER BY pos)) AS enc_sha
-         FROM j GROUP BY doc_id"""
+         j AS (SELECT ex.doc_id, ex.pos, enc.e FROM ex JOIN enc USING (word)),
+         agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+                        CAST(SUM(len(str_split(e, '  '))) AS BIGINT) AS n_bpe_tokens,
+                        sha256(string_agg(e, ' | ' ORDER BY pos)) AS enc_sha
+                 FROM j GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+                coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+                coalesce(a.enc_sha, sha256('')) AS enc_sha
+         FROM docw d LEFT JOIN agg a USING (doc_id)"""
     },
     "q82_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us FROM events),

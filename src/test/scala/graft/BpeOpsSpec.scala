@@ -86,6 +86,15 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(aaRank.nonEmpty, "corpus must merge (a,a)")
   }
 
+  test("early exhaustion: training stops when no pair remains, encode still covers every word") {
+    import spark.implicits._
+    // one two-char word: exactly one merge possible, then nothing left
+    val tiny = Seq((0L, "ab ab a")).toDF("doc_id", "text")
+    val (merges, mapping) = BpeOps.train(tiny, 5)
+    assert(merges == Seq((1, "a", "b", 2L)))
+    assert(mapping.toMap == Map("ab" -> "ab", "a" -> "a"))
+  }
+
   test("encode matches the reference symbol counts and bytes; pair counts match") {
     import spark.implicits._
     val n = BpeOps.DefaultMerges

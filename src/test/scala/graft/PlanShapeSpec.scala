@@ -323,8 +323,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // window pass and per-conv collect share the conv_id hash partitioning:
     // no exchange may sit between the final collect aggregate and the
     // window below it (the pipeline's own salted bucketing is separate)
-    val seg = p.substring(p.indexOf("ObjectHashAggregate"), p.indexOf("Window ["))
-    assert(seg.nonEmpty && !seg.contains("Exchange"),
+    val aggAt = p.indexOf("ObjectHashAggregate")
+    val winAt = p.indexOf("Window [")
+    assert(aggAt >= 0 && winAt > aggAt, s"expected collect agg above the window:\n$p")
+    assert(!p.substring(aggAt, winAt).contains("Exchange"),
       s"window and collect must share one conv shuffle:\n$p")
   }
 
