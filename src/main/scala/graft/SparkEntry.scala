@@ -262,7 +262,10 @@ object SparkEntry {
     // count in one user-partitioned window; rollup reuses the partitioning)
     "q82_sessionize" -> ((s, d) => RelationalOps.sessionize(s, d)),
     // exact per-language token-count quantiles via integer rank math
-    "q83_token_quantiles" -> ((s, d) => TextOps.tokenQuantiles(s, d))
+    "q83_token_quantiles" -> ((s, d) => TextOps.tokenQuantiles(s, d)),
+    // REAL PNG encode->decode round-trip (JDK ImageIO): features come
+    // from the decoded raster; the oracle recomputes them from text
+    "q84_image_codec" -> ((s, d) => MultimodalOps.imageFeatures(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1481,6 +1484,23 @@ object SparkEntry {
                FROM r)
          SELECT lang, CAST(pct AS INTEGER) AS pct, n_tokens AS token_count,
                 CAST(n AS BIGINT) AS n_docs
-         FROM x WHERE rn = (n * pct + 99) // 100"""
+         FROM x WHERE rn = (n * pct + 99) // 100""",
+    // the engine's features come from a REAL PNG decode of a real PNG
+    // encode; the oracle recomputes the planted pixels from text, so a
+    // match proves the codec round-trip is pixel-exact
+    "q84_image_codec" ->
+      s"""WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, ${MultimodalOps.ImgMaxChars}) AS t
+                    FROM documents),
+         p AS (SELECT doc_id,
+                      [ord(substr(t, i, 1)) % 256 for i in range(1, len(t) + 1)] AS px,
+                      greatest((len(t) + ${MultimodalOps.ImgWidth} - 1) // ${MultimodalOps.ImgWidth}, 1) AS h
+               FROM d)
+         SELECT doc_id,
+                CAST(${MultimodalOps.ImgWidth} AS INTEGER) AS width,
+                CAST(h AS INTEGER) AS height,
+                CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_luma,
+                CAST(coalesce(list_max(px), 0) AS INTEGER) AS max_luma,
+                CAST(coalesce(list_sum([coalesce(px[((i // 8) * h // 8) * ${MultimodalOps.ImgWidth} + (i % 8) * ${MultimodalOps.ImgWidth / MultimodalOps.ThumbSide} + 1], 0) for i in range(0, 64)]), 0) AS BIGINT) AS thumb_sum
+         FROM p"""
   )
 }

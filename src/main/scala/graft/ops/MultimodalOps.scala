@@ -147,4 +147,78 @@ object MultimodalOps {
     }
     payloads.withColumn("payload", resize(col("payload")))
   }
+
+  /** Pixel plane width / planted-pixel cap / thumbnail side for
+    * [[imageFeatures]].
+    */
+  val ImgWidth = 32
+  val ImgMaxChars = 1024
+  val ThumbSide = 8
+
+  final case class ImageFeature(
+      doc_id: Long, width: Int, height: Int,
+      sum_luma: Long, max_luma: Int, thumb_sum: Long)
+
+  /** REAL image codec path (no external jars — `javax.imageio` ships in
+    * the JDK with PNG support): deterministic grayscale pixels are
+    * planted from the document's character codepoints (corpus is ASCII;
+    * `% 256` keeps the 8-bit range for any BMP char), PNG-ENCODED with
+    * ImageIO, then PNG-DECODED again, and every output feature — size,
+    * luminance sum/max, and an 8×8 nearest-neighbor thumbnail sum — is
+    * computed from the DECODED raster. The DuckDB oracle recomputes the
+    * expected values from the text alone, so a green q84 proves the real
+    * encode→decode round-trip is pixel-exact, not just that the stub
+    * arithmetic matches. Raster `setSample`/`getSample` keep samples raw
+    * (no color-space conversion). Batched mapPartitions, zero shuffles —
+    * the same flow a vectorized codec would use at 100 TB.
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(coalesce(col("text"), lit("")), 1, ImgMaxChars).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, t) =>
+            val px = t.map(c => c.toInt & 0xff).toArray
+            val w = ImgWidth
+            val h = math.max(1, (px.length + w - 1) / w)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val out = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              out.setSample(i % w, i / w, 0, if (i < px.length) px(i) else 0)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos) // real PNG encode
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray)) // real decode
+            val r = dec.getRaster
+            var sum = 0L; var mx = 0; var y = 0
+            while (y < dec.getHeight) {
+              var x = 0
+              while (x < dec.getWidth) {
+                val v = r.getSample(x, y, 0)
+                sum += v; if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            var tsum = 0L
+            var j = 0
+            while (j < ThumbSide * ThumbSide) {
+              val tx = j % ThumbSide; val ty = j / ThumbSide
+              tsum += r.getSample(
+                tx * dec.getWidth / ThumbSide, ty * dec.getHeight / ThumbSide, 0)
+              j += 1
+            }
+            ImageFeature(id, dec.getWidth, dec.getHeight, sum, mx, tsum)
+          }
+        }
+      }
+      .toDF()
+  }
 }

@@ -487,6 +487,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists { case ((l, p), (v, _)) => p == 50 && v < got((l, 99))._1 })
   }
 
+  test("image codec: PNG encode->decode round-trip is pixel-exact vs planted pixels") {
+    import spark.implicits._
+    val W = MultimodalOps.ImgWidth
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.map { case (id, text) =>
+      val t = Option(text).getOrElse("").take(MultimodalOps.ImgMaxChars)
+      val px = t.map(c => c.toInt & 0xff)
+      val h = math.max(1, (px.length + W - 1) / W)
+      def at(i: Int): Int = if (i < px.length) px(i) else 0
+      val thumb = (0 until 64).map { j =>
+        at((j / 8 * h / 8) * W + (j % 8) * (W / 8)).toLong
+      }.sum
+      id -> ((W, h, px.map(_.toLong).sum, if (px.isEmpty) 0 else px.max, thumb))
+    }.toMap
+    val got = MultimodalOps.imageFeatures(spark, dir)
+      .as[(Long, Int, Int, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"doc $k") }
+  }
+
   test("rule registry: persists across reopen, rejects duplicates, violations match filters") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-rr").toString + "/rules.tsv"

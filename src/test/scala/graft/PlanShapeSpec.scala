@@ -371,6 +371,11 @@ class PlanShapeSpec extends AnyFunSuite {
       s"every window must partition by lang, got $specs:\n$p")
   }
 
+  test("image codec features are a narrow per-partition pass: zero shuffles") {
+    val p = plan(graft.ops.MultimodalOps.imageFeatures(spark, dir))
+    assert(!p.contains("Exchange"), s"codec pass must be narrow:\n$p")
+  }
+
   test("dup-span removal shuffles gram hashes and doc keys, never wider") {
     val p = plan(WebOps.removeDupSpans(spark, dir))
     // allowed: the keeper agg / join keyed on the 16-hex gram sha, and the
