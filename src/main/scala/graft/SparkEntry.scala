@@ -265,7 +265,12 @@ object SparkEntry {
     "q83_token_quantiles" -> ((s, d) => TextOps.tokenQuantiles(s, d)),
     // REAL PNG encode->decode round-trip (JDK ImageIO): features come
     // from the decoded raster; the oracle recomputes them from text
-    "q84_image_codec" -> ((s, d) => MultimodalOps.imageFeatures(s, d))
+    "q84_image_codec" -> ((s, d) => MultimodalOps.imageFeatures(s, d)),
+    // exact fixed-point PageRank over the host co-link graph
+    "q85_host_rank" -> ((s, _) =>
+      WebOps.hostRank(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // TF-IDF keyword extraction with exact whole-bit integer idf
+    "q86_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1501,6 +1506,26 @@ object SparkEntry {
                 CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_luma,
                 CAST(coalesce(list_max(px), 0) AS INTEGER) AS max_luma,
                 CAST(coalesce(list_sum([coalesce(px[((i // 8) * h // 8) * ${MultimodalOps.ImgWidth} + (i % 8) * ${MultimodalOps.ImgWidth / MultimodalOps.ThumbSide} + 1], 0) for i in range(0, 64)]), 0) AS BIGINT) AS thumb_sum
-         FROM p"""
+         FROM p""",
+    // DuckDB re-runs ALL PageRank rounds from raw text via the generated
+    // CTE chain (same regexes, same integer floor arithmetic)
+    "q85_host_rank" ->
+      s"""WITH ${WebOps.duckdbRankCtes(WebOps.RankIters, "__SYNTH__/web_docs.parquet/*.parquet")}
+         SELECT host, CAST(rank AS BIGINT) AS rank_x1e12 FROM r${WebOps.RankIters}""",
+    // idf = whole-bit log2 of N*10^4/df via unpadded binary length (the
+    // q75 recipe) — integer score, no float log to reconcile
+    "q86_tfidf_keywords" ->
+      s"""WITH w AS (SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS word
+              FROM documents),
+         tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT tf.doc_id, tf.word, tf.tf,
+                      CAST(tf.tf * (length(bin((SELECT n FROM n) * 10000 // df.df)) - 1) AS BIGINT) AS score
+               FROM tf JOIN df USING (word)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn FROM s)
+         SELECT doc_id, word, tf, score, CAST(rn AS INTEGER) AS rank
+         FROM r WHERE rn <= ${TextOps.KeywordK}"""
   )
 }

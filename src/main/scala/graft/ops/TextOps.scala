@@ -282,6 +282,36 @@ object TextOps {
     * One lang-partitioned window pass (row_number + count share the
     * partitioning) — a single shuffle of (lang, n_tokens) pairs.
     */
+  /** Keywords per document for [[tfidfKeywords]]. */
+  val KeywordK = 3
+
+  /** TF-IDF keyword extraction with EXACT integer scoring: idf is the
+    * whole-bit log2 of the scaled inverse document frequency —
+    * bits(N·10⁴ div df) via the unpadded-binary trick (`conv(x,10,2)`
+    * length == DuckDB `bin(x)` length, the q75 recipe) — so score =
+    * tf · idf_bits is bit-identical across engines with no float log.
+    * Shape: one (doc, word) tf aggregation, a vocab-sized df aggregate
+    * broadcast back onto it, and a doc-partitioned top-k window
+    * (deterministic tie-break score DESC, word ASC).
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = KeywordK): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val nDocs = docs.count()
+    val w = docs.select(col("doc_id"),
+      explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("word"))
+    val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(df), "word")
+      .withColumn("score",
+        col("tf") * expr(s"cast(length(conv(($nDocs * 10000) div df, 10, 2)) - 1 as bigint)"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    scored
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("score"), col("rank"))
+  }
+
   def tokenQuantiles(spark: SparkSession, dir: String,
       pcts: Seq[Int] = QuantilePcts): DataFrame = {
     val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))

@@ -266,4 +266,100 @@ object WebOps {
       .agg(
         count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"))
+
+  /** PageRank iterations / fixed-point scale for [[hostRank]]. */
+  val RankIters = 5
+  val RankScale = 1000000000000L // 1e12: rank_x1e12 integer fixed point
+
+  /** Host co-link edges: within each doc's ordered URL-host sequence, the
+    * FIRST host (the page's canonical site) links to each DISTINCT later
+    * host; self-loops dropped, global edge set deduplicated. Same
+    * UrlRe/HostRe normalization as q62.
+    */
+  def hostEdges(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hosts", transform(
+        regexp_extract_all(col("text"), lit(UrlRe), lit(0)),
+        u => regexp_replace(lower(regexp_extract(u, HostRe, 1)), "^www\\.", "")))
+      .filter(size(col("hosts")) >= 2)
+      .select(
+        element_at(col("hosts"), 1).as("src"),
+        explode(array_distinct(slice(col("hosts"), lit(2), size(col("hosts")) - 1))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Exact fixed-point PageRank over the host graph (damping 0.85,
+    * [[RankIters]] rounds): r' = base·15 div 100 + 85·Σ(r(v) div deg(v))
+    * div 100 — every step is integer floor division on non-negative
+    * longs, so engine and DuckDB agree bit-for-bit and partial-agg order
+    * cannot change results. Dangling hosts keep the teleport term only
+    * (leaked mass is not redistributed — deterministic variant, same on
+    * both sides).
+    *
+    * Scale shape: edges are cached pre-partitioned by src; ranks stay a
+    * node-keyed DataFrame (never collected — at web scale the host set is
+    * millions of rows), each round is one equi-join + one dst-keyed
+    * aggregation, and localCheckpoint bounds the plan per round exactly
+    * like `DedupOps.clusterEdges`.
+    */
+  def hostRank(docs: DataFrame, iters: Int = RankIters): DataFrame = {
+    val edges = hostEdges(docs).repartition(col("src")).persist()
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst"))).distinct().persist()
+    try {
+      val n = nodes.count()
+      if (n == 0) nodes.withColumn("rank_x1e12", lit(0L))
+      else {
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val base = RankScale / n
+        var ranks = nodes.withColumn("rank", lit(base))
+        var r = 0
+        while (r < iters) {
+          val contrib = edges
+            .join(deg, "src")
+            .join(ranks.withColumnRenamed("host", "src")
+              .withColumnRenamed("rank", "src_rank"), "src")
+            .select(col("dst").as("host"), expr("src_rank div deg").as("c"))
+            .groupBy(col("host")).agg(sum(col("c")).as("s"))
+          ranks = nodes.join(contrib, Seq("host"), "left")
+            .select(col("host"),
+              (lit(base * 15L / 100L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+            .localCheckpoint()
+          r += 1
+        }
+        ranks.select(col("host"), col("rank").as("rank_x1e12"))
+      }
+    } finally {
+      edges.unpersist()
+      nodes.unpersist()
+    }
+  }
+
+  /** DuckDB CTE chain replicating [[hostRank]] exactly (same regexes,
+    * same integer arithmetic, same LEFT JOIN contribution rounds) so the
+    * oracle independently re-runs all iterations from raw text.
+    */
+  def duckdbRankCtes(iters: Int, webDocsPath: String): String = {
+    val b = new StringBuilder
+    b ++= s"""u AS (SELECT doc_id, regexp_extract_all(text, '$UrlRe') AS urls
+             FROM read_parquet('$webDocsPath')),
+      h AS (SELECT [regexp_replace(lower(regexp_extract(x, '$HostRe', 1)), '^www\\.', '') for x in urls] AS hosts
+            FROM u WHERE len(urls) >= 2),
+      e AS (SELECT DISTINCT hosts[1] AS src, d AS dst
+            FROM (SELECT hosts, unnest(list_distinct(hosts[2:])) AS d FROM h) z
+            WHERE hosts[1] <> d),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e) q),
+      params AS (SELECT $RankScale // greatest(count(*), 1) AS base FROM nodes),
+      r0 AS (SELECT host, base AS rank FROM nodes, params)"""
+    for (r <- 1 to iters) b ++= s""",
+      r$r AS (SELECT n.host,
+                     (SELECT base FROM params) * 15 // 100 + (85 * coalesce(c.s, 0)) // 100 AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS host, SUM(rr.rank // d.deg) AS s
+                FROM e JOIN r${r - 1} rr ON e.src = rr.host
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst) c USING (host))"""
+    b.toString
+  }
 }

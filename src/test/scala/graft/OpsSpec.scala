@@ -509,6 +509,31 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(v == want(k), s"doc $k") }
   }
 
+  test("tf-idf keywords: integer whole-bit scoring matches a naive recompute") {
+    import spark.implicits._
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = docs.length.toLong
+    val df = docs.flatMap { case (id, ws) => ws.distinct.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.length.toLong }
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong - 1
+    val want = docs.flatMap { case (id, ws) =>
+      val tf = ws.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      tf.toSeq
+        .map { case (w, f) => (w, f, f * bits(n * 10000L / df(w))) }
+        .sortBy { case (w, _, s) => (-s, w) }
+        .take(graft.ops.TextOps.KeywordK)
+        .zipWithIndex
+        .map { case ((w, f, s), i) => (id, w) -> ((f, s, i + 1)) }
+    }.toMap
+    val got = TextOps.tfidfKeywords(spark, dir)
+      .as[(Long, String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"keyword $k") }
+  }
+
   test("rule registry: persists across reopen, rejects duplicates, violations match filters") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-rr").toString + "/rules.tsv"

@@ -376,6 +376,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"codec pass must be narrow:\n$p")
   }
 
+  test("tf-idf keywords: df rides a broadcast join, shuffles stay on doc/word keys") {
+    val p = plan(graft.ops.TextOps.tfidfKeywords(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"df side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"tf-df join fell out of broadcast:\n$p")
+    val keys = "Exchange hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("doc_id", "word")), s"unexpected shuffle keys $keys:\n$p")
+  }
+
+  test("host-rank edge build: equi-shapes only, no cartesian or NLJ") {
+    val p = plan(WebOps.hostEdges(graft.synth.WebDocs.docs(spark, 100L)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edge build must be narrow + one distinct agg:\n$p")
+  }
+
   test("dup-span removal shuffles gram hashes and doc keys, never wider") {
     val p = plan(WebOps.removeDupSpans(spark, dir))
     // allowed: the keeper agg / join keyed on the 16-hex gram sha, and the

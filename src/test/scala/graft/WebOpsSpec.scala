@@ -239,6 +239,35 @@ class WebOpsSpec extends AnyFunSuite {
     assert(passes > 0 && passes < got.length, "threshold must genuinely split the corpus")
   }
 
+  test("host PageRank matches a naive integer recompute across all rounds") {
+    val nDocs = 240L
+    val urlRe = new scala.util.matching.Regex(WebOps.UrlRe)
+    val hostRe = new scala.util.matching.Regex(WebOps.HostRe)
+    val edges = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    (0L until nDocs).foreach { id =>
+      val hosts = urlRe.findAllIn(WebDocs.text(id)).toSeq
+        .map(u => hostRe.findFirstMatchIn(u).get.group(1)
+          .toLowerCase.replaceFirst("^www\\.", ""))
+      if (hosts.size >= 2) {
+        val src = hosts.head
+        hosts.tail.distinct.foreach(d => if (d != src) edges += ((src, d)))
+      }
+    }
+    val nodes = edges.flatMap { case (s, d) => Seq(s, d) }.toSet
+    val deg = edges.toSeq.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = WebOps.RankScale / nodes.size
+    var rank = nodes.map(_ -> base).toMap
+    (1 to WebOps.RankIters).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => contrib(d) += rank(s) / deg(s) }
+      rank = nodes.map(v => v -> (base * 15L / 100L + 85L * contrib(v) / 100L)).toMap
+    }
+    val got = WebOps.hostRank(WebDocs.docs(spark, nDocs))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == rank)
+    assert(got.nonEmpty && got.values.toSet.size > 1, "ranks must differentiate hosts")
+  }
+
   test("WebDocs generation is deterministic and parallelism-independent") {
     val a = WebDocs.docs(spark, 40).collect().map(r => (r.getLong(0), r.getString(1))).sorted
     val b = (0L until 40L).map(id => (id, WebDocs.text(id)))
