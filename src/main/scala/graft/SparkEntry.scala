@@ -464,7 +464,7 @@ object SparkEntry {
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1""",
     "q12_time_window" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q13_argmin" ->

@@ -91,11 +91,26 @@ object BpeOps {
     * the iterative loop twice per Verify/Bench pass. Vocab-sized values.
     */
   private val trainCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), (Seq[(Int, String, String, Long)], Seq[(String, String)])]
+    .empty[(String, String, Int), (Seq[(Int, String, String, Long)], Seq[(String, String)])]
+
+  /** Content fingerprint of the corpus dir (file name/size/mtime of every
+    * part file) so a rewrite of documents.parquet in the same JVM — long
+    * sessions, re-ingest, tests reusing a path — invalidates the cache
+    * instead of silently serving stale merges.
+    */
+  private def corpusFingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName)
+      else Array(root)
+    files.iterator
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+  }
 
   private def trainCached(spark: SparkSession, dir: String, nMerges: Int)
       : (Seq[(Int, String, String, Long)], Seq[(String, String)]) =
-    trainCache.getOrElseUpdate((dir, nMerges),
+    trainCache.getOrElseUpdate((dir, corpusFingerprint(dir), nMerges),
       train(RelationalOps.table(spark, dir, "documents"), nMerges))
 
   def train(docs: DataFrame, nMerges: Int): (Seq[(Int, String, String, Long)], Seq[(String, String)]) = {

@@ -181,7 +181,9 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.map { case (id, t) =>
-            val px = t.map(c => c.toInt & 0xff).toArray
+            // codepoints (not UTF-16 chars) — matches the oracle's
+            // per-codepoint ord(..) % 256 for any input, incl. non-BMP
+            val px = t.codePoints().toArray.map(_ % 256)
             val w = ImgWidth
             val h = math.max(1, (px.length + w - 1) / w)
             val img = new java.awt.image.BufferedImage(
@@ -193,9 +195,11 @@ object MultimodalOps {
               i += 1
             }
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos) // real PNG encode
+            val wrote = javax.imageio.ImageIO.write(img, "png", bos) // real PNG encode
+            require(wrote, s"no PNG ImageIO writer available (doc $id)")
             val dec = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bos.toByteArray)) // real decode
+            require(dec != null, s"PNG decode failed for doc $id")
             val r = dec.getRaster
             var sum = 0L; var mx = 0; var y = 0
             while (y < dec.getHeight) {

@@ -176,8 +176,13 @@ object RelationalOps {
 
   /** T1-analogue batch time windowing over the events stream table. */
   def q12TimeWindow(spark: SparkSession, dir: String): DataFrame =
+    // hour as epoch micros (BIGINT) rather than timestamp: value-identical,
+    // but the compare channel sees one integer dtype instead of the
+    // engines' differing timestamp units (µs vs ns), keeping real schema
+    // drift loud.
     table(spark, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(unix_micros(date_trunc("hour", col("ts")).cast("timestamp")).as("hour_us"),
+        col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast("double").as("sum_value"))

@@ -303,7 +303,7 @@ object TextOps {
     val df = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf.join(broadcast(df), "word")
       .withColumn("score",
-        col("tf") * expr(s"cast(length(conv(($nDocs * 10000) div df, 10, 2)) - 1 as bigint)"))
+        col("tf") * expr(s"cast(length(conv((${nDocs}L * 10000L) div df, 10, 2)) - 1 as bigint)"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word").asc)
     scored
