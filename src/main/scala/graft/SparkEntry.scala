@@ -270,7 +270,13 @@ object SparkEntry {
     "q85_host_rank" -> ((s, _) =>
       WebOps.hostRank(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
     // TF-IDF keyword extraction with exact whole-bit integer idf
-    "q86_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d))
+    "q86_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
+    // --- round-4 additions ---
+    // graph-query surface: the reference's worked Cypher (float-cast
+    // range predicate over string node properties) over a depth-bounded
+    // HAS traversal from the document roots, top_k 50
+    "q87_graph_range_query" -> ((s, _) =>
+      GraphSurface.rangeQuery(s, ShredOps.structuredRecords(s, VerifyRecords).toDF()))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1526,6 +1532,60 @@ object SparkEntry {
                FROM tf JOIN df USING (word)),
          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn FROM s)
          SELECT doc_id, word, tf, score, CAST(rn AS INTEGER) AS rank
-         FROM r WHERE rn <= ${TextOps.KeywordK}"""
+         FROM r WHERE rn <= ${TextOps.KeywordK}""",
+    // q87: DuckDB recomputes the whole graph-query chain independently —
+    // per-label node signatures (the q44/q55 recipe), the HAS edge table,
+    // the depth-bounded traversal via self-joins, the string property
+    // values, and the float-cast range predicate + top_k 50
+    "q87_graph_range_query" ->
+      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         root AS (SELECT conv_id, sha256(concat_ws('|', 'main_table',
+                    'equipment_no=' || coalesce(array_to_string(equipment_no, ','), 'null'))) AS sig FROM r),
+         bd AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_batch_details',
+                  'batch_completed_on=' || coalesce(CAST(batch_details.batch_completed_on AS VARCHAR), 'null'),
+                  'batch_no=' || coalesce(batch_details.batch_no, 'null'),
+                  'batch_started_on=' || coalesce(CAST(batch_details.batch_started_on AS VARCHAR), 'null'),
+                  'product_name=' || coalesce(batch_details.product_name, 'null'))) AS sig FROM r),
+         mat AS (SELECT conv_id,
+                   sha256(concat_ws('|', 'main_table_material_usage_rows',
+                     'actual_quantity=' || coalesce(CAST(m.actual_quantity AS VARCHAR), 'null'),
+                     'allowed_range_max=' || coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null'),
+                     'allowed_range_min=' || coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null'),
+                     'checked_by=' || coalesce(m.checked_by, 'null'),
+                     'material_name=' || coalesce(m.material_name, 'null'),
+                     'performed_by=' || coalesce(m.performed_by, 'null'),
+                     'standard_quantity=' || coalesce(CAST(m.standard_quantity AS VARCHAR), 'null'))) AS sig,
+                   coalesce(m.material_name, 'null') AS material_name,
+                   coalesce(CAST(m.actual_quantity AS VARCHAR), 'null') AS actual_quantity,
+                   coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null') AS allowed_range_min,
+                   coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null') AS allowed_range_max
+                 FROM (SELECT conv_id, unnest(material_usage_rows) AS m FROM r)),
+         st AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps',
+                  'description=' || coalesce(s.description, 'null'),
+                  'step_no=' || coalesce(CAST(s.step_no AS VARCHAR), 'null'))) AS sig
+                FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)),
+         tr AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps_temperature_records',
+                  'temperature_c=' || coalesce(CAST(t.temperature_c AS VARCHAR), 'null'),
+                  'time_point=' || coalesce(t.time_point, 'null'))) AS sig
+                FROM (SELECT conv_id, step_pos, unnest(s.temperature_records) AS t
+                      FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r))),
+         edges AS (SELECT DISTINCT parent_sig, child_sig FROM (
+           SELECT root.sig AS parent_sig, bd.sig AS child_sig FROM root JOIN bd USING (conv_id)
+           UNION ALL SELECT root.sig, mat.sig FROM root JOIN mat USING (conv_id)
+           UNION ALL SELECT root.sig, st.sig FROM root JOIN st USING (conv_id)
+           UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
+         ) u),
+         roots AS (SELECT DISTINCT sig FROM root),
+         hop1 AS (SELECT e.child_sig AS sig FROM roots JOIN edges e ON e.parent_sig = roots.sig),
+         hop2 AS (SELECT e.child_sig AS sig FROM hop1 JOIN edges e ON e.parent_sig = hop1.sig),
+         reached AS (SELECT DISTINCT sig FROM (SELECT sig FROM hop1 UNION ALL SELECT sig FROM hop2)),
+         nodes AS (SELECT DISTINCT sig, material_name, actual_quantity, allowed_range_min, allowed_range_max
+                   FROM mat WHERE sig IN (SELECT sig FROM reached))
+         SELECT sig AS signature, material_name, actual_quantity, allowed_range_min, allowed_range_max
+         FROM nodes
+         WHERE CAST(actual_quantity AS DOUBLE) > CAST(allowed_range_min AS DOUBLE)
+           AND CAST(actual_quantity AS DOUBLE) < CAST(allowed_range_max AS DOUBLE)
+         ORDER BY signature ASC
+         LIMIT 50"""
   )
 }

@@ -31,20 +31,47 @@ object GraphOps {
   private def isKeyCol(c: String): Boolean =
     structuralCols.contains(c) || c.endsWith("_key")
 
+  /** Canonical string form of one scalar column — the recipe both the
+    * signature hash and the node property map use (doubles through the
+    * shortest-roundtrip formatter, everything else a plain cast).
+    */
+  private def canonVal(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case DoubleType => expr(s"graft_canon_double(`$c`)")
+      case _          => col(c).cast("string")
+    }
+
   /** (row_key, signature, label) rows for one shredded table. */
   private def nodeRows(label: String, df: DataFrame): DataFrame = {
     val scalarCols = df.columns.filterNot(isKeyCol).sorted
     val parts: Seq[Column] = scalarCols.toSeq.map { c =>
-      val v = df.schema(c).dataType match {
-        case DoubleType => expr(s"graft_canon_double(`$c`)")
-        case _          => col(c).cast("string")
-      }
-      concat(lit(c + "="), coalesce(v, lit("null")))
+      concat(lit(c + "="), coalesce(canonVal(df, c), lit("null")))
     }
     df.select(
       col("row_key"),
       sha2(concat_ws("|", (lit(label) +: parts): _*), 256).as("signature"),
       lit(label).as("label"))
+  }
+
+  /** (signature, label, props) rows for one shredded table — the scalar
+    * members as a string→canonical-string property map. The reference
+    * stores scalar members as string node properties (which is exactly why
+    * its generated Cypher needs `toFloat` casts; ref:
+    * agents/knowledge_graph_agent/utils.py:17-22,190-213), so the engine
+    * keeps the same string-typed property model.
+    */
+  private def propRows(label: String, df: DataFrame): DataFrame = {
+    val scalarCols = df.columns.filterNot(isKeyCol).sorted
+    val parts: Seq[Column] = scalarCols.toSeq.map { c =>
+      concat(lit(c + "="), coalesce(canonVal(df, c), lit("null")))
+    }
+    val kvs: Seq[Column] = scalarCols.toSeq.flatMap { c =>
+      Seq(lit(c), coalesce(canonVal(df, c), lit("null")))
+    }
+    df.select(
+      sha2(concat_ws("|", (lit(label) +: parts): _*), 256).as("signature"),
+      lit(label).as("label"),
+      map(kvs: _*).as("props"))
   }
 
   /** Build (vertices, edges) from a nested-record table.
@@ -56,6 +83,19 @@ object GraphOps {
     * the containment tree after unification.
     */
   def graph(records: DataFrame, rootName: String = "main_table"): (DataFrame, DataFrame) = {
+    val (v, e, _) = graphWithProps(records, rootName)
+    (v, e)
+  }
+
+  /** [[graph]] plus the node property table, built in ONE shred pass:
+    * props: (signature, label, props map<string,string>) — one row per
+    * distinct content node carrying its scalar members as canonical
+    * strings (signature determines props, so dedup keys on signature
+    * alone). Shuffle shape unchanged: dedup groups 32-byte signatures;
+    * the map values ride exactly one exchange.
+    */
+  def graphWithProps(records: DataFrame, rootName: String = "main_table")
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(records.sparkSession)
     val tables = ShredOps.shredAll(records, rootName)
     val allNodes = tables.map { case (name, df) => nodeRows(name, df) }
@@ -87,6 +127,10 @@ object GraphOps {
       .select(col("parent_sig"), col("child_sig"), lit("HAS").as("edge_label"))
       .distinct()
 
-    (vertices, edges)
+    val props = tables.map { case (name, df) => propRows(name, df) }
+      .reduce(_ unionByName _)
+      .dropDuplicates("signature")
+
+    (vertices, edges, props)
   }
 }

@@ -144,6 +144,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top_k 50 fell back to a global sort:\n$p")
   }
 
+  test("graph range query: sig-keyed traversal joins, no all-pairs, top_k 50 without global sort") {
+    val recs = graft.ops.ShredOps.structuredRecords(spark, 60L).toDF()
+    val p = plan(graft.ops.GraphSurface.rangeQuery(spark, recs))
+    assert(!p.contains("CartesianProduct"),
+      s"traversal degenerated to a cartesian:\n$p")
+    assert(p.contains("parent_sig"), s"hop joins must key on parent_sig:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top_k 50 fell back to a global sort:\n$p")
+  }
+
   test("vocab build: global top-V via TakeOrderedAndProject with partial counts") {
     val p = plan(graft.ops.TrainingOps.vocabBuild(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"top-V fell back to a global sort:\n$p")
