@@ -276,7 +276,13 @@ object SparkEntry {
     // range predicate over string node properties) over a depth-bounded
     // HAS traversal from the document roots, top_k 50
     "q87_graph_range_query" -> ((s, _) =>
-      GraphSurface.rangeQuery(s, ShredOps.structuredRecords(s, VerifyRecords).toDF()))
+      GraphSurface.rangeQuery(s, ShredOps.structuredRecords(s, VerifyRecords).toDF())),
+    // cross-family SQL surface: extraction health x rule violations per
+    // document over the full engine-view catalog (doc_info join policy,
+    // top_k 50)
+    "q88_cross_family" -> ((s, d) =>
+      SqlSurface.crossFamilySummary(s, d, SynthDataset.turns(s, VerifyConvs),
+        ShredOps.structuredRecords(s, VerifyRecords).toDF()))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1586,6 +1592,27 @@ object SparkEntry {
          WHERE CAST(actual_quantity AS DOUBLE) > CAST(allowed_range_min AS DOUBLE)
            AND CAST(actual_quantity AS DOUBLE) < CAST(allowed_range_max AS DOUBLE)
          ORDER BY signature ASC
+         LIMIT 50""",
+    // q88: extraction failures (golden expectations) x rule violations
+    // (re-derived from raw records) joined on the document key — DuckDB
+    // recomputes both families independently
+    "q88_cross_family" ->
+      """WITH t AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                CAST(sum(CASE WHEN expected_failure IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failures
+              FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
+              GROUP BY 1),
+         rp AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         d AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) AS reg_id
+               FROM (SELECT DISTINCT conv_id FROM rp)),
+         v AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_violations
+               FROM (SELECT conv_id, unnest(material_usage_rows) AS r FROM rp)
+               WHERE NOT (r.actual_quantity BETWEEN r.allowed_range_min AND r.allowed_range_max)
+               GROUP BY 1)
+         SELECT t.conv_id, d.reg_id, t.n_turns, t.n_failures,
+                coalesce(v.n_violations, 0) AS n_violations
+         FROM t JOIN d ON t.conv_id = d.conv_id
+         LEFT JOIN v ON t.conv_id = v.conv_id
+         ORDER BY n_failures DESC, n_violations DESC, t.conv_id ASC
          LIMIT 50"""
   )
 }

@@ -67,4 +67,64 @@ object SqlSurface {
     registerViews(records)
     adHoc(spark, PolicySql)
   }
+
+  /** Views registered by [[registerEngineViews]] on top of [[Views]] —
+    * the engine's remaining output families, so a SQL client can reach
+    * EVERY table the engine produces: the raw document corpus, the
+    * per-turn extraction results, web-corpus quality stats, the training
+    * vocabulary, and the dataloader packing metadata.
+    */
+  val EngineViews: Seq[String] = Seq(
+    "documents", "extracted_turns", "web_doc_stats", "vocab", "pack_meta")
+
+  /** Register every engine output family as a session temp view.
+    * `turns` is the transcript corpus the extraction pipeline runs over;
+    * `records` the structured-record store; `dir` the tabular inputs.
+    */
+  def registerEngineViews(
+      spark: SparkSession,
+      dir: String,
+      turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+      records: DataFrame): Unit = {
+    registerViews(records)
+    RelationalOps.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    graft.pipeline.Pipeline.run(spark, turns).toDF()
+      .createOrReplaceTempView("extracted_turns")
+    WebOps.repetitionStats(spark, dir).createOrReplaceTempView("web_doc_stats")
+    TrainingOps.vocabBuild(spark, dir).createOrReplaceTempView("vocab")
+    TrainingOps.packSequences(spark, dir).createOrReplaceTempView("pack_meta")
+  }
+
+  /** Cross-family policy query: extraction health joined to rule
+    * violations per document — the rollup a floor supervisor asks the
+    * chat endpoint for ("which documents failed extraction AND have
+    * out-of-range quantities?"). Keeps the reference's standing policy:
+    * always join `doc_info`, group per document, top_k 50
+    * (ref: agents/sql_agent/utils.py:1-12). Registry broadcast, exact
+    * integer aggregates, total deterministic order.
+    */
+  val CrossFamilySql: String =
+    """SELECT /*+ BROADCAST(d) */
+           t.conv_id, d.reg_id,
+           count(*) AS n_turns,
+           CAST(sum(CASE WHEN t.failure IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failures,
+           coalesce(v.n_violations, 0L) AS n_violations
+       FROM extracted_turns t
+       JOIN doc_info d ON t.conv_id = d.conv_id
+       LEFT JOIN (SELECT m.conv_id, CAST(count(*) AS BIGINT) AS n_violations
+                  FROM material_usage m WHERE NOT m.quantity_within_range
+                  GROUP BY m.conv_id) v ON t.conv_id = v.conv_id
+       GROUP BY t.conv_id, d.reg_id, v.n_violations
+       ORDER BY n_failures DESC, n_violations DESC, t.conv_id ASC
+       LIMIT 50"""
+
+  /** Flagship cross-family query (q88): register all views, run it. */
+  def crossFamilySummary(
+      spark: SparkSession,
+      dir: String,
+      turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+      records: DataFrame): DataFrame = {
+    registerEngineViews(spark, dir, turns, records)
+    adHoc(spark, CrossFamilySql)
+  }
 }

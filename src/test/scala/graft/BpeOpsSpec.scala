@@ -86,6 +86,26 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(aaRank.nonEmpty, "corpus must merge (a,a)")
   }
 
+  test("64-round training matches the naive reference (deep merge chain, no exhaustion)") {
+    import spark.implicits._
+    // deterministic corpus with enough symbol diversity to sustain 64
+    // merges — the scale-relevant round count the driver queries now use
+    val words = (0 until 400).map { i =>
+      val base = "abcdefgh"(i % 8).toString
+      base * (1 + i % 4) + "xyzw"((i / 8) % 4).toString + ("qrst"((i / 32) % 4).toString * (1 + i % 3))
+    }
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val hist = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val (refMerges, refSyms) = refBpe(hist, 64)
+    assert(refMerges.size == 64, s"corpus exhausted at ${refMerges.size} rounds")
+    val (gotMerges, gotMap) = BpeOps.train(docs, 64)
+    assert(gotMerges == refMerges, "64-round merge tables differ")
+    val gotSyms = gotMap.toMap
+    refSyms.foreach { case (w, s) =>
+      assert(gotSyms(w) == s.mkString("  "), s"word '$w'")
+    }
+  }
+
   test("early exhaustion: training stops when no pair remains, encode still covers every word") {
     import spark.implicits._
     // one two-char word: exactly one merge possible, then nothing left

@@ -144,6 +144,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top_k 50 fell back to a global sort:\n$p")
   }
 
+  test("cross-family SQL: registry join broadcasts; LIMIT 50 is TakeOrderedAndProject") {
+    val recs = graft.ops.ShredOps.structuredRecords(spark, 60L).toDF()
+    val turns = graft.synth.SynthDataset.turns(spark, 40L)
+    val p = plan(graft.ops.SqlSurface.crossFamilySummary(spark, dir, turns, recs))
+    assert(p.contains("BroadcastHashJoin"), s"doc_info join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top_k 50 fell back to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross-family join degenerated:\n$p")
+  }
+
   test("graph range query: sig-keyed traversal joins, no all-pairs, top_k 50 without global sort") {
     val recs = graft.ops.ShredOps.structuredRecords(spark, 60L).toDF()
     val p = plan(graft.ops.GraphSurface.rangeQuery(spark, recs))

@@ -29,6 +29,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql == viaDf)
   }
 
+  test("engine views: every output family resolves; cross-family query joins them") {
+    val dir = "/root/testdata/sf0.001"
+    val recs = ShredOps.structuredRecords(spark, 60).toDF()
+    val turns = graft.synth.SynthDataset.turns(spark, 40)
+    SqlSurface.registerEngineViews(spark, dir, turns, recs)
+    (SqlSurface.Views ++ SqlSurface.EngineViews).foreach { v =>
+      assert(spark.sql(s"SELECT count(*) AS n FROM $v").as[Long].head() > 0,
+        s"view $v is empty or unresolvable")
+    }
+    val rows = SqlSurface.adHoc(spark, SqlSurface.CrossFamilySql).collect()
+    assert(rows.length == 40, "40 turn-convs join 60 record-convs -> 40 rows")
+    // local recompute: per-conv failures from the pipeline, violations
+    // from the shred — every returned row must agree with both families
+    val failures = graft.pipeline.Pipeline.run(spark, turns)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), sum(when(col("failure").isNotNull, 1L).otherwise(0L)).as("f"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val violations = ShredOps.shredMaterialUsage(recs)
+      .filter(!col("quantity_within_range"))
+      .groupBy("conv_id").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      val conv = r.getString(r.fieldIndex("conv_id"))
+      assert(r.getLong(r.fieldIndex("n_turns")) == failures(conv)._1, s"$conv turns")
+      assert(r.getLong(r.fieldIndex("n_failures")) == failures(conv)._2, s"$conv failures")
+      assert(r.getLong(r.fieldIndex("n_violations")) == violations.getOrElse(conv, 0L), s"$conv violations")
+    }
+    val ordered = rows.map(r => (r.getLong(r.fieldIndex("n_failures")),
+      r.getLong(r.fieldIndex("n_violations")), r.getString(r.fieldIndex("conv_id"))))
+    assert(ordered.sameElements(ordered.sortBy { case (f, v, c) => (-f, -v, c) }),
+      "output must be ordered by n_failures DESC, n_violations DESC, conv_id ASC")
+  }
+
   test("policy query: per-doc rollup, top-50 by violations with stable tiebreak") {
     val recs = ShredOps.structuredRecords(spark, 80).toDF()
     val rows = SqlSurface.policySummary(spark, recs).collect()
