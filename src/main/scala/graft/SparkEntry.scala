@@ -282,7 +282,28 @@ object SparkEntry {
     // top_k 50)
     "q88_cross_family" -> ((s, d) =>
       SqlSurface.crossFamilySummary(s, d, SynthDataset.turns(s, VerifyConvs),
-        ShredOps.structuredRecords(s, VerifyRecords).toDF()))
+        ShredOps.structuredRecords(s, VerifyRecords).toDF())),
+    // second REAL lossless codec (JDK ImageIO BMP): same text-derived
+    // oracle as q84 — a green row proves the BMP encode->decode path
+    // pixel-exact too (JPEG, lossy, is bounded by a local tolerance test)
+    "q89_bmp_codec" -> ((s, d) => MultimodalOps.codecFeatures(s, d, "bmp")),
+    // driver-visible streaming surface: the synthetic corpus lands as a
+    // file-source stream, drains through readStream -> extract -> parquet
+    // sink (checkpointed, Trigger.AvailableNow), and the STREAM-PRODUCED
+    // table is what the oracle compares against the golden expectations —
+    // per-turn text equality THROUGH the streaming path
+    "q90_stream_extract" -> ((s, _) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-q90").toString
+      SynthDataset.turns(s, VerifyConvs).toDF()
+        .write.mode("overwrite").parquet(s"$base/in")
+      graft.streaming.StreamingExtract
+        .runAvailableNow(s, s"$base/in", s"$base/out", s"$base/ck")
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("conv_id"), col("turn_idx"), col("kind"),
+          length(col("extracted_text")).as("n_chars_out"),
+          sha2(col("extracted_text"), 256).as("text_sha"), col("failure"))
+    })
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -357,10 +378,18 @@ object SparkEntry {
        FROM documents"""
 
   /** x^n at x10000 scale as unrolled SQL — the oracle twin of
-    * `SimilarityOps.fxPow`'s left-fold (p*x // 10000, n times).
+    * `SimilarityOps.fxPow`'s left-fold (p*x // 10000, n times; n=0 is the
+    * fold's empty case, 10000).
     */
   private def fxPowSql(x: String, n: Int): String =
-    (2 to n).foldLeft(x)((acc, _) => s"(($acc * $x) // 10000)")
+    if (n == 0) "10000"
+    else (2 to n).foldLeft(x)((acc, _) => s"(($acc * $x) // 10000)")
+
+  /** Multi-probe per-table hit probability at x10000 — the oracle twin of
+    * `SimilarityOps.fxHit`: q^b + b*q^(b-1)*(1-q), truncating div.
+    */
+  private def fxHitSql(q: String, b: Int): String =
+    s"(${fxPowSql(q, b)} + $b * ((${fxPowSql(q, b - 1)} * (10000 - $q)) // 10000))"
 
   /** Per-pair plane-sign agreement count over the full-width bucket
     * columns b0..b{L-1} (8 planes each): Σ_t (8 - hamming(b_t, b_t)).
@@ -374,10 +403,17 @@ object SparkEntry {
     * candidate pairs in DuckDB, end to end: full-width per-table buckets
     * (8 planes, 16 tables — the engine's fixed-stride plane family),
     * the sample's top-k neighbor pairs and their empirical plane-sign
-    * agreement (qnear/qrand), the fixed-point (b, l) grid search, and
-    * the candidate join masked to the CHOSEN b low bits over the CHOSEN
+    * agreement (qnear/qrand), the fixed-point (b, l) grid search over the
+    * MULTI-PROBE hit model (fxHitSql), and the candidate join at
+    * masked-bucket Hamming <= 1 (the Hamming-1 probe set) over the CHOSEN
     * l tables. Expects a CTE `e(vec_id, v)`. Yields `tune`, `grid`,
-    * `chosen` and `lcand(query_id, neighbor_id)`.
+    * `chosen` and `lcand(query_id, neighbor_id)`. Every CTE is
+    * MATERIALIZED: fb/samp/lbl are referenced repeatedly, and DuckDB's
+    * default inlining re-evaluates a CTE per reference — the 128
+    * dot-products-per-vector bucket projection must run once, not once
+    * per downstream mention (unmaterialized, this fragment was the whole
+    * cost of the q26/q59/q74 oracles: 100-250 s each; materialized they
+    * run in under a second).
     */
   private def lshCandidateCtes: String = {
     val L = ops.SimilarityOps.TuneMaxTables
@@ -385,37 +421,37 @@ object SparkEntry {
     val target = ops.SimilarityOps.TuneTargetRecallX10000
     val fbList = (0 until L).map(t => s"b$t").mkString("[", ", ", "]")
     val pows = (1 to B).map(b =>
-      s"SELECT $b AS b, CAST(${fxPowSql("qnear", b)} AS BIGINT) AS pnear, " +
-        s"CAST(${fxPowSql("qrand", b)} AS BIGINT) AS prand FROM tune")
+      s"SELECT $b AS b, CAST(${fxHitSql("qnear", b)} AS BIGINT) AS hnear, " +
+        s"CAST(${fxHitSql("qrand", b)} AS BIGINT) AS hrand FROM tune")
       .mkString(" UNION ALL ")
     val grid = (1 to L).map(l =>
-      s"SELECT b, $l AS l, 10000 - CAST(${fxPowSql("(10000 - pnear)", l)} AS BIGINT) AS r, " +
-        s"$l * prand AS v FROM pows")
+      s"SELECT b, $l AS l, 10000 - CAST(${fxPowSql("(10000 - hnear)", l)} AS BIGINT) AS r, " +
+        s"$l * hrand AS v FROM pows")
       .mkString(" UNION ALL ")
-    s"""fb AS (SELECT vec_id, v, ${bucketColsSql("v", B, L)} FROM e),
-       samp AS (SELECT * FROM fb WHERE vec_id < ${ops.SimilarityOps.TuneSampleN}),
-       pair AS (SELECT a.vec_id AS ia, c.vec_id AS ic,
+    s"""fb AS MATERIALIZED (SELECT vec_id, v, ${bucketColsSql("v", B, L)} FROM e),
+       samp AS MATERIALIZED (SELECT * FROM fb WHERE vec_id < ${ops.SimilarityOps.TuneSampleN}),
+       pair AS MATERIALIZED (SELECT a.vec_id AS ia, c.vec_id AS ic,
                        CAST(floor(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cos,
                        ${lshAgreeSql("a", "c")} AS agree
                 FROM samp a JOIN samp c ON a.vec_id <> c.vec_id),
-       near AS (SELECT ia, ic, agree FROM (
+       near AS MATERIALIZED (SELECT ia, ic, agree FROM (
                   SELECT *, row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ic ASC) AS rn
                   FROM pair) z WHERE rn <= ${ops.SimilarityOps.TuneK}),
-       tune AS (SELECT
+       tune AS MATERIALIZED (SELECT
                   CAST((SELECT sum(agree) * 10000 // (count(*) * ${L * B}) FROM near) AS BIGINT) AS qnear,
                   CAST((SELECT sum(agree) * 10000 // (count(*) * ${L * B}) FROM pair WHERE ia < ic) AS BIGINT) AS qrand),
-       pows AS ($pows),
-       grid AS ($grid),
-       chosen AS (SELECT b, l FROM grid
+       pows AS MATERIALIZED ($pows),
+       grid AS MATERIALIZED ($grid),
+       chosen AS MATERIALIZED (SELECT b, l FROM grid
                   ORDER BY (CASE WHEN r >= $target THEN 0 ELSE 1 END),
                            (CASE WHEN r >= $target THEN v ELSE 10000 - r END),
                            l, b LIMIT 1),
-       lbl AS (SELECT vec_id, v, $fbList AS fbl FROM fb),
-       lcand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+       lbl AS MATERIALIZED (SELECT vec_id, v, $fbList AS fbl FROM fb),
+       lcand AS MATERIALIZED (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
                  FROM (SELECT * FROM lbl WHERE vec_id < ${ops.SimilarityOps.NQueries}) q, lbl n, chosen ch
                  WHERE n.vec_id <> q.vec_id
                    AND len(list_filter(range(1, ch.l + 1),
-                         t -> (q.fbl[t] % (1 << ch.b)) = (n.fbl[t] % (1 << ch.b)))) > 0)"""
+                         t -> bit_count(xor(q.fbl[t] % (1 << ch.b), n.fbl[t] % (1 << ch.b))) <= 1)) > 0)"""
   }
 
   /** DuckDB-runnable oracle SQL (same parquet tables registered by name).
@@ -527,7 +563,7 @@ object SparkEntry {
     "q18_fingerprint" ->
       s"""WITH g AS (SELECT doc_id, grams, len(grams) AS n
                     FROM read_parquet('__SYNTH__/grams.parquet/*.parquet')),
-         p AS (SELECT doc_id, n, grams, unnest(range(1, n + 1)) AS pos FROM g WHERE n > $WinW),
+         p AS MATERIALIZED (SELECT doc_id, n, grams, unnest(range(1, n + 1)) AS pos FROM g WHERE n > $WinW),
          v AS (SELECT doc_id, n, pos, grams[pos] AS val FROM p),
          wm AS (SELECT doc_id, n, pos,
                        min(val) OVER (PARTITION BY doc_id ORDER BY pos
@@ -664,7 +700,7 @@ object SparkEntry {
          FROM s GROUP BY 1""",
     "q43_schema_evolution" ->
       """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
-         a AS (SELECT conv_id, batch_details.product_name AS product_name,
+         a AS MATERIALIZED (SELECT conv_id, batch_details.product_name AS product_name,
                       CAST(len(material_usage_rows) AS INTEGER) AS n_materials
                FROM r WHERE conv_id < 'conv-000100'),
          b AS (SELECT conv_id, batch_details.product_name AS product_name,
@@ -725,7 +761,7 @@ object SparkEntry {
     "q47_rule_registry" ->
       s"""WITH m AS (SELECT conv_id, unnest(material_usage_rows) AS r
                     FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
-         c AS (SELECT conv_id,
+         c AS MATERIALIZED (SELECT conv_id,
                  CAST(sum(CASE WHEN NOT (r.actual_quantity BETWEEN r.allowed_range_min AND r.allowed_range_max)
                                THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
                  CAST(sum(CASE WHEN NOT (r.performed_by <> r.checked_by)
@@ -793,17 +829,17 @@ object SparkEntry {
          SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS is_canonical
          FROM comp GROUP BY doc_id""",
     "q24_embedding_dup_pairs" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v, ${bucketSqlColsEmbDup} FROM e)
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS MATERIALIZED (SELECT vec_id, v, ${bucketSqlColsEmbDup} FROM e)
          SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
                 CAST(floor(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cosine_x10000
          FROM b a JOIN b c ON a.vec_id < c.vec_id
            AND (${anyTableMatchSql("a", "c", ops.DedupOps.EmbDupNTables)})
          WHERE floor(list_cosine_similarity(a.v, c.v) * 10000) >= ${ops.DedupOps.VerifyEmbDupThresholdX10000}""",
     "q26_ann_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          $lshCandidateCtes,
-         s AS (SELECT c.query_id, c.neighbor_id,
+         s AS MATERIALIZED (SELECT c.query_id, c.neighbor_id,
                       CAST(floor(list_cosine_similarity(q.v, n.v) * 10000) AS BIGINT) AS cosine_x10000
                FROM lcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
          SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
@@ -850,6 +886,15 @@ object SparkEntry {
          CAST(sum(length(expected_text)) AS BIGINT) AS extracted_chars
          FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
          GROUP BY 1""",
+    // q90: the q28 per-turn text-equality oracle, but the engine side is
+    // the STREAM-produced parquet table — green means the streaming path
+    // extracts byte-identically to the golden expectations
+    "q90_stream_extract" ->
+      """SELECT conv_id, turn_idx, kind,
+         CAST(length(expected_text) AS INTEGER) AS n_chars_out,
+         sha256(expected_text) AS text_sha,
+         expected_failure AS failure
+         FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')""",
     "q30_shred_material_usage" ->
       """SELECT conv_id,
          sha256(concat_ws('|', conv_id, 'material_usage_rows', pos)) AS row_key,
@@ -958,11 +1003,11 @@ object SparkEntry {
       s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
                     FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         a AS (SELECT vec_id,
+         a AS MATERIALIZED (SELECT vec_id,
                       first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
                FROM e CROSS JOIN c GROUP BY vec_id),
-         idx AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
-         p AS (SELECT query_id, qv, cell FROM (
+         idx AS MATERIALIZED (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
+         p AS MATERIALIZED (SELECT query_id, qv, cell FROM (
                  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
                         row_number() OVER (PARTITION BY e.vec_id
                           ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
@@ -1055,44 +1100,44 @@ object SparkEntry {
     // engine, so this is an end-to-end independent check of both scale
     // paths' output quality, not just their row sets.
     "q59_ann_recall" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
                WHERE vec_id < ${ops.SimilarityOps.NQueries}),
-         xs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         xs AS MATERIALIZED (SELECT q.query_id, e.vec_id AS neighbor_id,
                        CAST(floor(list_cosine_similarity(q.qv, e.v) * 10000) AS BIGINT) AS cosine_x10000
                 FROM q JOIN e ON e.vec_id <> q.query_id),
-         exact AS (SELECT query_id, neighbor_id FROM (
+         exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
              FROM xs) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
          $lshCandidateCtes,
-         ls AS (SELECT c.query_id, c.neighbor_id,
+         ls AS MATERIALIZED (SELECT c.query_id, c.neighbor_id,
                        CAST(floor(list_cosine_similarity(q.v, n.v) * 10000) AS BIGINT) AS cosine_x10000
                 FROM lcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
-         lsh AS (SELECT query_id, neighbor_id FROM (
+         lsh AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
              FROM ls) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
-         c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+         c AS MATERIALIZED (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
                FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
-         a AS (SELECT vec_id,
+         a AS MATERIALIZED (SELECT vec_id,
                       first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
                FROM e CROSS JOIN c GROUP BY vec_id),
          idx AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
-         p AS (SELECT query_id, qv, cell FROM (
+         p AS MATERIALIZED (SELECT query_id, qv, cell FROM (
                  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
                         row_number() OVER (PARTITION BY e.vec_id
                           ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
                  FROM e CROSS JOIN c WHERE e.vec_id < ${ops.SimilarityOps.NQueries}) z
                  WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
-         ivs AS (SELECT p.query_id, idx.vec_id AS neighbor_id,
+         ivs AS MATERIALIZED (SELECT p.query_id, idx.vec_id AS neighbor_id,
                         CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
                  FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id),
-         ivf AS (SELECT query_id, neighbor_id FROM (
+         ivf AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
              FROM ivs) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
-         hl AS (SELECT l.query_id, count(*) AS hits FROM lsh l
+         hl AS MATERIALIZED (SELECT l.query_id, count(*) AS hits FROM lsh l
                 JOIN exact x ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
                 GROUP BY l.query_id),
-         hi AS (SELECT i.query_id, count(*) AS hits FROM ivf i
+         hi AS MATERIALIZED (SELECT i.query_id, count(*) AS hits FROM ivf i
                 JOIN exact x ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
                 GROUP BY i.query_id)
          SELECT 'lsh' AS method, q.query_id, coalesce(hl.hits, 0) AS hits,
@@ -1325,7 +1370,7 @@ object SparkEntry {
     // (the same 128-plane family), the fixed-point (b, l) grid search,
     // and the chosen row's estimates
     "q74_lsh_params" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          $lshCandidateCtes
          SELECT CAST(ch.b AS INT) AS n_planes, CAST(ch.l AS INT) AS n_tables,
                 t.qnear AS q_near_x10000, t.qrand AS q_rand_x10000,
@@ -1613,6 +1658,22 @@ object SparkEntry {
          FROM t JOIN d ON t.conv_id = d.conv_id
          LEFT JOIN v ON t.conv_id = v.conv_id
          ORDER BY n_failures DESC, n_violations DESC, t.conv_id ASC
-         LIMIT 50"""
+         LIMIT 50""",
+    // q89: identical expected values to q84 — the BMP round-trip must be
+    // just as pixel-exact as the PNG one
+    "q89_bmp_codec" ->
+      s"""WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, ${MultimodalOps.ImgMaxChars}) AS t
+                    FROM documents),
+         p AS (SELECT doc_id,
+                      [ord(substr(t, i, 1)) % 256 for i in range(1, len(t) + 1)] AS px,
+                      greatest((len(t) + ${MultimodalOps.ImgWidth} - 1) // ${MultimodalOps.ImgWidth}, 1) AS h
+               FROM d)
+         SELECT doc_id,
+                CAST(${MultimodalOps.ImgWidth} AS INTEGER) AS width,
+                CAST(h AS INTEGER) AS height,
+                CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_luma,
+                CAST(coalesce(list_max(px), 0) AS INTEGER) AS max_luma,
+                CAST(coalesce(list_sum([coalesce(px[((i // 8) * h // 8) * ${MultimodalOps.ImgWidth} + (i % 8) * ${MultimodalOps.ImgWidth / MultimodalOps.ThumbSide} + 1], 0) for i in range(0, 64)]), 0) AS BIGINT) AS thumb_sum
+         FROM p"""
   )
 }

@@ -172,7 +172,47 @@ object MultimodalOps {
     * (no color-space conversion). Batched mapPartitions, zero shuffles —
     * the same flow a vectorized codec would use at 100 TB.
     */
-  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame =
+    codecFeatures(spark, dir, "png")
+
+  /** Plant the deterministic grayscale plane for one document's text. */
+  private def plantPlane(t: String): (Array[Int], java.awt.image.BufferedImage) = {
+    // codepoints (not UTF-16 chars) — matches the oracle's
+    // per-codepoint ord(..) % 256 for any input, incl. non-BMP
+    val px = t.codePoints().toArray.map(_ % 256)
+    val w = ImgWidth
+    val h = math.max(1, (px.length + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val out = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      out.setSample(i % w, i / w, 0, if (i < px.length) px(i) else 0)
+      i += 1
+    }
+    (px, img)
+  }
+
+  /** Encode with ImageIO `format`, decode again — both real codec calls. */
+  private def roundTrip(img: java.awt.image.BufferedImage, format: String, id: Long)
+      : java.awt.image.BufferedImage = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val wrote = javax.imageio.ImageIO.write(img, format, bos)
+    require(wrote, s"no $format ImageIO writer available (doc $id)")
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    require(dec != null, s"$format decode failed for doc $id")
+    dec
+  }
+
+  /** Codec-parameterized round-trip features: q84 runs it with PNG, q89
+    * with BMP — BOTH lossless JDK-ImageIO codecs, so both get the same
+    * text-derived oracle and a green row proves the respective
+    * encode→decode path pixel-exact (the "foreign container" case of
+    * S2/S3 without external jars; ref: app.py:250-287 handles
+    * image-or-pdf containers before rasterizing).
+    */
+  def codecFeatures(spark: SparkSession, dir: String, format: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "documents")
       .select(col("doc_id"),
@@ -181,25 +221,8 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.map { case (id, t) =>
-            // codepoints (not UTF-16 chars) — matches the oracle's
-            // per-codepoint ord(..) % 256 for any input, incl. non-BMP
-            val px = t.codePoints().toArray.map(_ % 256)
-            val w = ImgWidth
-            val h = math.max(1, (px.length + w - 1) / w)
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val out = img.getRaster
-            var i = 0
-            while (i < w * h) {
-              out.setSample(i % w, i / w, 0, if (i < px.length) px(i) else 0)
-              i += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            val wrote = javax.imageio.ImageIO.write(img, "png", bos) // real PNG encode
-            require(wrote, s"no PNG ImageIO writer available (doc $id)")
-            val dec = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bos.toByteArray)) // real decode
-            require(dec != null, s"PNG decode failed for doc $id")
+            val (_, img) = plantPlane(t)
+            val dec = roundTrip(img, format, id)
             val r = dec.getRaster
             var sum = 0L; var mx = 0; var y = 0
             while (y < dec.getHeight) {
@@ -220,6 +243,48 @@ object MultimodalOps {
               j += 1
             }
             ImageFeature(id, dec.getWidth, dec.getHeight, sum, mx, tsum)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  final case class CodecError(
+      doc_id: Long, width: Int, height: Int, max_abs_err: Int, sum_abs_err: Long)
+
+  /** LOSSY decode path (JPEG, the reference's wire format for scanned
+    * pages): real ImageIO encode→decode, reporting per-document decode
+    * error against the planted plane. Dimensions must survive exactly
+    * (enforced here — a dimension change is a codec bug, not loss);
+    * sample error is bounded by the local tolerance test. No DuckDB
+    * oracle by design: lossy output is codec-version-defined, so the
+    * correctness claim is the error BOUND, not byte equality.
+    */
+  def codecError(spark: SparkSession, dir: String, format: String = "jpg"): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(coalesce(col("text"), lit("")), 1, ImgMaxChars).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, t) =>
+            val (px, img) = plantPlane(t)
+            val w = img.getWidth; val h = img.getHeight
+            val dec = roundTrip(img, format, id)
+            require(dec.getWidth == w && dec.getHeight == h,
+              s"$format decode changed dimensions for doc $id")
+            val r = dec.getRaster
+            var sumErr = 0L; var maxErr = 0
+            var i = 0
+            while (i < w * h) {
+              val want = if (i < px.length) px(i) else 0
+              val got = r.getSample(i % w, i / w, 0)
+              val e = math.abs(got - want)
+              sumErr += e; if (e > maxErr) maxErr = e
+              i += 1
+            }
+            CodecError(id, w, h, maxErr, sumErr)
           }
         }
       }

@@ -100,19 +100,26 @@ object SimilarityOps {
   //      the full 128-plane family (TuneMaxTables * TuneMaxPlanes) — the
   //      unbiased estimator of 1-θ/π, in pure integer counting;
   //   4. picks (b, l) from the grid b<=8, l<=16 minimizing expected
-  //      candidate volume l*qRand^b subject to model recall
-  //      1-(1-qNear^b)^l >= target, all in x10000 fixed-point left-fold
-  //      arithmetic (exactly replicable in the DuckDB oracle).
+  //      candidate volume l*hit(qRand,b) subject to model recall
+  //      1-(1-hit(qNear,b))^l >= target, where hit(q,b) is the MULTI-PROBE
+  //      per-table hit probability (the probe set is the query's bucket
+  //      plus all b Hamming-1 neighbors, so a table hits when AT MOST ONE
+  //      masked plane disagrees): hit = q^b + b*q^(b-1)*(1-q) — all in
+  //      x10000 fixed-point left-fold arithmetic (exactly replicable in
+  //      the DuckDB oracle).
   // Table t then uses planes [t*TuneMaxPlanes, t*TuneMaxPlanes + b): a
   // fixed plane STRIDE of TuneMaxPlanes, so the oracle can mask the
   // full-width buckets to b bits instead of re-deriving plane layouts.
+  // Multi-probe is what makes the 0.8 recall target reachable at sane
+  // volume: each extra probe costs query-side fan-out only (b+1 broadcast
+  // rows per table instead of 1), never another corpus pass.
   // ----------------------------------------------------------------------
 
   val TuneMaxPlanes = 8
   val TuneMaxTables = 16
   val TuneSampleN = 32
   val TuneK = 3
-  val TuneTargetRecallX10000 = 5500L
+  val TuneTargetRecallX10000 = 8000L
 
   /** x^n at x10000 fixed point via left-fold (p = p*x div 10000, n
     * times) — the ONE power definition shared (by construction) with the
@@ -123,6 +130,15 @@ object SimilarityOps {
     while (i < n) { p = p * x / 10000L; i += 1 }
     p
   }
+
+  /** Per-table hit probability at x10000 under Hamming-1 multi-probe:
+    * P(at most one of b masked planes disagrees) = q^b + b·q^(b-1)·(1-q),
+    * in the same truncating fixed-point arithmetic as the oracle SQL
+    * (fxPow(q,0)=10000, so b=1 degenerates to hit=1 — both buckets of a
+    * 1-bit table are probed; the grid's volume term prices that out).
+    */
+  def fxHit(q: Long, b: Int): Long =
+    fxPow(q, b) + b.toLong * (fxPow(q, b - 1) * (10000L - q) / 10000L)
 
   /** Tuned LSH index parameters + the estimates that produced them. */
   final case class LshParams(
@@ -138,9 +154,9 @@ object SimilarityOps {
       b <- 1 to TuneMaxPlanes
       l <- 1 to TuneMaxTables
     } yield {
-      val hit = fxPow(qNear, b)
+      val hit = fxHit(qNear, b)
       val recall = 10000L - fxPow(10000L - hit, l)
-      val volume = l.toLong * fxPow(qRand, b)
+      val volume = l.toLong * fxHit(qRand, b)
       (b, l, recall, volume)
     }
     val (b, l, r, v) = grid.minBy { case (b, l, r, v) =>
@@ -207,7 +223,10 @@ object SimilarityOps {
   /** Multi-table LSH ANN with AUTO-TUNED (b, l) — the production default.
     * Buckets come from the fixed-stride full-width family masked to b low
     * bits (pmod 2^b), so table t's effective planes are
-    * [t*TuneMaxPlanes, t*TuneMaxPlanes + b).
+    * [t*TuneMaxPlanes, t*TuneMaxPlanes + b). MULTI-PROBE: each query
+    * probes its own bucket plus every Hamming-1 neighbor (b extra probes
+    * per table) — candidates are all vectors within masked-bucket
+    * Hamming <= 1 in any table, the set the tuner's hit model prices.
     */
   def lshTopKTuned(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -215,7 +234,7 @@ object SimilarityOps {
     val full = graft.functions.GraftFunctions.tableBuckets(
       "embedding", TuneMaxPlanes, p.nTables)
     val masked = transform(full, x => pmod(x, lit(1 << p.nPlanes)))
-    lshTopKWithBuckets(spark, dir, k, masked)
+    lshTopKWithBuckets(spark, dir, k, masked, probeBits = p.nPlanes)
   }
 
   /** Multi-table LSH ANN: `nTables` independent sign-bit hash tables
@@ -254,16 +273,28 @@ object SimilarityOps {
       graft.functions.GraftFunctions.tableBuckets("embedding", nPlanes, nTables))
   }
 
-  /** lshTopK core over an arbitrary per-table bucket array column. */
+  /** lshTopK core over an arbitrary per-table bucket array column.
+    * `probeBits` > 0 enables Hamming-1 multi-probe: each query row fans
+    * out to its own bucket plus the `probeBits` single-bit-flip variants —
+    * expansion on the (broadcast) QUERY side only; the corpus is bucketed
+    * exactly once either way.
+    */
   private def lshTopKWithBuckets(
-      spark: SparkSession, dir: String, k: Int, buckets: org.apache.spark.sql.Column): DataFrame = {
+      spark: SparkSession, dir: String, k: Int,
+      buckets: org.apache.spark.sql.Column, probeBits: Int = 0): DataFrame = {
     val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val bucketed = vecs.select(
       col("vec_id"), col("embedding"), posexplode(buckets).as(Seq("t", "bucket")))
-    val queries = bucketed
+    val exactQ = bucketed
       .filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
         col("t"), col("bucket"))
+    val queries =
+      if (probeBits == 0) exactQ
+      else exactQ.select(
+        col("query_id"), col("q_embedding"), col("t"),
+        explode(array((col("bucket") +: (0 until probeBits).map(i =>
+          col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
     val scored = bucketed
       .join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -509,6 +509,34 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(v == want(k), s"doc $k") }
   }
 
+  test("image codec: BMP round-trip equals the PNG one exactly (both lossless)") {
+    import spark.implicits._
+    val png = MultimodalOps.codecFeatures(spark, dir, "png")
+      .as[(Long, Int, Int, Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val bmp = MultimodalOps.codecFeatures(spark, dir, "bmp")
+      .as[(Long, Int, Int, Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(png == bmp, "BMP features must be pixel-identical to PNG's")
+  }
+
+  test("image codec: JPEG decode is lossy but bounded; dimensions survive") {
+    import spark.implicits._
+    val errs = MultimodalOps.codecError(spark, dir, "jpg")
+      .as[(Long, Int, Int, Int, Long)].collect()
+    assert(errs.nonEmpty)
+    errs.foreach { case (id, w, h, maxErr, sumErr) =>
+      assert(w == MultimodalOps.ImgWidth, s"doc $id width")
+      // planted planes are high-frequency noise (text codepoints), the
+      // worst case for JPEG — still the decode must stay within a sane
+      // per-sample band and err=0 would mean we silently fell back to a
+      // lossless path
+      assert(maxErr <= 160, s"doc $id max sample error $maxErr out of band")
+      val mean = sumErr.toDouble / (w.toLong * h)
+      assert(mean <= 48.0, s"doc $id mean sample error $mean out of band")
+    }
+    // lossiness must actually be observed somewhere, or 'jpg' wasn't jpg
+    assert(errs.exists(_._4 > 0), "every JPEG decode was exact — wrong codec?")
+  }
+
   test("tf-idf keywords: integer whole-bit scoring matches a naive recompute") {
     import spark.implicits._
     val docs = RelationalOps.table(spark, dir, "documents")

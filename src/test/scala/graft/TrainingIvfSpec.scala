@@ -190,8 +190,9 @@ class TrainingIvfSpec extends AnyFunSuite {
     val byId = vecs.toMap
     val exact = queryIds.map(q => q -> topK(q, byId(q), vecs)).toMap
 
-    // LSH (auto-tuned path): candidates share the query's b-low-bit
-    // bucket in ANY of the chosen l tables (fixed stride TuneMaxPlanes)
+    // LSH (auto-tuned path, Hamming-1 multi-probe): candidates are within
+    // bucket-Hamming <= 1 of the query's b-low-bit bucket in ANY of the
+    // chosen l tables (fixed stride TuneMaxPlanes)
     val params = SimilarityOps.tuneLshParams(spark, dir)
     val mask = (1 << params.nPlanes) - 1
     val buckets = vecs.map { case (id, v) =>
@@ -202,7 +203,8 @@ class TrainingIvfSpec extends AnyFunSuite {
     }.toMap
     val lsh = queryIds.map { q =>
       q -> topK(q, byId(q), vecs.filter { case (id, _) =>
-        buckets(id).indices.exists(t => buckets(id)(t) == buckets(q)(t))
+        buckets(id).indices.exists(t =>
+          java.lang.Integer.bitCount(buckets(id)(t) ^ buckets(q)(t)) <= 1)
       })
     }.toMap
 
@@ -226,18 +228,24 @@ class TrainingIvfSpec extends AnyFunSuite {
     // the metric must be meaningful on the synth corpus: both scale paths
     // recover a nonzero share of the exact neighbors, and hits <= k
     assert(got.forall { case (_, _, h, _) => h >= 0 && h <= k })
-    // acceptance bar for the auto-tuned path (fixed (6,8) measured 0.21).
+    // acceptance bar for the auto-tuned multi-probe path (fixed (6,8)
+    // measured 0.21; tuned exact-bucket 0.58; tuned Hamming-1 raises it).
     // toSeq before map: summing over the Set would collapse equal hit counts
     val lshRecall = got.toSeq.filter(_._1 == "lsh").map(_._3).sum.toDouble / (queryIds.length * k)
-    assert(lshRecall >= 0.5, f"tuned LSH recall@$k = $lshRecall%.2f below the 0.5 acceptance bar")
+    assert(lshRecall >= 0.8, f"tuned LSH recall@$k = $lshRecall%.2f below the 0.8 acceptance bar")
     assert(got.toSeq.filter(_._1 == "ivf").map(_._3).sum > 0, "IVF recall is zero")
   }
 
-  test("LSH tuner: fxPow left-fold exactness and feasible-first grid choice") {
+  test("LSH tuner: fxPow/fxHit exactness and feasible-first grid choice") {
     assert(SimilarityOps.fxPow(10000L, 5) == 10000L)
     assert(SimilarityOps.fxPow(5000L, 2) == 2500L)
     assert(SimilarityOps.fxPow(5000L, 3) == 1250L)
     assert(SimilarityOps.fxPow(9999L, 1) == 9999L)
+    assert(SimilarityOps.fxPow(5000L, 0) == 10000L, "empty fold is the unit")
+    // multi-probe hit: q^b + b*q^(b-1)*(1-q), truncating at each step
+    assert(SimilarityOps.fxHit(5000L, 1) == 10000L, "1-bit tables probe both buckets")
+    assert(SimilarityOps.fxHit(5000L, 2) == 2500L + 2L * 2500L)
+    assert(SimilarityOps.fxHit(9000L, 3) == 7290L + 3L * (8100L * 1000L / 10000L))
     val strong = SimilarityOps.chooseLshParams(9000L, 5000L)
     val weak = SimilarityOps.chooseLshParams(5700L, 5000L)
     // both meet the recall target; the strongly-correlated estimate buys
@@ -245,7 +253,11 @@ class TrainingIvfSpec extends AnyFunSuite {
     assert(strong.expRecallX10000 >= SimilarityOps.TuneTargetRecallX10000)
     assert(weak.expRecallX10000 >= SimilarityOps.TuneTargetRecallX10000)
     assert(strong.expVolumeX10000 < weak.expVolumeX10000)
-    assert(weak.nTables > strong.nTables, "weak correlation must buy recall with more tables")
+    // under multi-probe the redundancy axis is bucket WIDTH first (a
+    // Hamming-1 probe set over fewer planes covers more of the sphere),
+    // tables second — weak correlation must buy recall on at least one
+    assert(weak.nPlanes < strong.nPlanes || weak.nTables > strong.nTables,
+      s"weak correlation must buy recall with broader buckets or more tables: $weak vs $strong")
   }
 
   // ---- corpus-assembly ops: decontaminate / vocab / packing ----------
