@@ -303,7 +303,12 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("kind"),
           length(col("extracted_text")).as("n_chars_out"),
           sha2(col("extracted_text"), 256).as("text_sha"), col("failure"))
-    })
+    }),
+    // per-root reachable-subtree rollup over the graph views: distinct
+    // node count by label within 2 HAS hops of each document root (the
+    // graph-shaped "what does this document contain" summary)
+    "q91_graph_subtree_rollup" -> ((s, _) =>
+      GraphSurface.subtreeRollup(s, ShredOps.structuredRecords(s, VerifyRecords).toDF()))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1638,6 +1643,58 @@ object SparkEntry {
            AND CAST(actual_quantity AS DOUBLE) < CAST(allowed_range_max AS DOUBLE)
          ORDER BY signature ASC
          LIMIT 50""",
+    // q91: DuckDB rebuilds the same signature graph, then rolls up the
+    // per-root 2-hop reachable set by node label
+    "q91_graph_subtree_rollup" ->
+      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         root AS (SELECT conv_id, sha256(concat_ws('|', 'main_table',
+                    'equipment_no=' || coalesce(array_to_string(equipment_no, ','), 'null'))) AS sig FROM r),
+         bd AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_batch_details',
+                  'batch_completed_on=' || coalesce(CAST(batch_details.batch_completed_on AS VARCHAR), 'null'),
+                  'batch_no=' || coalesce(batch_details.batch_no, 'null'),
+                  'batch_started_on=' || coalesce(CAST(batch_details.batch_started_on AS VARCHAR), 'null'),
+                  'product_name=' || coalesce(batch_details.product_name, 'null'))) AS sig FROM r),
+         mat AS (SELECT conv_id,
+                   sha256(concat_ws('|', 'main_table_material_usage_rows',
+                     'actual_quantity=' || coalesce(CAST(m.actual_quantity AS VARCHAR), 'null'),
+                     'allowed_range_max=' || coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null'),
+                     'allowed_range_min=' || coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null'),
+                     'checked_by=' || coalesce(m.checked_by, 'null'),
+                     'material_name=' || coalesce(m.material_name, 'null'),
+                     'performed_by=' || coalesce(m.performed_by, 'null'),
+                     'standard_quantity=' || coalesce(CAST(m.standard_quantity AS VARCHAR), 'null'))) AS sig
+                 FROM (SELECT conv_id, unnest(material_usage_rows) AS m FROM r)),
+         st AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps',
+                  'description=' || coalesce(s.description, 'null'),
+                  'step_no=' || coalesce(CAST(s.step_no AS VARCHAR), 'null'))) AS sig
+                FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)),
+         tr AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps_temperature_records',
+                  'temperature_c=' || coalesce(CAST(t.temperature_c AS VARCHAR), 'null'),
+                  'time_point=' || coalesce(t.time_point, 'null'))) AS sig
+                FROM (SELECT conv_id, step_pos, unnest(s.temperature_records) AS t
+                      FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r))),
+         edges AS (SELECT DISTINCT parent_sig, child_sig FROM (
+           SELECT root.sig AS parent_sig, bd.sig AS child_sig FROM root JOIN bd USING (conv_id)
+           UNION ALL SELECT root.sig, mat.sig FROM root JOIN mat USING (conv_id)
+           UNION ALL SELECT root.sig, st.sig FROM root JOIN st USING (conv_id)
+           UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
+         ) u),
+         verts AS (SELECT DISTINCT sig, label FROM (
+           SELECT sig, 'main_table' AS label FROM root
+           UNION ALL SELECT sig, 'main_table_batch_details' FROM bd
+           UNION ALL SELECT sig, 'main_table_material_usage_rows' FROM mat
+           UNION ALL SELECT sig, 'main_table_steps' FROM st
+           UNION ALL SELECT sig, 'main_table_steps_temperature_records' FROM tr) u),
+         roots AS (SELECT DISTINCT sig AS root_sig FROM root),
+         hop1 AS (SELECT r2.root_sig, e.child_sig AS sig FROM roots r2
+                  JOIN edges e ON e.parent_sig = r2.root_sig),
+         hop2 AS (SELECT h.root_sig, e.child_sig AS sig FROM hop1 h
+                  JOIN edges e ON e.parent_sig = h.sig),
+         reached AS (SELECT DISTINCT root_sig, sig
+                     FROM (SELECT root_sig, sig FROM hop1 UNION ALL SELECT root_sig, sig FROM hop2) u)
+         SELECT rc.root_sig, v.label, count(*) AS n_nodes
+         FROM reached rc JOIN verts v ON v.sig = rc.sig
+         GROUP BY 1, 2""",
     // q88: extraction failures (golden expectations) x rule violations
     // (re-derived from raw records) joined on the document key — DuckDB
     // recomputes both families independently

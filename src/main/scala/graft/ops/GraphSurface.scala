@@ -89,4 +89,38 @@ object GraphSurface {
     registerViews(records)
     adHoc(spark, RangeQuerySql)
   }
+
+  /** Per-root reachable-subtree rollup (q91): for every document root,
+    * the count of distinct nodes reachable within 2 HAS hops, by label —
+    * the graph-shaped "what does this document contain" summary the
+    * reference's QA chain surfaces per document. Because nodes unify
+    * across documents, a merged child counts once per ROOT that reaches
+    * it (per-root DISTINCT), which is exactly the per-document answer.
+    * Traversal joins carry signatures; the rollup groups
+    * (root, label) — still 32-byte keys.
+    */
+  val SubtreeRollupSql: String =
+    """WITH roots AS (
+         SELECT signature AS root_sig FROM graph_vertices WHERE label = 'main_table'),
+       hop1 AS (
+         SELECT r.root_sig, e.child_sig AS sig FROM roots r
+         JOIN graph_edges e ON e.parent_sig = r.root_sig),
+       hop2 AS (
+         SELECT h.root_sig, e.child_sig AS sig FROM hop1 h
+         JOIN graph_edges e ON e.parent_sig = h.sig),
+       reached AS (
+         SELECT DISTINCT root_sig, sig
+         FROM (SELECT root_sig, sig FROM hop1 UNION ALL SELECT root_sig, sig FROM hop2)),
+       labeled AS (
+         SELECT r.root_sig, v.label, r.sig
+         FROM reached r JOIN graph_vertices v ON v.signature = r.sig)
+       SELECT root_sig, label, count(*) AS n_nodes
+       FROM labeled
+       GROUP BY root_sig, label"""
+
+  /** q91: register views, run the subtree rollup. */
+  def subtreeRollup(spark: SparkSession, records: DataFrame): DataFrame = {
+    registerViews(records)
+    adHoc(spark, SubtreeRollupSql)
+  }
 }

@@ -74,4 +74,42 @@ class GraphSurfaceSpec extends AnyFunSuite {
     // 100.0 in (95,105); 200.0 out; 95.0 violates the STRICT lower bound
     assert(got == Seq("100.0"), s"got $got")
   }
+
+  test("subtree rollup: per-root distinct label counts; merged child counts once per reaching root") {
+    import graft.model._
+    val ts = new java.sql.Timestamp(1735689600000L)
+    def m(name: String) = MaterialUsageRow(name, 100.0, 95.0, 105.0, 100.0, "a", "b")
+    val recA = StructuredRecord("conv-a",
+      BatchDetails("p", "B-A", ts, ts),
+      Seq(m("m1"), m("m2")),
+      Seq(ProcedureStep(1, "mix", Seq(
+        TemperatureRecord("t0", 20.0), TemperatureRecord("t1", 21.0)))),
+      Seq("EQ-A"))
+    // conv-b shares material m1 with conv-a: the node MERGEs on content
+    // signature and must count once under EACH reaching root
+    val recB = StructuredRecord("conv-b",
+      BatchDetails("p", "B-B", ts, ts),
+      Seq(m("m1")), Seq.empty, Seq("EQ-B"))
+    val recs = Seq(recA, recB).toDF()
+    val got = GraphSurface.subtreeRollup(spark, recs)
+      .as[(String, String, Long)].collect()
+    val roots = GraphOps.graph(recs)._1
+      .filter("label = 'main_table'").select("signature")
+      .as[String].collect().sorted.toSeq
+    assert(roots.size == 2)
+    val byRoot = got.groupBy(_._1).map { case (r, rows) =>
+      r -> rows.map(t => t._2 -> t._3).toMap }
+    // which root is conv-a's? the one with steps in its rollup
+    val (rootA, rootB) =
+      if (byRoot(roots(0)).contains("main_table_steps")) (roots(0), roots(1))
+      else (roots(1), roots(0))
+    assert(byRoot(rootA) == Map(
+      "main_table_batch_details" -> 1L,
+      "main_table_material_usage_rows" -> 2L,
+      "main_table_steps" -> 1L,
+      "main_table_steps_temperature_records" -> 2L), s"rootA: ${byRoot(rootA)}")
+    assert(byRoot(rootB) == Map(
+      "main_table_batch_details" -> 1L,
+      "main_table_material_usage_rows" -> 1L), s"rootB: ${byRoot(rootB)}")
+  }
 }

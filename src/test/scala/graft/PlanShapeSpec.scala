@@ -162,6 +162,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top_k 50 fell back to a global sort:\n$p")
   }
 
+  test("graph subtree rollup: sig-keyed hops, partial-agg rollup, no all-pairs") {
+    val recs = graft.ops.ShredOps.structuredRecords(spark, 60L).toDF()
+    val p = plan(graft.ops.GraphSurface.subtreeRollup(spark, recs))
+    assert(!p.contains("CartesianProduct"), s"traversal degenerated to a cartesian:\n$p")
+    assert(p.contains("parent_sig"), s"hop joins must key on parent_sig:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"rollup lost map-side combine:\n$p")
+  }
+
+  test("wire-format statement rendering is a narrow projection (no exchange)") {
+    val recs = graft.ops.ShredOps.structuredRecords(spark, 40L).toDF()
+    val mat = graft.ops.ShredOps.shredMaterialUsage(recs)
+    val p1 = plan(graft.ops.WireSinks.insertStatements("m", mat))
+    assert(!p1.contains("Exchange"), s"INSERT rendering must add no shuffle:\n$p1")
+  }
+
   test("vocab build: global top-V via TakeOrderedAndProject with partial counts") {
     val p = plan(graft.ops.TrainingOps.vocabBuild(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"top-V fell back to a global sort:\n$p")
