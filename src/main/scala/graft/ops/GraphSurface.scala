@@ -35,14 +35,47 @@ object GraphSurface {
   /** Views registered by [[registerViews]]. */
   val Views: Seq[String] = Seq("graph_vertices", "graph_edges", "graph_node_props")
 
+  /** The currently-registered materialized graph frames (unpersisted on
+    * the next registration), keyed by the input plan's semantic hash +
+    * session so a re-registration of the SAME records is a no-op —
+    * inputs are immutable per the repo contract, so equal plans mean an
+    * equal graph.
+    */
+  private var materialized: Seq[DataFrame] = Nil
+  private var materializedKey: Option[(SparkSession, AnyRef)] = None
+
   /** Register the engine's property graph as session temp views so any
     * SQL client of the session can traverse it by name.
+    *
+    * The frames are MATERIALIZED (persist MEMORY_AND_DISK), not lazy
+    * views: a traversal references `graph_edges` once per hop and
+    * `graph_vertices` at both ends, and a lazy view would re-execute the
+    * whole shred+dedup graph build for every reference — at 100 TB that
+    * is 4 rebuilds per query. The reference's analogue is a materialized
+    * store too (the graph lives in Neo4j, written once, queried many
+    * times); a cluster deployment would write vertices/edges/props to
+    * parquet and register the re-read, which is what MEMORY_AND_DISK
+    * approximates in-session (spills beyond memory, never recomputes).
     */
-  def registerViews(records: DataFrame): Unit = {
-    val (vertices, edges, props) = GraphOps.graphWithProps(records)
-    vertices.createOrReplaceTempView("graph_vertices")
-    edges.createOrReplaceTempView("graph_edges")
-    props.createOrReplaceTempView("graph_node_props")
+  def registerViews(records: DataFrame): Unit = synchronized {
+    // identity of the ANALYZED plan, not semanticHash: typed-map stages
+    // embed fresh closure objects per pipeline construction, so two
+    // semantically identical builds never hash equal — callers that want
+    // the no-op path pass the same DataFrame instance (see
+    // SparkEntry.verifyRecords)
+    val key: (SparkSession, AnyRef) =
+      (records.sparkSession, records.queryExecution.analyzed)
+    if (!materializedKey.exists(k => (k._1 eq key._1) && (k._2 eq key._2))) {
+      System.err.println(
+        s"[graft.GraphSurface] materializing graph views (input plan ${System.identityHashCode(key._2)})")
+      materialized.foreach(_.unpersist(blocking = false))
+      val (vertices, edges, props) = GraphOps.graphWithProps(records)
+      val frames = Seq(vertices, edges, props)
+        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Views.zip(frames).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+      materialized = frames
+      materializedKey = Some(key)
+    }
   }
 
   /** Run arbitrary graph-shaped SQL against the registered views (the

@@ -160,6 +160,8 @@ class PlanShapeSpec extends AnyFunSuite {
       s"traversal degenerated to a cartesian:\n$p")
     assert(p.contains("parent_sig"), s"hop joins must key on parent_sig:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top_k 50 fell back to a global sort:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"traversal must read the MATERIALIZED graph, not re-run the build per hop:\n$p")
   }
 
   test("graph subtree rollup: sig-keyed hops, partial-agg rollup, no all-pairs") {
@@ -169,6 +171,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("parent_sig"), s"hop joins must key on parent_sig:\n$p")
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"rollup lost map-side combine:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"rollup must read the MATERIALIZED graph, not re-run the build per hop:\n$p")
   }
 
   test("wire-format statement rendering is a narrow projection (no exchange)") {
