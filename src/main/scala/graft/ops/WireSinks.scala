@@ -38,11 +38,19 @@ object WireSinks {
 
   /** CREATE TABLE IF NOT EXISTS — one line, deterministic field order
     * (the schema's own order, which ShredOps emits deterministically).
+    * When the table carries the engine's `row_key` (unique by
+    * construction), it is declared PRIMARY KEY: `INSERT OR IGNORE` is
+    * only idempotent against a uniqueness constraint, and replay
+    * idempotency is the whole contract of this dump format (the same
+    * key the reference upserts on, json_to_db.py:38).
     */
-  def createTableSql(name: String, schema: StructType): String =
-    schema.fields
-      .map(f => s"${f.name} ${sqliteType(f.dataType)}")
-      .mkString(s"CREATE TABLE IF NOT EXISTS $name (", ", ", ");")
+  def createTableSql(name: String, schema: StructType): String = {
+    val cols = schema.fields.map(f => s"${f.name} ${sqliteType(f.dataType)}")
+    val pk =
+      if (schema.fieldNames.contains("row_key")) Seq("PRIMARY KEY (row_key)")
+      else Seq.empty
+    (cols ++ pk).mkString(s"CREATE TABLE IF NOT EXISTS $name (", ", ", ");")
+  }
 
   /** SQL-literal rendering of one column: strings quoted with ''-doubling,
     * booleans as 1/0, doubles through the canonical shortest-repr

@@ -22,6 +22,12 @@ class WireSinksSpec extends AnyFunSuite {
       "CREATE TABLE IF NOT EXISTS t (id INTEGER, name TEXT, score REAL, ok INTEGER);")
   }
 
+  test("createTableSql: row_key becomes the PRIMARY KEY (replay idempotency anchor)") {
+    val df = Seq(("k1", "x")).toDF("row_key", "name")
+    assert(WireSinks.createTableSql("t", df.schema) ==
+      "CREATE TABLE IF NOT EXISTS t (row_key TEXT, name TEXT, PRIMARY KEY (row_key));")
+  }
+
   test("sql dump: one idempotent INSERT per row; quoting, NULL, doubles canonical") {
     val df = Seq(
       (1L, Some("it's"), Some(2.5), Some(true)),
