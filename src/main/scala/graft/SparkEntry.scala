@@ -318,7 +318,10 @@ object SparkEntry {
     // node count by label within 2 HAS hops of each document root (the
     // graph-shaped "what does this document contain" summary)
     "q91_graph_subtree_rollup" -> ((s, _) =>
-      GraphSurface.subtreeRollup(s, verifyRecords(s)))
+      GraphSurface.subtreeRollup(s, verifyRecords(s))),
+    // domain-mixture sampling: cap every source at a token budget with an
+    // exact fixed-point keep-fraction and a deterministic sha-bucket gate
+    "q92_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1705,6 +1708,21 @@ object SparkEntry {
          SELECT rc.root_sig, v.label, count(*) AS n_nodes
          FROM reached rc JOIN verts v ON v.sig = rc.sig
          GROUP BY 1, 2""",
+    // q92: DuckDB recomputes the per-source totals, the fixed-point
+    // keep-fraction and the sha-bucket gate independently
+    "q92_mixture_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+              FROM documents),
+         t AS (SELECT source, sum(n_tokens) AS total_tokens FROM d GROUP BY 1),
+         f AS (SELECT source,
+                 CASE WHEN total_tokens = 0 THEN 0
+                      ELSE least(10000, (${TrainingOps.DefaultMixBudget} * CAST(10000 AS BIGINT)) // total_tokens)
+                 END AS frac_x10000
+               FROM t)
+         SELECT d.doc_id, d.source, d.n_tokens, f.frac_x10000
+         FROM d JOIN f USING (source)
+         WHERE CAST('0x' || substr(sha256('${TrainingOps.DefaultSeed}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < f.frac_x10000""",
     // q88: extraction failures (golden expectations) x rule violations
     // (re-derived from raw records) joined on the document key — DuckDB
     // recomputes both families independently

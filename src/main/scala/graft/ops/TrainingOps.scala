@@ -254,6 +254,53 @@ object TrainingOps {
       .filter(col("bucket") < coalesce(element_at(pctMap, col("lang")), lit(0)))
   }
 
+  /** Per-source token budget for [[mixtureSample]] — sized so the cap
+    * binds (frac < 1) for every synthetic source at verify scales.
+    */
+  val DefaultMixBudget = 800L
+
+  /** Domain-mixture sampling to a per-source token budget (the
+    * Dolma/C4-style "cap every domain at N tokens" corpus-mixing step a
+    * 100 TB pretraining pipeline runs before packing): per-source token
+    * totals → exact fixed-point keep-fraction
+    * `min(10000, budget*10000 div total)` → deterministic sha-bucket
+    * gate per document (same sha256 family as `trainSplit`). Output:
+    * (doc_id, source, n_tokens, frac_x10000) for the KEPT docs.
+    *
+    * Scale shape: the totals aggregate shuffles (source, partial sum)
+    * pairs only — bounded by the source cardinality, with map-side
+    * combine; fractions ride back on a BROADCAST join; the gate is a
+    * narrow projection+filter. The corpus itself never shuffles, and
+    * (like `stratifiedSample`) a doc's fate never changes when other
+    * docs are added — only when its source's total crosses the budget.
+    */
+  def mixtureSample(
+      spark: SparkSession,
+      dir: String,
+      budgetTokens: Long = DefaultMixBudget,
+      seed: String = DefaultSeed): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val fracs = docs
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .withColumn(
+        "frac_x10000",
+        when(col("total_tokens") === 0L, lit(0L))
+          .otherwise(least(lit(10000L),
+            expr(s"(${budgetTokens}L * 10000L) div total_tokens"))))
+      .select(col("source"), col("frac_x10000"))
+    docs
+      .join(broadcast(fracs), "source")
+      .withColumn(
+        "bucket10k",
+        conv(substring(sha2(concat_ws("|", lit(seed), col("doc_id").cast("string")), 256), 1, 8),
+          16, 10).cast("long") % 10000)
+      .filter(col("bucket10k") < col("frac_x10000"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("frac_x10000"))
+  }
+
   /** Sequence packing: concat-and-chunk dataloader layout. Documents are
     * laid end-to-end in doc_id order and cut into fixed `budget`-token
     * chunks; each doc reports where it lands —

@@ -309,6 +309,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sample: bounded source agg with partials, broadcast fractions, no SMJ") {
+    val p = plan(graft.ops.TrainingOps.mixtureSample(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"fractions must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+    assert(p.contains("partial_sum"), s"source totals lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("stratified sample is a pure projection+filter: zero shuffles") {
     val p = plan(graft.ops.TrainingOps.stratifiedSample(spark, dir))
     assert(!p.contains("Exchange"), s"stratifiedSample shuffles:\n$p")

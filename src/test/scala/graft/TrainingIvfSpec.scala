@@ -401,4 +401,33 @@ class TrainingIvfSpec extends AnyFunSuite {
     assert(got.size < docs.length)
     assert(TrainingOps.DefaultStrata.map(_._1).forall(l => got.exists(_._2 == l)))
   }
+
+  test("mixtureSample: exact fixed-point fraction per source, sha-gated, budget-capped") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val nTok = docs.map { case (id, src, t) =>
+      (id, src, t.trim.split("\\s+").length.toLong) }
+    val totals = nTok.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val budget = TrainingOps.DefaultMixBudget
+    val frac = totals.map { case (s, tot) =>
+      s -> (if (tot == 0) 0L else math.min(10000L, budget * 10000L / tot)) }
+    def bucket10k(id: Long): Long =
+      java.lang.Long.parseLong(
+        sha256Hex(s"${TrainingOps.DefaultSeed}|$id").substring(0, 8), 16) % 10000
+    val expected = nTok.filter { case (id, src, _) => bucket10k(id) < frac(src) }
+      .map { case (id, src, n) => (id, src, n, frac(src)) }.toSet
+    val got = TrainingOps.mixtureSample(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expected)
+    // the cap binds at verify scale: a real subset, every source still
+    // represented, and no source's kept-token sum wildly over budget
+    assert(got.size < docs.length && got.nonEmpty)
+    assert(totals.keySet.forall(s => got.exists(_._2 == s)))
+    got.groupBy(_._2).foreach { case (s, rows) =>
+      val kept = rows.map(_._3).sum
+      assert(kept <= 3 * budget,
+        s"source $s kept $kept tokens against budget $budget — gate not binding")
+    }
+  }
 }
