@@ -321,7 +321,11 @@ object SparkEntry {
       GraphSurface.subtreeRollup(s, verifyRecords(s))),
     // domain-mixture sampling: cap every source at a token budget with an
     // exact fixed-point keep-fraction and a deterministic sha-bucket gate
-    "q92_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d))
+    "q92_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d)),
+    // cluster-balanced sampling: cap every IVF cell (latent topic) at a
+    // document budget — same fixed-point gate, balance by embedding
+    // cluster instead of declared source
+    "q93_cluster_balance" -> ((s, d) => TrainingOps.clusterBalancedSample(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1723,6 +1727,23 @@ object SparkEntry {
          SELECT d.doc_id, d.source, d.n_tokens, f.frac_x10000
          FROM d JOIN f USING (source)
          WHERE CAST('0x' || substr(sha256('${TrainingOps.DefaultSeed}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < f.frac_x10000""",
+    // q93: DuckDB re-derives the cell assignment from the materialized
+    // centroids (the q54-proven fixed-point argmin), then recomputes the
+    // per-cell cap fraction and the sha gate independently
+    "q93_cluster_balance" ->
+      s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+                    FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS MATERIALIZED (SELECT vec_id,
+                      first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         t AS (SELECT cell, count(*) AS cnt FROM a GROUP BY 1),
+         f AS (SELECT cell,
+                 least(10000, (${TrainingOps.DefaultCellCap} * CAST(10000 AS BIGINT)) // cnt) AS frac_x10000
+               FROM t)
+         SELECT a.vec_id, a.cell, f.frac_x10000
+         FROM a JOIN f USING (cell)
+         WHERE CAST('0x' || substr(sha256('${TrainingOps.DefaultSeed}|' || CAST(a.vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < f.frac_x10000""",
     // q88: extraction failures (golden expectations) x rule violations
     // (re-derived from raw records) joined on the document key — DuckDB
     // recomputes both families independently

@@ -301,6 +301,50 @@ object TrainingOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("frac_x10000"))
   }
 
+  /** Per-cell document cap for [[clusterBalancedSample]]. */
+  val DefaultCellCap = 40L
+
+  /** Cluster-balanced sampling (the SemDeDup/DataComp-style topic
+    * rebalance): assign every embedding to its IVF cell (the same
+    * deterministic fixed-point quantizer the ANN index trains,
+    * [[SimilarityOps.ivfCentroidsOf]]), then cap each cell at
+    * `cap` documents with the exact fixed-point fraction + sha-bucket
+    * gate of [[mixtureSample]] — balancing the corpus by LATENT topic
+    * rather than by declared source. Output: (vec_id, cell,
+    * frac_x10000) for the kept vectors.
+    *
+    * Scale shape: centroid training is the audited q54 path (Lloyd
+    * rounds shuffle nList*dim fixed-point sums, never vectors);
+    * assignment broadcasts the nList-row centroid table; the per-cell
+    * counts aggregate is bounded by nList; fractions ride a broadcast
+    * join; the gate is narrow. Vectors cross one broadcast, zero
+    * shuffles.
+    */
+  def clusterBalancedSample(
+      spark: SparkSession,
+      dir: String,
+      cap: Long = DefaultCellCap,
+      seed: String = DefaultSeed): DataFrame = {
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val centroids = SimilarityOps.ivfCentroidsOf(vecs)
+    val assigned = SimilarityOps.assignCells(vecs, centroids)
+    val fracs = assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "frac_x10000",
+        least(lit(10000L), expr(s"(${cap}L * 10000L) div cnt")))
+      .select(col("cell"), col("frac_x10000"))
+    assigned
+      .join(broadcast(fracs), "cell")
+      .withColumn(
+        "bucket10k",
+        conv(substring(sha2(concat_ws("|", lit(seed), col("vec_id").cast("string")), 256), 1, 8),
+          16, 10).cast("long") % 10000)
+      .filter(col("bucket10k") < col("frac_x10000"))
+      .select(col("vec_id"), col("cell"), col("frac_x10000"))
+  }
+
   /** Sequence packing: concat-and-chunk dataloader layout. Documents are
     * laid end-to-end in doc_id order and cut into fixed `budget`-token
     * chunks; each doc reports where it lands —

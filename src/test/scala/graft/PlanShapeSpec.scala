@@ -317,6 +317,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("cluster-balanced sample: vectors never shuffle; fractions broadcast") {
+    val p = plan(graft.ops.TrainingOps.clusterBalancedSample(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"cell fractions must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vectors must not shuffle for the join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("stratified sample is a pure projection+filter: zero shuffles") {
     val p = plan(graft.ops.TrainingOps.stratifiedSample(spark, dir))
     assert(!p.contains("Exchange"), s"stratifiedSample shuffles:\n$p")

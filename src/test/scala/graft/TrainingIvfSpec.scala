@@ -430,4 +430,29 @@ class TrainingIvfSpec extends AnyFunSuite {
         s"source $s kept $kept tokens against budget $budget — gate not binding")
     }
   }
+
+  test("clusterBalancedSample: gate math exact over the (q54-proven) cell assignment") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val assigned = SimilarityOps
+      .assignCells(vecs, SimilarityOps.ivfCentroidsOf(vecs))
+      .as[(Long, Int)].collect()
+    val cap = TrainingOps.DefaultCellCap
+    val frac = assigned.groupBy(_._2).map { case (c, rs) =>
+      c -> math.min(10000L, cap * 10000L / rs.length) }
+    def bucket10k(id: Long): Long =
+      java.lang.Long.parseLong(
+        sha256Hex(s"${TrainingOps.DefaultSeed}|$id").substring(0, 8), 16) % 10000
+    val expected = assigned.filter { case (id, c) => bucket10k(id) < frac(c) }
+      .map { case (id, c) => (id, c, frac(c)) }.toSet
+    val got = TrainingOps.clusterBalancedSample(spark, dir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < assigned.length)
+    // the cap binds: every over-full cell is genuinely downsampled
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.size <= 3 * cap, s"cell $c kept ${rows.size} against cap $cap")
+    }
+  }
 }
