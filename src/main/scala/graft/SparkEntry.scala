@@ -325,7 +325,26 @@ object SparkEntry {
     // cluster-balanced sampling: cap every IVF cell (latent topic) at a
     // document budget — same fixed-point gate, balance by embedding
     // cluster instead of declared source
-    "q93_cluster_balance" -> ((s, d) => TrainingOps.clusterBalancedSample(s, d))
+    "q93_cluster_balance" -> ((s, d) => TrainingOps.clusterBalancedSample(s, d)),
+    // driver-visible lineage: run the extraction pipeline WITH the
+    // per-partition lineage accumulator, roll the (partition-count-
+    // bounded) rows up to snapshot totals — the oracle recomputes the
+    // totals from the golden corpus, proving the metrics side-channel
+    // observes exactly the work done
+    "q94_lineage_rollup" -> ((s, _) => {
+      import s.implicits._
+      val turns = SynthDataset.turns(s, VerifyConvs)
+      val (out, lineage) =
+        graft.pipeline.Pipeline.runWithLineage(s, turns, "snap-v1")
+      out.count() // force the job; lineage() is valid only after an action
+      val rows = lineage()
+      Seq((
+        "snap-v1",
+        rows.map(_.turn_count).sum,
+        rows.map(_.failure_count).sum,
+        rows.map(_.bytes_processed).sum
+      )).toDF("input_snapshot", "n_turns", "n_failures", "bytes_in")
+    })
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1744,6 +1763,14 @@ object SparkEntry {
          SELECT a.vec_id, a.cell, f.frac_x10000
          FROM a JOIN f USING (cell)
          WHERE CAST('0x' || substr(sha256('${TrainingOps.DefaultSeed}|' || CAST(a.vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < f.frac_x10000""",
+    // q94: the lineage totals must equal corpus ground truth — turn
+    // count, failure-injection count, input byte (char) count
+    "q94_lineage_rollup" ->
+      """SELECT 'snap-v1' AS input_snapshot,
+         count(*) AS n_turns,
+         CAST(sum(CASE WHEN expected_failure IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failures,
+         CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS bytes_in
+         FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')""",
     // q88: extraction failures (golden expectations) x rule violations
     // (re-derived from raw records) joined on the document key — DuckDB
     // recomputes both families independently
