@@ -344,7 +344,14 @@ object SparkEntry {
         rows.map(_.failure_count).sum,
         rows.map(_.bytes_processed).sum
       )).toDF("input_snapshot", "n_turns", "n_failures", "bytes_in")
-    })
+    }),
+    // as-of join (trades-to-quotes shape): each purchase attributed to
+    // the latest prior-or-equal view by the same user — one user-keyed
+    // running window over the union, never a per-row lookup
+    "q95_asof_join" -> ((s, d) => RelationalOps.asofJoin(s, d)),
+    // range (interval) join, bucketed to an equi-join: per-error count
+    // of same-user events in the 30-minute follow-up window
+    "q96_range_followups" -> ((s, d) => RelationalOps.rangeFollowups(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1771,6 +1778,28 @@ object SparkEntry {
          CAST(sum(CASE WHEN expected_failure IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failures,
          CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS bytes_in
          FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')""",
+    // q95: DuckDB's NATIVE ASOF JOIN is the oracle — the engine's
+    // window-carry composition must agree with the real operator
+    "q95_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+         coalesce(v.event_id, -1) AS view_event_id,
+         coalesce(epoch_us(v.ts), -1) AS view_ts_us,
+         CASE WHEN v.event_id IS NULL THEN -1
+              ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS lag_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    // q96: DuckDB recomputes the interval join as a plain inequality
+    // join — the engine's bucket-equi-join + exact filter must agree
+    "q96_range_followups" ->
+      s"""SELECT e.event_id AS error_event_id, e.user_id,
+         CAST(count(x.event_id) AS BIGINT) AS n_followups
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         LEFT JOIN events x
+           ON x.user_id = e.user_id
+          AND epoch_us(x.ts) > epoch_us(e.ts)
+          AND epoch_us(x.ts) <= epoch_us(e.ts) + ${RelationalOps.FollowupWindowUs}
+         GROUP BY 1, 2""",
     // q88: extraction failures (golden expectations) x rule violations
     // (re-derived from raw records) joined on the document key — DuckDB
     // recomputes both families independently

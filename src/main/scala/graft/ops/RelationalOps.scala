@@ -222,6 +222,82 @@ object RelationalOps {
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
   }
 
+  /** As-of join: attribute every `leftType` event to the LATEST
+    * prior-or-equal `rightType` event of the same user (the classic
+    * trades-to-quotes shape — here purchases to the view that preceded
+    * them). Spark has no ASOF JOIN operator; the scalable composition is
+    * a single user-partitioned running window over the UNION of both
+    * sides: sort by (ts, side, event_id) with the right side first at
+    * ties (so an equal-ts right row matches, = DuckDB's `ON l.ts >=
+    * r.ts`), carry the last non-null right id/ts forward, keep the left
+    * rows. ONE user-keyed shuffle; no per-row lookups, no range
+    * explosion; left rows with no prior right keep ASOF LEFT JOIN
+    * semantics with a `-1` sentinel in the match columns (ids and µs
+    * are non-negative; NULL numerics are a NaN hazard in the
+    * parquet→pandas compare). Ordering is total per user because
+    * (user_id, ts, event_id) is unique.
+    */
+  def asofJoin(
+      spark: SparkSession, dir: String,
+      leftType: String = "purchase", rightType: String = "view"): DataFrame = {
+    val tagged = table(spark, dir, "events")
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        (col("event_type") === leftType).cast("int").as("is_left"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("is_left").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("right_id",
+        last(when(col("is_left") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("right_us",
+        last(when(col("is_left") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(
+        col("event_id"), col("user_id"), col("us").as("purchase_ts_us"),
+        coalesce(col("right_id"), lit(-1L)).as("view_event_id"),
+        coalesce(col("right_us"), lit(-1L)).as("view_ts_us"),
+        when(col("right_us").isNull, lit(-1L))
+          .otherwise(col("us") - col("right_us")).as("lag_us"))
+  }
+
+  /** Follow-up window for [[rangeFollowups]]: 30 minutes in µs. */
+  val FollowupWindowUs = 1800000000L
+
+  /** Range (interval) join, bucketed: for every `error` event, count the
+    * same user's events inside the half-open follow-up window
+    * (err.ts, err.ts + W]. A naive range join is a per-user cartesian;
+    * the scalable shape buckets time by exactly W so every window spans
+    * ≤2 buckets: errors fan out to their 2 candidate buckets (constant
+    * factor), events map to their 1 bucket, the join is a pure EQUI-join
+    * on (user_id, bucket) and the exact range predicate filters inside
+    * it — each qualifying pair matches in exactly one bucket, so no
+    * dedup is needed. LEFT join keeps zero-follow-up errors (count 0).
+    */
+  def rangeFollowups(
+      spark: SparkSession, dir: String, windowUs: Long = FollowupWindowUs): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val errors = table(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("err_us"))
+      .withColumn("bucket", explode(array(
+        expr(s"err_us div ${windowUs}L"), expr(s"err_us div ${windowUs}L") + 1)))
+    val bucketed = ev.withColumn("bucket", expr(s"us div ${windowUs}L"))
+    errors
+      .join(bucketed,
+        errors("user_id") === bucketed("user_id") &&
+          errors("bucket") === bucketed("bucket") &&
+          bucketed("us") > col("err_us") &&
+          bucketed("us") <= col("err_us") + windowUs,
+        "left")
+      .groupBy(col("error_event_id"), errors("user_id").as("user_id"))
+      .agg(count(bucketed("event_id")).as("n_followups"))
+  }
+
   /** A5/J4: per-group argmin via min_by — nearest-neighbor distance shape
     * (ref: signature_detect.py:96-108 best-match per detected signature).
     * Here: cheapest supplier-part pairing per brand by retail price.

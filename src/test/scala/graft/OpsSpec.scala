@@ -466,6 +466,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 1), "expected a multi-event session")
   }
 
+  test("asofJoin matches a brute-force latest-prior-view recompute, incl. NULL no-match") {
+    import spark.implicits._
+    val ev = RelationalOps.table(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val views = ev.filter(_._4 == "view").groupBy(_._2)
+    val want = ev.filter(_._4 == "purchase").map { case (id, u, us, _) =>
+      val best = views.getOrElse(u, Array.empty)
+        .filter(_._3 <= us).sortBy(v => (v._3, v._1)).lastOption
+      (id, u, us, best.map(_._1).getOrElse(-1L), best.map(_._3).getOrElse(-1L))
+    }.toSet
+    val got = RelationalOps.asofJoin(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet == want)
+    got.foreach(r => assert(
+      r._6 == (if (r._5 == -1L) -1L else r._3 - r._5), s"lag for ${r._1}"))
+    assert(got.exists(_._4 == -1L), "corpus must exercise the no-prior-view sentinel path")
+    assert(got.exists(_._4 >= 0L), "corpus must exercise real matches")
+  }
+
+  test("rangeFollowups matches a brute-force interval count, incl. zero-followup errors") {
+    import spark.implicits._
+    val ev = RelationalOps.table(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val byUser = ev.groupBy(_._2)
+    val w = RelationalOps.FollowupWindowUs
+    val want = ev.filter(_._4 == "error").map { case (id, u, us, _) =>
+      (id, u) -> byUser(u).count(x => x._3 > us && x._3 <= us + w).toLong
+    }.toMap
+    val got = RelationalOps.rangeFollowups(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want)
+    assert(got.values.exists(_ == 0L), "corpus must exercise the zero-followup path")
+    assert(got.values.exists(_ > 0L), "corpus must exercise real followups")
+  }
+
   test("token quantiles: integer rank math matches a sorted-values recompute") {
     import spark.implicits._
     val docs = RelationalOps.table(spark, dir, "documents")

@@ -317,6 +317,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("asof join: one user-keyed window, NO join operator, no cartesian") {
+    val p = plan(graft.ops.RelationalOps.asofJoin(spark, dir))
+    assert(!p.contains("Join"), s"asof must be a window carry, not a join:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"asof must shuffle exactly once (user-keyed window):\n$p")
+  }
+
+  test("range followups: bucketed EQUI-join, never a cartesian or NLJ") {
+    val p = plan(graft.ops.RelationalOps.rangeFollowups(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"range join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to NLJ — bucket keys lost:\n$p")
+    assert(p.contains("bucket"), s"join must key on the time bucket:\n$p")
+  }
+
   test("cluster-balanced sample: vectors never shuffle; fractions broadcast") {
     val p = plan(graft.ops.TrainingOps.clusterBalancedSample(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"cell fractions must broadcast:\n$p")
