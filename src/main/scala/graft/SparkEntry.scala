@@ -351,7 +351,11 @@ object SparkEntry {
     "q95_asof_join" -> ((s, d) => RelationalOps.asofJoin(s, d)),
     // range (interval) join, bucketed to an equi-join: per-error count
     // of same-user events in the 30-minute follow-up window
-    "q96_range_followups" -> ((s, d) => RelationalOps.rangeFollowups(s, d))
+    "q96_range_followups" -> ((s, d) => RelationalOps.rangeFollowups(s, d)),
+    // KMV distinct sketch: k-minimum sha-prefix hashes per event_type —
+    // the mergeable distinct estimator whose whole state is
+    // deterministic, so sketch AND estimate are oracled exactly
+    "q97_kmv_distinct" -> ((s, d) => RelationalOps.kmvDistinct(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1800,6 +1804,21 @@ object SparkEntry {
           AND epoch_us(x.ts) > epoch_us(e.ts)
           AND epoch_us(x.ts) <= epoch_us(e.ts) + ${RelationalOps.FollowupWindowUs}
          GROUP BY 1, 2""",
+    // q97: DuckDB rebuilds the identical sketch (same hash, same k
+    // smallest) and the identical integer estimator
+    "q97_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+                CAST('0x' || substr(sha256(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)), 1, 8) AS BIGINT) AS h
+              FROM events),
+         r AS (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kmv, max(h) AS kth_min_hash
+               FROM r WHERE rn <= ${RelationalOps.KmvK} GROUP BY 1)
+         SELECT event_type, n_kmv, kth_min_hash,
+           CASE WHEN n_kmv < ${RelationalOps.KmvK} THEN n_kmv
+                ELSE ((${RelationalOps.KmvK} - 1) * CAST(4294967296 AS BIGINT)) // greatest(kth_min_hash, 1)
+           END AS est_distinct
+         FROM t""",
     // q88: extraction failures (golden expectations) x rule violations
     // (re-derived from raw records) joined on the document key — DuckDB
     // recomputes both families independently

@@ -298,6 +298,45 @@ object RelationalOps {
       .agg(count(bucketed("event_id")).as("n_followups"))
   }
 
+  /** KMV sketch size. */
+  val KmvK = 64
+
+  /** K-minimum-values distinct-count sketch per event_type over the
+    * distinct value-cents domain. The KMV estimator — keep the k
+    * smallest hashes of the distinct values, estimate
+    * `(k-1) * 2^32 / kth_min` — is the mergeable distinct sketch that,
+    * UNLIKE HyperLogLog, is exactly reproducible in any engine from a
+    * deterministic hash (sha256-prefix here), so the whole sketch state
+    * and estimate are DuckDB-oracled, not just spot-checked. Exact
+    * (n_kmv) when a group has fewer than k distinct values.
+    *
+    * Scale shape: this is sketch-shaped in Spark because
+    * `row_number() <= k` compiles to a partial WindowGroupLimit BEFORE
+    * the exchange (plan-asserted): every partition forwards at most k
+    * rows per group, so the lang-keyed shuffle carries k·groups rows
+    * no matter the corpus size — the same bound a hand-written
+    * bounded-heap aggregator would give.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame = {
+    val hashed = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .select(col("event_type"),
+        conv(substring(sha2(col("cents").cast("string"), 256), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kmv"), max(col("h")).as("kth_min_hash"))
+      .withColumn(
+        "est_distinct",
+        when(col("n_kmv") < k, col("n_kmv"))
+          .otherwise(expr(s"((${k}L - 1L) * 4294967296L) div greatest(kth_min_hash, 1L)")))
+  }
+
   /** A5/J4: per-group argmin via min_by — nearest-neighbor distance shape
     * (ref: signature_detect.py:96-108 best-match per detected signature).
     * Here: cheapest supplier-part pairing per brand by retail price.

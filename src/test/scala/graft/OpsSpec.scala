@@ -14,6 +14,10 @@ class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionFixture.spark
   private val dir = "/root/testdata/sf0.001"
 
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("positional cycling matches reference modular semantics") {
     import spark.implicits._
     val rows = RelationalOps.q8PositionalCycling(spark, dir)
@@ -504,6 +508,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.values.exists(_ == 0L), "corpus must exercise the zero-followup path")
     assert(got.values.exists(_ > 0L), "corpus must exercise real followups")
+  }
+
+  test("kmvDistinct: sketch state matches a local recompute; estimate brackets truth") {
+    import spark.implicits._
+    val ev = RelationalOps.table(spark, dir, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def h(cents: Long): Long =
+      java.lang.Long.parseLong(sha256Hex(cents.toString).substring(0, 8), 16)
+    val k = RelationalOps.KmvK
+    val byType = ev.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(r => math.round(r._2 * 100)).distinct.map(h).distinct.sorted
+    }
+    val got = RelationalOps.kmvDistinct(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, hashes) =>
+      val kept = hashes.take(k)
+      val (_, nKmv, kth, est) = got(t)
+      assert(nKmv == kept.length && kth == kept.last, s"sketch state for $t")
+      val exact = hashes.length.toLong
+      if (exact < k) assert(est == exact, s"sub-k group $t must be exact")
+      else assert(est >= exact / 2 && est <= exact * 2,
+        s"KMV estimate $est vs exact $exact for $t outside 2x bracket")
+    }
+    // the corpus must exercise the ESTIMATOR branch, not just exact
+    assert(byType.values.exists(_.length > k), "need a group with > k distinct values")
   }
 
   test("token quantiles: integer rank math matches a sorted-values recompute") {

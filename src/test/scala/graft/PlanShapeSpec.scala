@@ -317,6 +317,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("kmv sketch: partial WindowGroupLimit bounds the shuffle to k rows per group") {
+    val p = plan(graft.ops.RelationalOps.kmvDistinct(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"k-smallest must group-limit BEFORE the exchange (sketch bound):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("asof join: one user-keyed window, NO join operator, no cartesian") {
     val p = plan(graft.ops.RelationalOps.asofJoin(spark, dir))
     assert(!p.contains("Join"), s"asof must be a window carry, not a join:\n$p")
