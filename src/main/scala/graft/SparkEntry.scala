@@ -355,7 +355,12 @@ object SparkEntry {
     // KMV distinct sketch: k-minimum sha-prefix hashes per event_type —
     // the mergeable distinct estimator whose whole state is
     // deterministic, so sketch AND estimate are oracled exactly
-    "q97_kmv_distinct" -> ((s, d) => RelationalOps.kmvDistinct(s, d))
+    "q97_kmv_distinct" -> ((s, d) => RelationalOps.kmvDistinct(s, d)),
+    // lossy JPEG decode error accounting (real ImageIO encode->decode;
+    // dimensions must survive exactly, per-doc error bounded by the
+    // local tolerance test). NO oracle by design: lossy bytes are
+    // codec-version-defined — rows-only driver check, like q19/q21
+    "q98_jpeg_error" -> ((s, d) => MultimodalOps.codecError(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -467,6 +472,51 @@ object SparkEntry {
     * cost of the q26/q59/q74 oracles: 100-250 s each; materialized they
     * run in under a second).
     */
+  /** Shared signature-graph CTE fragment for the q87/q91 oracles: the
+    * per-label node signatures (the q44/q55 recipe) and the HAS edge
+    * table, re-derived from raw records. Written ONCE and interpolated
+    * (the lshCandidateCtes pattern) so a shred-schema change cannot
+    * leave one graph oracle silently stale.
+    */
+  private val graphSigCtes: String =
+    """r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
+         root AS (SELECT conv_id, sha256(concat_ws('|', 'main_table',
+                    'equipment_no=' || coalesce(array_to_string(equipment_no, ','), 'null'))) AS sig FROM r),
+         bd AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_batch_details',
+                  'batch_completed_on=' || coalesce(CAST(batch_details.batch_completed_on AS VARCHAR), 'null'),
+                  'batch_no=' || coalesce(batch_details.batch_no, 'null'),
+                  'batch_started_on=' || coalesce(CAST(batch_details.batch_started_on AS VARCHAR), 'null'),
+                  'product_name=' || coalesce(batch_details.product_name, 'null'))) AS sig FROM r),
+         mat AS (SELECT conv_id,
+                   sha256(concat_ws('|', 'main_table_material_usage_rows',
+                     'actual_quantity=' || coalesce(CAST(m.actual_quantity AS VARCHAR), 'null'),
+                     'allowed_range_max=' || coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null'),
+                     'allowed_range_min=' || coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null'),
+                     'checked_by=' || coalesce(m.checked_by, 'null'),
+                     'material_name=' || coalesce(m.material_name, 'null'),
+                     'performed_by=' || coalesce(m.performed_by, 'null'),
+                     'standard_quantity=' || coalesce(CAST(m.standard_quantity AS VARCHAR), 'null'))) AS sig,
+                   coalesce(m.material_name, 'null') AS material_name,
+                   coalesce(CAST(m.actual_quantity AS VARCHAR), 'null') AS actual_quantity,
+                   coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null') AS allowed_range_min,
+                   coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null') AS allowed_range_max
+                 FROM (SELECT conv_id, unnest(material_usage_rows) AS m FROM r)),
+         st AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps',
+                  'description=' || coalesce(s.description, 'null'),
+                  'step_no=' || coalesce(CAST(s.step_no AS VARCHAR), 'null'))) AS sig
+                FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)),
+         tr AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps_temperature_records',
+                  'temperature_c=' || coalesce(CAST(t.temperature_c AS VARCHAR), 'null'),
+                  'time_point=' || coalesce(t.time_point, 'null'))) AS sig
+                FROM (SELECT conv_id, step_pos, unnest(s.temperature_records) AS t
+                      FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r))),
+         edges AS (SELECT DISTINCT parent_sig, child_sig FROM (
+           SELECT root.sig AS parent_sig, bd.sig AS child_sig FROM root JOIN bd USING (conv_id)
+           UNION ALL SELECT root.sig, mat.sig FROM root JOIN mat USING (conv_id)
+           UNION ALL SELECT root.sig, st.sig FROM root JOIN st USING (conv_id)
+           UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
+         ) u)"""
+
   private def lshCandidateCtes: String = {
     val L = ops.SimilarityOps.TuneMaxTables
     val B = ops.SimilarityOps.TuneMaxPlanes
@@ -1076,38 +1126,8 @@ object SparkEntry {
     // containment joins (root->struct child, root->array elements,
     // step->its temperature records), deduplicated after unification
     "q55_graph_edges" ->
-      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
-         root AS (SELECT conv_id, sha256(concat_ws('|', 'main_table',
-                    'equipment_no=' || coalesce(array_to_string(equipment_no, ','), 'null'))) AS sig FROM r),
-         bd AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_batch_details',
-                  'batch_completed_on=' || coalesce(CAST(batch_details.batch_completed_on AS VARCHAR), 'null'),
-                  'batch_no=' || coalesce(batch_details.batch_no, 'null'),
-                  'batch_started_on=' || coalesce(CAST(batch_details.batch_started_on AS VARCHAR), 'null'),
-                  'product_name=' || coalesce(batch_details.product_name, 'null'))) AS sig FROM r),
-         mat AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_material_usage_rows',
-                   'actual_quantity=' || coalesce(CAST(m.actual_quantity AS VARCHAR), 'null'),
-                   'allowed_range_max=' || coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null'),
-                   'allowed_range_min=' || coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null'),
-                   'checked_by=' || coalesce(m.checked_by, 'null'),
-                   'material_name=' || coalesce(m.material_name, 'null'),
-                   'performed_by=' || coalesce(m.performed_by, 'null'),
-                   'standard_quantity=' || coalesce(CAST(m.standard_quantity AS VARCHAR), 'null'))) AS sig
-                 FROM (SELECT conv_id, unnest(material_usage_rows) AS m FROM r)),
-         st AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps',
-                  'description=' || coalesce(s.description, 'null'),
-                  'step_no=' || coalesce(CAST(s.step_no AS VARCHAR), 'null'))) AS sig
-                FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)),
-         tr AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps_temperature_records',
-                  'temperature_c=' || coalesce(CAST(t.temperature_c AS VARCHAR), 'null'),
-                  'time_point=' || coalesce(t.time_point, 'null'))) AS sig
-                FROM (SELECT conv_id, step_pos, unnest(s.temperature_records) AS t
-                      FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)))
-         SELECT DISTINCT parent_sig, child_sig, 'HAS' AS edge_label FROM (
-           SELECT root.sig AS parent_sig, bd.sig AS child_sig FROM root JOIN bd USING (conv_id)
-           UNION ALL SELECT root.sig, mat.sig FROM root JOIN mat USING (conv_id)
-           UNION ALL SELECT root.sig, st.sig FROM root JOIN st USING (conv_id)
-           UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
-         ) u""",
+      s"""WITH $graphSigCtes
+         SELECT parent_sig, child_sig, 'HAS' AS edge_label FROM edges""",
     // grams are engine-materialized (splitmix64 has no DuckDB equivalent;
     // the hash itself is pinned by TextAlgosSpec) — DuckDB independently
     // recomputes the split assignment and the contamination join
@@ -1641,43 +1661,7 @@ object SparkEntry {
     // the depth-bounded traversal via self-joins, the string property
     // values, and the float-cast range predicate + top_k 50
     "q87_graph_range_query" ->
-      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
-         root AS (SELECT conv_id, sha256(concat_ws('|', 'main_table',
-                    'equipment_no=' || coalesce(array_to_string(equipment_no, ','), 'null'))) AS sig FROM r),
-         bd AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_batch_details',
-                  'batch_completed_on=' || coalesce(CAST(batch_details.batch_completed_on AS VARCHAR), 'null'),
-                  'batch_no=' || coalesce(batch_details.batch_no, 'null'),
-                  'batch_started_on=' || coalesce(CAST(batch_details.batch_started_on AS VARCHAR), 'null'),
-                  'product_name=' || coalesce(batch_details.product_name, 'null'))) AS sig FROM r),
-         mat AS (SELECT conv_id,
-                   sha256(concat_ws('|', 'main_table_material_usage_rows',
-                     'actual_quantity=' || coalesce(CAST(m.actual_quantity AS VARCHAR), 'null'),
-                     'allowed_range_max=' || coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null'),
-                     'allowed_range_min=' || coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null'),
-                     'checked_by=' || coalesce(m.checked_by, 'null'),
-                     'material_name=' || coalesce(m.material_name, 'null'),
-                     'performed_by=' || coalesce(m.performed_by, 'null'),
-                     'standard_quantity=' || coalesce(CAST(m.standard_quantity AS VARCHAR), 'null'))) AS sig,
-                   coalesce(m.material_name, 'null') AS material_name,
-                   coalesce(CAST(m.actual_quantity AS VARCHAR), 'null') AS actual_quantity,
-                   coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null') AS allowed_range_min,
-                   coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null') AS allowed_range_max
-                 FROM (SELECT conv_id, unnest(material_usage_rows) AS m FROM r)),
-         st AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps',
-                  'description=' || coalesce(s.description, 'null'),
-                  'step_no=' || coalesce(CAST(s.step_no AS VARCHAR), 'null'))) AS sig
-                FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)),
-         tr AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps_temperature_records',
-                  'temperature_c=' || coalesce(CAST(t.temperature_c AS VARCHAR), 'null'),
-                  'time_point=' || coalesce(t.time_point, 'null'))) AS sig
-                FROM (SELECT conv_id, step_pos, unnest(s.temperature_records) AS t
-                      FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r))),
-         edges AS (SELECT DISTINCT parent_sig, child_sig FROM (
-           SELECT root.sig AS parent_sig, bd.sig AS child_sig FROM root JOIN bd USING (conv_id)
-           UNION ALL SELECT root.sig, mat.sig FROM root JOIN mat USING (conv_id)
-           UNION ALL SELECT root.sig, st.sig FROM root JOIN st USING (conv_id)
-           UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
-         ) u),
+      s"""WITH $graphSigCtes,
          roots AS (SELECT DISTINCT sig FROM root),
          hop1 AS (SELECT e.child_sig AS sig FROM roots JOIN edges e ON e.parent_sig = roots.sig),
          hop2 AS (SELECT e.child_sig AS sig FROM hop1 JOIN edges e ON e.parent_sig = hop1.sig),
@@ -1693,39 +1677,7 @@ object SparkEntry {
     // q91: DuckDB rebuilds the same signature graph, then rolls up the
     // per-root 2-hop reachable set by node label
     "q91_graph_subtree_rollup" ->
-      """WITH r AS (SELECT * FROM read_parquet('__SYNTH__/records.parquet/*.parquet')),
-         root AS (SELECT conv_id, sha256(concat_ws('|', 'main_table',
-                    'equipment_no=' || coalesce(array_to_string(equipment_no, ','), 'null'))) AS sig FROM r),
-         bd AS (SELECT conv_id, sha256(concat_ws('|', 'main_table_batch_details',
-                  'batch_completed_on=' || coalesce(CAST(batch_details.batch_completed_on AS VARCHAR), 'null'),
-                  'batch_no=' || coalesce(batch_details.batch_no, 'null'),
-                  'batch_started_on=' || coalesce(CAST(batch_details.batch_started_on AS VARCHAR), 'null'),
-                  'product_name=' || coalesce(batch_details.product_name, 'null'))) AS sig FROM r),
-         mat AS (SELECT conv_id,
-                   sha256(concat_ws('|', 'main_table_material_usage_rows',
-                     'actual_quantity=' || coalesce(CAST(m.actual_quantity AS VARCHAR), 'null'),
-                     'allowed_range_max=' || coalesce(CAST(m.allowed_range_max AS VARCHAR), 'null'),
-                     'allowed_range_min=' || coalesce(CAST(m.allowed_range_min AS VARCHAR), 'null'),
-                     'checked_by=' || coalesce(m.checked_by, 'null'),
-                     'material_name=' || coalesce(m.material_name, 'null'),
-                     'performed_by=' || coalesce(m.performed_by, 'null'),
-                     'standard_quantity=' || coalesce(CAST(m.standard_quantity AS VARCHAR), 'null'))) AS sig
-                 FROM (SELECT conv_id, unnest(material_usage_rows) AS m FROM r)),
-         st AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps',
-                  'description=' || coalesce(s.description, 'null'),
-                  'step_no=' || coalesce(CAST(s.step_no AS VARCHAR), 'null'))) AS sig
-                FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r)),
-         tr AS (SELECT conv_id, step_pos, sha256(concat_ws('|', 'main_table_steps_temperature_records',
-                  'temperature_c=' || coalesce(CAST(t.temperature_c AS VARCHAR), 'null'),
-                  'time_point=' || coalesce(t.time_point, 'null'))) AS sig
-                FROM (SELECT conv_id, step_pos, unnest(s.temperature_records) AS t
-                      FROM (SELECT conv_id, generate_subscripts(steps, 1) - 1 AS step_pos, unnest(steps) AS s FROM r))),
-         edges AS (SELECT DISTINCT parent_sig, child_sig FROM (
-           SELECT root.sig AS parent_sig, bd.sig AS child_sig FROM root JOIN bd USING (conv_id)
-           UNION ALL SELECT root.sig, mat.sig FROM root JOIN mat USING (conv_id)
-           UNION ALL SELECT root.sig, st.sig FROM root JOIN st USING (conv_id)
-           UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
-         ) u),
+      s"""WITH $graphSigCtes,
          verts AS (SELECT DISTINCT sig, label FROM (
            SELECT sig, 'main_table' AS label FROM root
            UNION ALL SELECT sig, 'main_table_batch_details' FROM bd
@@ -1791,7 +1743,8 @@ object SparkEntry {
          CASE WHEN v.event_id IS NULL THEN -1
               ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS lag_us
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                         FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
     // q96: DuckDB recomputes the interval join as a plain inequality
     // join — the engine's bucket-equi-join + exact filter must agree
@@ -1809,7 +1762,7 @@ object SparkEntry {
     "q97_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
                 CAST('0x' || substr(sha256(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)), 1, 8) AS BIGINT) AS h
-              FROM events),
+              FROM events WHERE value IS NOT NULL),
          r AS (SELECT event_type, h,
                       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
          t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kmv, max(h) AS kth_min_hash

@@ -26,16 +26,23 @@ object WireDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // persist the shared inputs: the shred family feeds both the SQL
+    // dump and the graph build, and the graph frames feed both the
+    // Cypher dump and the manifest counts — without the persists every
+    // count()/write re-runs the whole shred+dedup build
     val records = ops.ShredOps.structuredRecords(spark, nConvs).toDF()
-    val tables = ops.ShredOps.shredAll(records)
+    val tables = ops.ShredOps.shredAll(records).map { case (n, df) =>
+      (n, df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     ops.WireSinks.writeSqlDump(tables, s"$outDir/sql")
-    ops.WireSinks.writeCypherDump(records, s"$outDir/cypher")
-
-    val (vertices, edges, _) = ops.GraphOps.graphWithProps(records)
+    val (vertices, edges, props) = ops.GraphOps.graphWithProps(records)
+    val Seq(vP, eP, pP) = Seq(vertices, edges, props)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ops.WireSinks.writeCypherDump(eP, pP, s"$outDir/cypher")
     val counts =
       tables.map { case (name, df) => s""""$name": ${df.count()}""" } ++
-        Seq(s""""_cypher_nodes": ${vertices.count()}""",
-          s""""_cypher_edges": ${edges.count()}""")
+        Seq(s""""_cypher_nodes": ${vP.count()}""",
+          s""""_cypher_edges": ${eP.count()}""")
     Files.writeString(
       Paths.get(outDir, "manifest.json"),
       counts.mkString("{", ", ", "}"))

@@ -109,11 +109,32 @@ object BpeOps {
     trainCache.getOrElseUpdate((dir, corpusFingerprint(dir), nMerges),
       train(RelationalOps.table(spark, dir, "documents"), nMerges))
 
+  /** Space-only trim — the driver-local loop must match DuckDB's
+    * `trim`/`rtrim` (spaces only), NOT Java's `String.trim` (all chars
+    * <= U+0020): a word carrying a control character would otherwise
+    * lose it to the sentinel-space strip engine-side only.
+    */
+  private def trimSpaces(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  /** UTF-8 unsigned byte comparison — DuckDB's ORDER BY collation. Java
+    * `compareTo` (UTF-16 code units) disagrees for supplementary
+    * codepoints vs [U+E000, U+FFFF].
+    */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Adjacent symbol pairs of one packed word, overlaps included — the
     * same per-occurrence counting `pairCounts` and the DuckDB CTEs use.
     */
   private def symPairs(packed: String): Array[(String, String)] = {
-    val s = packed.trim.split("  ")
+    val s = trimSpaces(packed).split("  ")
     if (s.length < 2) Array.empty
     else Array.tabulate(s.length - 1)(i => (s(i), s(i + 1)))
   }
@@ -142,7 +163,9 @@ object BpeOps {
       .sortBy(_._1) // deterministic word order for the mapping output
     val words = hist.map(_._1)
     val cnts = hist.map(_._2)
-    val packed = words.map(w => " " + w.replaceAll("(.)", "$1  ").stripTrailing() + " ")
+    // rtrim spaces only (DuckDB rtrim parity), not stripTrailing
+    val packed = words.map(w =>
+      " " + trimSpaces(w.replaceAll("(.)", "$1  ")) + " ")
 
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val byPair = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
@@ -164,8 +187,8 @@ object BpeOps {
         if (best == null) best = e
         else {
           val c = java.lang.Long.compare(e._2, best._2)
-          val lc = if (c == 0) e._1._1.compareTo(best._1._1) else 0
-          if (c > 0 || (c == 0 && (lc < 0 || (lc == 0 && e._1._2.compareTo(best._1._2) < 0))))
+          val lc = if (c == 0) utf8Compare(e._1._1, best._1._1) else 0
+          if (c > 0 || (c == 0 && (lc < 0 || (lc == 0 && utf8Compare(e._1._2, best._1._2) < 0))))
             best = e
         }
       }
@@ -179,7 +202,7 @@ object BpeOps {
       }
       r += 1
     }
-    (merges.toSeq, words.zip(packed).map { case (w, p) => (w, p.trim) }.toSeq)
+    (merges.toSeq, words.zip(packed).map { case (w, p) => (w, trimSpaces(p)) }.toSeq)
   }
 
   /** q80: the learned merge table (merge_rank, lhs, rhs, pair_count). */

@@ -234,8 +234,11 @@ object RelationalOps {
     * explosion; left rows with no prior right keep ASOF LEFT JOIN
     * semantics with a `-1` sentinel in the match columns (ids and µs
     * are non-negative; NULL numerics are a NaN hazard in the
-    * parquet→pandas compare). Ordering is total per user because
-    * (user_id, ts, event_id) is unique.
+    * parquet→pandas compare). Right-side (user, ts) ties resolve to the
+    * MAX event_id (last row in the (us, is_left, event_id) carry order)
+    * — DETERMINISTIC here, whereas ASOF engines leave the tied-right
+    * row implementation-defined, so the DuckDB oracle pre-dedups its
+    * right side to the same max-id representative.
     */
   def asofJoin(
       spark: SparkSession, dir: String,
@@ -319,6 +322,9 @@ object RelationalOps {
     */
   def kmvDistinct(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame = {
     val hashed = table(spark, dir, "events")
+      // NULL values would hash to a NULL h, which Spark ranks NULLS
+      // FIRST but DuckDB NULLS LAST — exclude them symmetrically
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .select(col("event_type"),

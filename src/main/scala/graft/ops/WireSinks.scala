@@ -55,7 +55,11 @@ object WireSinks {
   /** SQL-literal rendering of one column: strings quoted with ''-doubling,
     * booleans as 1/0, doubles through the canonical shortest-repr
     * formatter (so a dump is byte-deterministic across partitionings),
-    * NULL as the keyword.
+    * NULL as the keyword. Embedded newlines are spliced out as
+    * `'||char(10)||'` (standard SQL has no \n escape) — the dump's
+    * one-statement-per-line contract must survive multi-line values,
+    * or the text sink splits a statement across physical lines and the
+    * load breaks.
     */
   private def sqlLit(df: DataFrame, c: String): Column = {
     val rendered = df.schema(c).dataType match {
@@ -64,7 +68,10 @@ object WireSinks {
         expr(s"graft_canon_double(cast(`$c` as double))")
       case ByteType | ShortType | IntegerType | LongType => col(c).cast("string")
       case _ =>
-        concat(lit("'"), regexp_replace(col(c).cast("string"), "'", "''"), lit("'"))
+        val quoted = regexp_replace(col(c).cast("string"), "'", "''")
+        val noCr = regexp_replace(quoted, "\r", "' || char(13) || '")
+        val noNl = regexp_replace(noCr, "\n", "' || char(10) || '")
+        concat(lit("'"), noNl, lit("'"))
     }
     coalesce(rendered, lit("NULL"))
   }
@@ -96,11 +103,16 @@ object WireSinks {
         .write.mode("overwrite").text(dir.resolve("rows").toString)
     }
 
-  /** Cypher string literal: backslash then quote escaping. */
-  private def cypherLit(c: Column): Column =
-    concat(lit("'"),
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "\\\\'"),
-      lit("'"))
+  /** Cypher string literal: backslash, then quote, then newline escaping
+    * (Cypher DOES define \n/\r escapes — applied after backslash doubling
+    * so the inserted escapes survive; keeps statements one physical line).
+    */
+  private def cypherLit(c: Column): Column = {
+    val esc = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "\\\\'")
+    val noCr = regexp_replace(esc, "\r", "\\\\r")
+    val noNl = regexp_replace(noCr, "\n", "\\\\n")
+    concat(lit("'"), noNl, lit("'"))
+  }
 
   /** Node MERGE statements from the props table (signature, label,
     * props map): MERGE on the signature — the reference's cross-document
@@ -132,6 +144,14 @@ object WireSinks {
     */
   def writeCypherDump(records: DataFrame, outDir: String): Unit = {
     val (_, edges, props) = GraphOps.graphWithProps(records)
+    writeCypherDump(edges, props, outDir)
+  }
+
+  /** [[writeCypherDump]] over already-built (edges, props) frames — use
+    * this when the caller holds the graph (e.g. persisted), so the dump
+    * never re-runs the graph build.
+    */
+  def writeCypherDump(edges: DataFrame, props: DataFrame, outDir: String): Unit = {
     cypherNodeStatements(props)
       .write.mode("overwrite").text(s"$outDir/nodes")
     cypherEdgeStatements(edges)

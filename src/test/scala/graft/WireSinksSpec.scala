@@ -88,4 +88,15 @@ class WireSinksSpec extends AnyFunSuite {
     val got = WireSinks.cypherNodeStatements(df).as[String].head()
     assert(got.contains(raw"n.k = 'a\'b\\c'"), got)
   }
+
+  test("embedded newlines keep statements one physical line in both dialects") {
+    val sqlDf = Seq((1L, "line1\nline2\rtail")).toDF("id", "name")
+    val stmt = WireSinks.insertStatements("t", sqlDf).as[String].head()
+    assert(!stmt.contains("\n") && !stmt.contains("\r"), stmt)
+    assert(stmt.contains("'line1' || char(10) || 'line2' || char(13) || 'tail'"), stmt)
+    val cyDf = Seq(("s1", "L", Map("k" -> "a\nb"))).toDF("signature", "label", "props")
+    val cy = WireSinks.cypherNodeStatements(cyDf).as[String].head()
+    assert(!cy.contains("\n"), cy)
+    assert(cy.contains(raw"n.k = 'a\nb'"), cy)
+  }
 }
