@@ -360,7 +360,13 @@ object SparkEntry {
     // dimensions must survive exactly, per-doc error bounded by the
     // local tolerance test). NO oracle by design: lossy bytes are
     // codec-version-defined — rows-only driver check, like q19/q21
-    "q98_jpeg_error" -> ((s, d) => MultimodalOps.codecError(s, d))
+    "q98_jpeg_error" -> ((s, d) => MultimodalOps.codecError(s, d)),
+    // deterministic weighted priority sampling: k smallest
+    // hash-div-weight priorities (length-weighted subset, no RNG)
+    "q99_priority_sample" -> ((s, d) => TrainingOps.prioritySample(s, d)),
+    // dataset card: the one-row corpus datasheet (sizes, cardinalities,
+    // exact-dup rate, mean length — all exact integers)
+    "q100_dataset_card" -> ((s, d) => TrainingOps.datasetCard(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1772,6 +1778,29 @@ object SparkEntry {
                 ELSE ((${RelationalOps.KmvK} - 1) * CAST(4294967296 AS BIGINT)) // greatest(kth_min_hash, 1)
            END AS est_distinct
          FROM t""",
+    // q99: DuckDB recomputes the hash, the integer priority and the
+    // bottom-k under the same total order
+    "q99_priority_sample" ->
+      s"""SELECT doc_id, weight, h // weight AS priority FROM (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS weight,
+                  CAST('0x' || substr(sha256('${TrainingOps.DefaultSeed}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+           FROM documents) t
+         WHERE weight > 0
+         ORDER BY priority ASC, doc_id ASC
+         LIMIT ${TrainingOps.PrioritySampleK}""",
+    // q100: DuckDB recomputes every datasheet field from the raw corpus
+    "q100_dataset_card" ->
+      """SELECT n_docs, total_tokens, n_sources, n_langs, n_distinct_texts,
+         ((n_docs - n_distinct_texts) * 10000) // n_docs AS dup_rate_x10000,
+         (total_tokens * 100) // n_docs AS mean_tokens_x100
+         FROM (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT sha256(coalesce(text, ''))) AS BIGINT) AS n_distinct_texts
+           FROM documents) t""",
     // q88: extraction failures (golden expectations) x rule violations
     // (re-derived from raw records) joined on the document key — DuckDB
     // recomputes both families independently

@@ -345,6 +345,67 @@ object TrainingOps {
       .select(col("vec_id"), col("cell"), col("frac_x10000"))
   }
 
+  /** Sample size for [[prioritySample]]. */
+  val PrioritySampleK = 100
+
+  /** Deterministic weighted priority sampling: keep the k documents with
+    * the smallest `priority = hash div weight` (weight = token count, so
+    * longer docs are proportionally more likely kept — the
+    * length-weighted corpus subset a budgeted pretraining mix draws).
+    * The classic priority-sampling scheme with the RNG replaced by the
+    * engine-reproducible sha-prefix hash: exact integer division, total
+    * (priority, doc_id) order, identical in any engine — unlike
+    * rand()-weighted reservoirs.
+    *
+    * Scale shape: narrow projection to (doc_id, weight, priority), then
+    * global bottom-k — which compiles to TakeOrderedAndProject
+    * (per-partition top-k, merged on the driver; k rows cross the wire
+    * per partition, plan-asserted). Zero-weight docs are excluded (they
+    * carry no sampleable tokens and would divide by zero).
+    */
+  def prioritySample(
+      spark: SparkSession,
+      dir: String,
+      k: Int = PrioritySampleK,
+      seed: String = DefaultSeed): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("weight"))
+      .filter(col("weight") > 0L)
+      .withColumn(
+        "h",
+        conv(substring(sha2(concat_ws("|", lit(seed), col("doc_id").cast("string")), 256), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("priority", expr("h div weight"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("weight"), col("priority"))
+
+  /** Dataset card: the one-row corpus datasheet a curation pipeline
+    * publishes next to its shards — sizes, composition cardinalities,
+    * exact-dup rate (via content sha), and mean length, all exact
+    * integers (fixed-point x10000/x100 fractions per the repo
+    * convention). One scan, one global aggregate with map-side
+    * partials; the distinct counts are over bounded domains (sources,
+    * langs) plus the 32-byte content sha.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        sha2(coalesce(col("text"), lit("")), 256).as("text_sha"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text_sha")).as("n_distinct_texts"))
+      .select(
+        col("n_docs"), col("total_tokens"), col("n_sources"), col("n_langs"),
+        col("n_distinct_texts"),
+        expr("((n_docs - n_distinct_texts) * 10000L) div n_docs").as("dup_rate_x10000"),
+        expr("(total_tokens * 100L) div n_docs").as("mean_tokens_x100"))
+
   /** Sequence packing: concat-and-chunk dataloader layout. Documents are
     * laid end-to-end in doc_id order and cut into fixed `budget`-token
     * chunks; each doc reports where it lands —

@@ -346,6 +346,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("priority sample: global bottom-k is TakeOrderedAndProject, not a sort") {
+    val p = plan(graft.ops.TrainingOps.prioritySample(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k fell back to a global sort:\n$p")
+  }
+
   test("stratified sample is a pure projection+filter: zero shuffles") {
     val p = plan(graft.ops.TrainingOps.stratifiedSample(spark, dir))
     assert(!p.contains("Exchange"), s"stratifiedSample shuffles:\n$p")

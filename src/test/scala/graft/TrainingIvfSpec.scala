@@ -431,6 +431,42 @@ class TrainingIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("prioritySample: exact bottom-k by hash-div-weight; longer docs favored") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      sha256Hex(s"${TrainingOps.DefaultSeed}|$id").substring(0, 8), 16)
+    val ranked = docs
+      .map { case (id, t) => (id, t.trim.split("\\s+").length.toLong) }
+      .filter(_._2 > 0)
+      .map { case (id, w) => (id, w, h(id) / w) }
+      .sortBy(r => (r._3, r._1))
+    val want = ranked.take(TrainingOps.PrioritySampleK).toSeq
+    val got = TrainingOps.prioritySample(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the weighting must bite: kept docs are longer than the corpus mean
+    val meanAll = ranked.map(_._2).sum.toDouble / ranked.length
+    val meanKept = got.map(_._2).sum.toDouble / got.length
+    assert(meanKept > meanAll,
+      s"weighted sample mean $meanKept must exceed corpus mean $meanAll")
+  }
+
+  test("datasetCard: every field matches a local recompute") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "lang", "text").as[(String, String, String)].collect()
+    val nDocs = docs.length.toLong
+    val total = docs.map(_._3.trim.split("\\s+").length.toLong).sum
+    val nDistinct = docs.map(d => sha256Hex(Option(d._3).getOrElse(""))).distinct.length.toLong
+    val got = TrainingOps.datasetCard(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((nDocs, total,
+      docs.map(_._1).distinct.length.toLong, docs.map(_._2).distinct.length.toLong,
+      nDistinct, (nDocs - nDistinct) * 10000L / nDocs, total * 100L / nDocs)))
+  }
+
   test("clusterBalancedSample: gate math exact over the (q54-proven) cell assignment") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
