@@ -366,7 +366,12 @@ object SparkEntry {
     "q99_priority_sample" -> ((s, d) => TrainingOps.prioritySample(s, d)),
     // dataset card: the one-row corpus datasheet (sizes, cardinalities,
     // exact-dup rate, mean length — all exact integers)
-    "q100_dataset_card" -> ((s, d) => TrainingOps.datasetCard(s, d))
+    "q100_dataset_card" -> ((s, d) => TrainingOps.datasetCard(s, d)),
+    // inverted index: per-term df/ctf + doc-ordered posting list
+    "q101_inverted_index" -> ((s, d) => TextOps.invertedIndex(s, d)),
+    // BM25 top-k retrieval in exact integers (whole-bit idf, fixed-point
+    // length norm and tf saturation) over a literal query-term set
+    "q102_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1801,6 +1806,44 @@ object SparkEntry {
                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                   CAST(count(DISTINCT sha256(coalesce(text, ''))) AS BIGINT) AS n_distinct_texts
            FROM documents) t""",
+    // q101: DuckDB rebuilds the index with an ORDER BY string_agg
+    "q101_inverted_index" ->
+      s"""WITH w AS (SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS word
+              FROM documents),
+         tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word)
+         SELECT word, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+                string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM tf GROUP BY word""",
+    // q102: DuckDB reruns the identical integer BM25 chain
+    "q102_bm25_topk" ->
+      s"""WITH dl AS (SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS dl
+              FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         w AS (SELECT doc_id, word FROM (
+                 SELECT doc_id,
+                        unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS word
+                 FROM documents) z
+               WHERE word IN (${TextOps.Bm25DefaultTerms.map(t => s"'$t'").mkString(", ")})),
+         tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word),
+         df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY word),
+         s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df, dl.dl,
+                      (SELECT n FROM n) AS n, ((SELECT tot FROM n) * 100) // (SELECT n FROM n) AS avgdl_x100
+               FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id),
+         x AS (SELECT doc_id,
+                      CAST(length(bin(n * 10000 // df)) - 1 AS BIGINT) AS idf_bits,
+                      (100 - ${TextOps.Bm25BX100}) + (${TextOps.Bm25BX100} * dl * 100) // avgdl_x100 AS norm_x100,
+                      tf
+               FROM s),
+         y AS (SELECT doc_id, idf_bits,
+                      (tf * (${TextOps.Bm25K1X100} + 100) * 10000) // (tf * 100 + (${TextOps.Bm25K1X100} * norm_x100) // 100) AS tfpart_x10000
+               FROM x)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+                CAST(sum(idf_bits * tfpart_x10000) AS BIGINT) AS score
+         FROM y GROUP BY doc_id
+         ORDER BY score DESC, doc_id ASC
+         LIMIT ${TextOps.Bm25K}""",
     // q88: extraction failures (golden expectations) x rule violations
     // (re-derived from raw records) joined on the document key — DuckDB
     // recomputes both families independently

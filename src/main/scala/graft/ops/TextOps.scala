@@ -312,6 +312,92 @@ object TextOps {
       .select(col("doc_id"), col("word"), col("tf"), col("score"), col("rank"))
   }
 
+  /** Inverted index: one row per term with document frequency, corpus
+    * term frequency, and the posting list serialized as
+    * `doc:tf,doc:tf,…` in doc_id order (search-engine index layout).
+    * Deterministic: collect_list order is erased by the struct
+    * array_sort before serialization.
+    *
+    * Scale shape: one (doc, word) tf aggregation, one word-keyed
+    * aggregation — both map-side combined. A posting list is inherently
+    * per-term data-sized (a stopword's postings ARE the corpus); at
+    * 100 TB an index build range-shards postings into blocks per term —
+    * same dataflow, the per-term agg becomes (term, doc-range) — which
+    * changes keys, not shape.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val w = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("word"))
+    w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("word"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            e => concat(e.getField("doc_id").cast("string"), lit(":"),
+              e.getField("tf").cast("string"))),
+          ",").as("postings"))
+  }
+
+  /** BM25 constants: k1 = 1.2, b = 0.75 in x100 fixed point, exact
+    * integer arithmetic throughout (the q86 whole-bit idf recipe), so
+    * the ranking is bit-identical in any engine.
+    */
+  val Bm25K1X100 = 120L
+  val Bm25BX100 = 75L
+  val Bm25K = 10
+  val Bm25DefaultTerms: Seq[String] = Seq("spark", "merge", "window")
+
+  /** BM25 top-k document retrieval for a literal query-term set, in
+    * EXACT integers: idf_bits = bitlength(N·10⁴ div df) (whole-bit
+    * log2), length norm and tf saturation in x100/x10⁴ fixed point:
+    * `norm_x100 = (100-b) + (b·dl·100) div avgdl_x100`,
+    * `tfpart_x10000 = tf·(k1+100)·10⁴ div (tf·100 + (k1·norm_x100) div 100)`,
+    * `score = Σ idf_bits · tfpart_x10000`. No float log, no float
+    * division — engine/oracle agree bit-for-bit.
+    *
+    * Scale shape: the explode filters to the query terms immediately
+    * (candidate postings only — never the full index); df is a
+    * term-cardinality aggregate broadcast back; doc length joins on
+    * doc_id; final top-k is TakeOrderedAndProject. Driver holds two
+    * scalars (N, avgdl) — the q86 nDocs precedent.
+    */
+  def bm25TopK(
+      spark: SparkSession, dir: String,
+      terms: Seq[String] = Bm25DefaultTerms, k: Int = Bm25K): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).cast("long").as("dl"))
+    val Array(nDocs, totalTokens) =
+      dl.agg(count(lit(1)), sum(col("dl"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val avgdlX100 = totalTokens * 100L / nDocs
+    val w = docs
+      .select(col("doc_id"),
+        explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("word"))
+      .filter(col("word").isin(terms: _*))
+    val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .withColumn("idf_bits",
+        expr(s"cast(length(conv((${nDocs}L * 10000L) div df, 10, 2)) - 1 as bigint)"))
+      .withColumn("norm_x100",
+        expr(s"(100L - ${Bm25BX100}L) + (${Bm25BX100}L * dl * 100L) div ${avgdlX100}L"))
+      .withColumn("tfpart_x10000",
+        expr(s"(tf * (${Bm25K1X100}L + 100L) * 10000L) div (tf * 100L + (${Bm25K1X100}L * norm_x100) div 100L)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_bits") * col("tfpart_x10000")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_terms_matched"), col("score"))
+  }
+
   def tokenQuantiles(spark: SparkSession, dir: String,
       pcts: Seq[Int] = QuantilePcts): DataFrame = {
     val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))

@@ -536,6 +536,50 @@ class OpsSpec extends AnyFunSuite {
     assert(byType.values.exists(_.length > k), "need a group with > k distinct values")
   }
 
+  test("invertedIndex: postings match a local recompute, doc-ordered") {
+    import spark.implicits._
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs
+      .flatMap { case (id, t) => t.trim.split("\\s+").filter(_.nonEmpty).map((id, _)) }
+      .groupBy(_._2).map { case (word, occ) =>
+        val byDoc = occ.groupBy(_._1).map { case (d, o) => (d, o.length.toLong) }.toSeq.sortBy(_._1)
+        word -> ((byDoc.length.toLong, byDoc.map(_._2).sum,
+          byDoc.map { case (d, tf) => s"$d:$tf" }.mkString(",")))
+      }
+    val got = TextOps.invertedIndex(spark, dir)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+  }
+
+  test("bm25TopK: exact integer chain matches a local recompute; ordering pinned") {
+    import spark.implicits._
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val terms = TextOps.Bm25DefaultTerms.toSet
+    val dl = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").count(_.nonEmpty).toLong }.toMap
+    val n = docs.length.toLong
+    val avgdlX100 = dl.values.sum * 100 / n
+    val occ = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").filter(terms).map((id, _)) }
+    val tf = occ.groupBy(identity).map { case ((id, w), o) => (id, w) -> o.length.toLong }
+    val dfm = occ.groupBy(_._2).map { case (w, o) => w -> o.map(_._1).distinct.length.toLong }
+    def bits(x: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(x) - 1
+    val scores = tf.toSeq.map { case ((id, w), t) =>
+      val idf = bits(n * 10000L / dfm(w))
+      val norm = (100L - TextOps.Bm25BX100) + TextOps.Bm25BX100 * dl(id) * 100L / avgdlX100
+      val tfp = t * (TextOps.Bm25K1X100 + 100L) * 10000L /
+        (t * 100L + TextOps.Bm25K1X100 * norm / 100L)
+      id -> idf * tfp
+    }.groupBy(_._1).map { case (id, xs) => (id, xs.length.toLong, xs.map(_._2).sum) }
+    val want = scores.toSeq.sortBy(r => (-r._3, r._1)).take(TextOps.Bm25K)
+    val got = TextOps.bm25TopK(spark, dir).as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.size == TextOps.Bm25K, "corpus must fill the top-k")
+  }
+
   test("token quantiles: integer rank math matches a sorted-values recompute") {
     import spark.implicits._
     val docs = RelationalOps.table(spark, dir, "documents")

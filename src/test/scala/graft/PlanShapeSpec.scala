@@ -346,6 +346,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bm25: df broadcast, candidate filter before the join, top-k without global sort") {
+    val p = plan(graft.ops.TextOps.bm25TopK(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"df must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("priority sample: global bottom-k is TakeOrderedAndProject, not a sort") {
     val p = plan(graft.ops.TrainingOps.prioritySample(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
