@@ -467,23 +467,7 @@ object SparkEntry {
       .map(t => s"(8 - bit_count(xor($a.b$t, $b.b$t)))")
       .mkString("CAST((", " + ", ") AS BIGINT)")
 
-  /** CTE fragment recomputing `SimilarityOps.lshTopKTuned`'s AUTO-TUNED
-    * candidate pairs in DuckDB, end to end: full-width per-table buckets
-    * (8 planes, 16 tables — the engine's fixed-stride plane family),
-    * the sample's top-k neighbor pairs and their empirical plane-sign
-    * agreement (qnear/qrand), the fixed-point (b, l) grid search over the
-    * MULTI-PROBE hit model (fxHitSql), and the candidate join at
-    * masked-bucket Hamming <= 1 (the Hamming-1 probe set) over the CHOSEN
-    * l tables. Expects a CTE `e(vec_id, v)`. Yields `tune`, `grid`,
-    * `chosen` and `lcand(query_id, neighbor_id)`. Every CTE is
-    * MATERIALIZED: fb/samp/lbl are referenced repeatedly, and DuckDB's
-    * default inlining re-evaluates a CTE per reference — the 128
-    * dot-products-per-vector bucket projection must run once, not once
-    * per downstream mention (unmaterialized, this fragment was the whole
-    * cost of the q26/q59/q74 oracles: 100-250 s each; materialized they
-    * run in under a second).
-    */
-  /** Shared signature-graph CTE fragment for the q87/q91 oracles: the
+  /** Shared signature-graph CTE fragment for the q55/q87/q91 oracles: the
     * per-label node signatures (the q44/q55 recipe) and the HAS edge
     * table, re-derived from raw records. Written ONCE and interpolated
     * (the lshCandidateCtes pattern) so a shred-schema change cannot
@@ -528,6 +512,22 @@ object SparkEntry {
            UNION ALL SELECT st.sig, tr.sig FROM st JOIN tr ON st.conv_id = tr.conv_id AND st.step_pos = tr.step_pos
          ) u)"""
 
+  /** CTE fragment recomputing `SimilarityOps.lshTopKTuned`'s AUTO-TUNED
+    * candidate pairs in DuckDB, end to end: full-width per-table buckets
+    * (8 planes, 16 tables — the engine's fixed-stride plane family),
+    * the sample's top-k neighbor pairs and their empirical plane-sign
+    * agreement (qnear/qrand), the fixed-point (b, l) grid search over the
+    * MULTI-PROBE hit model (fxHitSql), and the candidate join at
+    * masked-bucket Hamming <= 1 (the Hamming-1 probe set) over the CHOSEN
+    * l tables. Expects a CTE `e(vec_id, v)`. Yields `tune`, `grid`,
+    * `chosen` and `lcand(query_id, neighbor_id)`. Every CTE is
+    * MATERIALIZED: fb/samp/lbl are referenced repeatedly, and DuckDB's
+    * default inlining re-evaluates a CTE per reference — the 128
+    * dot-products-per-vector bucket projection must run once, not once
+    * per downstream mention (unmaterialized, this fragment was the whole
+    * cost of the q26/q59/q74 oracles: 100-250 s each; materialized they
+    * run in under a second).
+    */
   private def lshCandidateCtes: String = {
     val L = ops.SimilarityOps.TuneMaxTables
     val B = ops.SimilarityOps.TuneMaxPlanes
@@ -1788,7 +1788,7 @@ object SparkEntry {
     "q99_priority_sample" ->
       s"""SELECT doc_id, weight, h // weight AS priority FROM (
            SELECT doc_id,
-                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS weight,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS weight,
                   CAST('0x' || substr(sha256('${TrainingOps.DefaultSeed}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
            FROM documents) t
          WHERE weight > 0

@@ -36,12 +36,14 @@ object WireDump {
     }
     ops.WireSinks.writeSqlDump(tables, s"$outDir/sql")
     val (vertices, edges, props) = ops.GraphOps.graphWithProps(records)
-    val Seq(vP, eP, pP) = Seq(vertices, edges, props)
+    // vertices is consumed by exactly one action (the count) — only the
+    // twice-consumed edges (dump + count) and props earn a persist
+    val Seq(eP, pP) = Seq(edges, props)
       .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ops.WireSinks.writeCypherDump(eP, pP, s"$outDir/cypher")
     val counts =
       tables.map { case (name, df) => s""""$name": ${df.count()}""" } ++
-        Seq(s""""_cypher_nodes": ${vP.count()}""",
+        Seq(s""""_cypher_nodes": ${vertices.count()}""",
           s""""_cypher_edges": ${eP.count()}""")
     Files.writeString(
       Paths.get(outDir, "manifest.json"),

@@ -316,7 +316,7 @@ object RelationalOps {
     * Scale shape: this is sketch-shaped in Spark because
     * `row_number() <= k` compiles to a partial WindowGroupLimit BEFORE
     * the exchange (plan-asserted): every partition forwards at most k
-    * rows per group, so the lang-keyed shuffle carries k·groups rows
+    * rows per group, so the event_type-keyed shuffle carries k·groups rows
     * no matter the corpus size — the same bound a hand-written
     * bounded-heap aggregator would give.
     */

@@ -370,7 +370,8 @@ object TrainingOps {
       seed: String = DefaultSeed): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("weight"))
+        size(filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
+          .cast("long").as("weight"))
       .filter(col("weight") > 0L)
       .withColumn(
         "h",

@@ -14,9 +14,7 @@ class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionFixture.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def sha256Hex(s: String): String = SparkSessionFixture.sha256Hex(s)
 
   test("positional cycling matches reference modular semantics") {
     import spark.implicits._

@@ -13,9 +13,7 @@ class RagOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionFixture.spark
   import spark.implicits._
 
-  private def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def sha256Hex(s: String): String = SparkSessionFixture.sha256Hex(s)
 
   /** Local twin of the engine's chunking. */
   private def localChunks(text: String, size: Int, overlap: Int): Seq[(Int, Int, Seq[String])] = {

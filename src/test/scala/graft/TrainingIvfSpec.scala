@@ -15,9 +15,7 @@ class TrainingIvfSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionFixture.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def sha256Hex(s: String): String = SparkSessionFixture.sha256Hex(s)
 
   /** The content-hash bucket TrainingOps.trainSplit computes in-plan. */
   private def localBucket(seed: String, id: Long): Long =
@@ -407,7 +405,7 @@ class TrainingIvfSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source", "text").as[(Long, String, String)].collect()
     val nTok = docs.map { case (id, src, t) =>
-      (id, src, t.trim.split("\\s+").length.toLong) }
+      (id, src, SparkSessionFixture.sparkTokenCount(t)) }
     val totals = nTok.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
     val budget = TrainingOps.DefaultMixBudget
     val frac = totals.map { case (s, tot) =>
@@ -438,7 +436,7 @@ class TrainingIvfSpec extends AnyFunSuite {
     def h(id: Long): Long = java.lang.Long.parseLong(
       sha256Hex(s"${TrainingOps.DefaultSeed}|$id").substring(0, 8), 16)
     val ranked = docs
-      .map { case (id, t) => (id, t.trim.split("\\s+").length.toLong) }
+      .map { case (id, t) => (id, t.trim.split("\\s+").count(_.nonEmpty).toLong) }
       .filter(_._2 > 0)
       .map { case (id, w) => (id, w, h(id) / w) }
       .sortBy(r => (r._3, r._1))
@@ -458,7 +456,7 @@ class TrainingIvfSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "lang", "text").as[(String, String, String)].collect()
     val nDocs = docs.length.toLong
-    val total = docs.map(_._3.trim.split("\\s+").length.toLong).sum
+    val total = docs.map(d => SparkSessionFixture.sparkTokenCount(d._3)).sum
     val nDistinct = docs.map(d => sha256Hex(Option(d._3).getOrElse(""))).distinct.length.toLong
     val got = TrainingOps.datasetCard(spark, dir)
       .as[(Long, Long, Long, Long, Long, Long, Long)].head()
