@@ -1711,7 +1711,7 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id, source,
                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
               FROM documents),
-         t AS (SELECT source, sum(n_tokens) AS total_tokens FROM d GROUP BY 1),
+         t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d GROUP BY 1),
          f AS (SELECT source,
                  CASE WHEN total_tokens = 0 THEN 0
                       ELSE least(10000, (${TrainingOps.DefaultMixBudget} * CAST(10000 AS BIGINT)) // total_tokens)
