@@ -534,6 +534,20 @@ class OpsSpec extends AnyFunSuite {
     assert(byType.values.exists(_.length > k), "need a group with > k distinct values")
   }
 
+  test("KMV sketch is mergeable: k-smallest of two states' union == sketch of the union") {
+    // the property that makes KMV a distributed sketch: partial states
+    // combine by keeping the k smallest of the union — verified against
+    // a from-scratch sketch of the concatenated data
+    val k = RelationalOps.KmvK
+    def h(x: Long): Long = java.lang.Long.parseLong(
+      sha256Hex(x.toString).substring(0, 8), 16)
+    val partA = (0L until 300L).map(h).distinct.sorted.take(k)
+    val partB = (200L until 500L).map(h).distinct.sorted.take(k)
+    val merged = (partA ++ partB).distinct.sorted.take(k)
+    val direct = (0L until 500L).map(h).distinct.sorted.take(k)
+    assert(merged == direct, "merge of partial sketches must equal the direct sketch")
+  }
+
   test("invertedIndex: postings match a local recompute, doc-ordered") {
     import spark.implicits._
     val docs = RelationalOps.table(spark, dir, "documents")
