@@ -371,7 +371,47 @@ object SparkEntry {
     "q101_inverted_index" -> ((s, d) => TextOps.invertedIndex(s, d)),
     // BM25 top-k retrieval in exact integers (whole-bit idf, fixed-point
     // length norm and tf saturation) over a literal query-term set
-    "q102_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d))
+    "q102_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // Bloom-prefiltered decontamination: a deterministic 16 KiB bitmap of
+    // the eval split's grams bit-tests the train-gram stream BEFORE any
+    // shuffle; one-sided error + exact verify join == q56 semantics. The
+    // one-row audit (cardinalities, bits set, prefilter pass count,
+    // measured false positives, contamination totals) is fully oracled —
+    // DuckDB rebuilds the bitmap from the same double-hash arithmetic
+    "q103_bloom_decontaminate" -> ((s, d) => TrainingOps.bloomDecontaminate(s, d)),
+    // skew report: the conversation-length histogram the salted
+    // repartition acts on — top-k heavy keys with their salt fan-out
+    "q104_skew_report" -> ((s, _) =>
+      graft.pipeline.Pipeline.skewReport(SynthDataset.turns(s, VerifyConvs))),
+    // collocation mining: adjacent-bigram lift in exact DECIMAL(38,0)
+    // integers (PMI without the log), vocab-bounded broadcast joins
+    "q105_collocations" -> ((s, d) => TextOps.collocations(s, d)),
+    // watermarked hourly windowed aggregation THROUGH a checkpointed
+    // file-source stream in append mode; a sentinel second drain closes
+    // the watermark so the emitted windows equal the batch aggregation
+    "q106_stream_windows" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-q106").toString
+      graft.streaming.StreamingExtract.eventWindows(
+        s, RelationalOps.table(s, d, "events"), base)
+    }),
+    // power-of-two token-count histogram per language — the mergeable
+    // distribution sketch whose every cell is an exact oracled integer
+    "q107_token_histogram" -> ((s, d) => TextOps.tokenHistogram(s, d)),
+    // sketch-side quantile estimates read off the q107 histogram (first
+    // bucket whose cumulative count reaches the ceil-rank target)
+    "q108_histogram_quantiles" -> ((s, d) => TextOps.histogramQuantiles(s, d)),
+    // z-order (Morton-curve) layout: (user, hour) bits interleaved into
+    // one shard key — deterministic fixed z-ranges, per-shard locality
+    // audit (a 2^26 z-span covers at most 2^13 values per dimension)
+    "q109_zorder_shards" -> ((s, d) => TrainingOps.zOrderShards(s, d)),
+    // exact fixed-point HITS (hubs & authorities) over the host co-link
+    // graph — integer L1-normalized half-steps, oracled across all rounds
+    "q110_host_hits" -> ((s, _) =>
+      WebOps.hostHits(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // KMV sketch algebra: distinct-user overlap of every event-type pair
+    // estimated from the k-min sketches alone (union kth-min -> union
+    // size; shared-k-min fraction -> intersection), exact audit column
+    "q111_kmv_overlap" -> ((s, d) => RelationalOps.kmvSetOverlap(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1880,6 +1920,165 @@ object SparkEntry {
                 CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_luma,
                 CAST(coalesce(list_max(px), 0) AS INTEGER) AS max_luma,
                 CAST(coalesce(list_sum([coalesce(px[((i // 8) * h // 8) * ${MultimodalOps.ImgWidth} + (i % 8) * ${MultimodalOps.ImgWidth / MultimodalOps.ThumbSide} + 1], 0) for i in range(0, 64)]), 0) AS BIGINT) AS thumb_sum
-         FROM p"""
+         FROM p""",
+    // q103: DuckDB rebuilds the Bloom filter bit-for-bit from the same
+    // double-hash arithmetic (all operands < 2^21 — no overflow in either
+    // engine), re-runs the prefilter, and measures the same one-sided
+    // error; grams are the engine-materialized winnow hashes (the q56
+    // precedent — splitmix64 has no DuckDB equivalent)
+    "q103_bloom_decontaminate" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(grams) AS gram
+             FROM read_parquet('__SYNTH__/grams.parquet/*.parquet')) u),
+         s AS (SELECT doc_id,
+                      CAST('0x' || substr(sha256('${TrainingOps.DefaultSeed}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+               FROM documents),
+         e AS (SELECT DISTINCT gram FROM g JOIN s USING (doc_id) WHERE s.bucket >= ${TrainingOps.TrainPct}),
+         t AS (SELECT DISTINCT gram FROM g JOIN s USING (doc_id) WHERE s.bucket < ${TrainingOps.TrainPct}),
+         ep AS (SELECT gram,
+                       (((gram % ${ops.BloomSketch.P1} + ${ops.BloomSketch.P1}) % ${ops.BloomSketch.P1})
+                        + i * (((gram % ${ops.BloomSketch.P2} + ${ops.BloomSketch.P2}) % ${ops.BloomSketch.P2}) + 1)) % ${ops.BloomSketch.MBits} AS pos
+                FROM e, range(${ops.BloomSketch.Probes}) r(i)),
+         bits AS (SELECT DISTINCT pos FROM ep),
+         tp AS (SELECT gram, i,
+                       (((gram % ${ops.BloomSketch.P1} + ${ops.BloomSketch.P1}) % ${ops.BloomSketch.P1})
+                        + i * (((gram % ${ops.BloomSketch.P2} + ${ops.BloomSketch.P2}) % ${ops.BloomSketch.P2}) + 1)) % ${ops.BloomSketch.MBits} AS pos
+                FROM t, range(${ops.BloomSketch.Probes}) r(i)),
+         pass AS (SELECT tp.gram FROM tp JOIN bits USING (pos)
+                  GROUP BY tp.gram HAVING count(*) = ${ops.BloomSketch.Probes}),
+         edg AS (SELECT g.doc_id, g.gram FROM g JOIN s USING (doc_id) WHERE s.bucket >= ${TrainingOps.TrainPct}),
+         shared AS (SELECT doc_id, count(*) AS n FROM edg JOIN pass USING (gram) GROUP BY 1)
+         SELECT (SELECT count(*) FROM e) AS n_eval_grams,
+                (SELECT count(*) FROM g JOIN s USING (doc_id) WHERE s.bucket < ${TrainingOps.TrainPct}) AS n_train_gram_rows,
+                (SELECT count(*) FROM bits) AS bloom_bits_set,
+                (SELECT count(*) FROM pass) AS n_pass_prefilter,
+                (SELECT count(*) FROM pass) - (SELECT count(*) FROM pass JOIN e USING (gram)) AS n_false_pos,
+                (SELECT count(*) FROM shared) AS n_contaminated_docs,
+                CAST((SELECT coalesce(sum(n), 0) FROM shared) AS BIGINT) AS shared_grams_total""",
+    // q104: DuckDB recomputes the conversation histogram and the same
+    // salt-cardinality decision from the golden turn table
+    "q104_skew_report" ->
+      s"""WITH c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                CAST(count(DISTINCT turn_idx % ${pipeline.Pipeline.DefaultSaltBuckets}) AS BIGINT) AS n_salt_values
+              FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
+              GROUP BY 1)
+         SELECT conv_id, n_turns, n_chars,
+                CAST(n_turns >= ${pipeline.Pipeline.DefaultLongConvThreshold} AS INTEGER) AS is_long,
+                CASE WHEN n_turns >= ${pipeline.Pipeline.DefaultLongConvThreshold}
+                     THEN n_salt_values ELSE 1 END AS n_salt_buckets
+         FROM c ORDER BY n_turns DESC, conv_id ASC LIMIT 50""",
+    // q105: DuckDB mines the same bigrams (list_zip against the tail
+    // slice) and reruns the exact HUGEINT lift arithmetic
+    "q105_collocations" ->
+      s"""WITH tk AS (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+                     FROM documents),
+         u AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(toks) AS token FROM tk) z GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM u),
+         b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM (
+                 SELECT p[1] AS w1, p[2] AS w2
+                 FROM (SELECT unnest(list_zip(toks, toks[2:])) AS p FROM tk) z
+                 WHERE p[2] IS NOT NULL) bg
+               GROUP BY 1, 2 HAVING count(*) >= ${TextOps.CollocMinPair})
+         SELECT w1, w2, c_ab,
+                CAST((c_ab::HUGEINT * 10000 * (SELECT n FROM n)) // (a.cnt::HUGEINT * bb.cnt) AS BIGINT) AS lift_x10000
+         FROM b JOIN u a ON b.w1 = a.token JOIN u bb ON b.w2 = bb.token
+         ORDER BY lift_x10000 DESC, w1 ASC, w2 ASC
+         LIMIT ${TextOps.CollocK}""",
+    // q106: the stream-produced windows must equal the batch hourly
+    // aggregation (epoch-aligned tumbling windows, UTC)
+    "q106_stream_windows" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    // q107: bucket = bitlength(n_tokens) via bin() — both engines print
+    // binary without leading zeros, so length(bin(n)) agrees bit-for-bit
+    "q107_token_histogram" ->
+      """SELECT lang, bucket,
+         CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS bucket_hi,
+         CAST(count(*) AS BIGINT) AS n_docs
+         FROM (SELECT lang,
+                      CASE WHEN n = 0 THEN 0 ELSE CAST(length(bin(n)) AS INTEGER) END AS bucket
+               FROM (SELECT lang,
+                            CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+                     FROM documents) z) h
+         GROUP BY 1, 2""",
+    // q108: the same ceil-rank read-off over the q107 histogram
+    "q108_histogram_quantiles" ->
+      """WITH h AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+               FROM (SELECT lang,
+                            CASE WHEN n = 0 THEN 0 ELSE CAST(length(bin(n)) AS INTEGER) END AS bucket
+                     FROM (SELECT lang,
+                                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+                           FROM documents) z) g
+               GROUP BY 1, 2),
+         c AS (SELECT lang, bucket,
+                      CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS bucket_hi, n_docs,
+                      sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(n_docs) OVER (PARTITION BY lang) AS n
+               FROM h),
+         x AS (SELECT *, unnest([50, 90]) AS pct FROM c)
+         SELECT lang, CAST(pct AS INTEGER) AS pct, bucket,
+                bucket_hi AS est_token_count_hi, CAST(n AS BIGINT) AS n_docs
+         FROM x
+         WHERE cum >= (n * pct + 99) // 100 AND cum - x.n_docs < (n * pct + 99) // 100""",
+    // q109: DuckDB reruns the identical Morton magic-mask ladder in
+    // BIGINT shift/mask arithmetic and re-derives the fixed z-range shards
+    "q109_zorder_shards" ->
+      """WITH e AS (SELECT ((user_id % 65536) + 65536) % 65536 AS ux,
+                  (((epoch_us(ts) // 3600000000) % 65536) + 65536) % 65536 AS tx
+           FROM events WHERE ts IS NOT NULL),
+         m1 AS (SELECT ux, tx, (ux | (ux << 8)) & 16711935 AS xa, (tx | (tx << 8)) & 16711935 AS ya FROM e),
+         m2 AS (SELECT ux, tx, (xa | (xa << 4)) & 252645135 AS xb, (ya | (ya << 4)) & 252645135 AS yb FROM m1),
+         m3 AS (SELECT ux, tx, (xb | (xb << 2)) & 858993459 AS xc, (yb | (yb << 2)) & 858993459 AS yc FROM m2),
+         z AS (SELECT ux, tx,
+                      (((xc | (xc << 1)) & 1431655765) | (((yc | (yc << 1)) & 1431655765) << 1)) AS zval
+               FROM m3)
+         SELECT zval // 67108864 AS shard_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT ux) AS BIGINT) AS n_users,
+                CAST(count(DISTINCT tx) AS BIGINT) AS n_hours,
+                min(zval) AS z_min, max(zval) AS z_max
+         FROM z GROUP BY 1""",
+    // q110: DuckDB re-runs all HITS rounds (normalized half-steps) from
+    // raw text — the q85 PageRank precedent, with per-step L1 rescale
+    "q110_host_hits" ->
+      s"""WITH ${WebOps.duckdbHitsCtes(WebOps.HitsIters, "__SYNTH__/web_docs.parquet/*.parquet")}
+         SELECT hh.host, hh.score AS hub_x1e6, aa.score AS auth_x1e6
+         FROM h${WebOps.HitsIters} hh JOIN a${WebOps.HitsIters} aa USING (host)""",
+    // q111: DuckDB rebuilds the per-type KMV sketches, the union k-mins,
+    // the same floor-division estimators, and the exact audit join
+    "q111_kmv_overlap" ->
+      s"""WITH hsh AS (SELECT DISTINCT event_type,
+                CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+              FROM events WHERE user_id IS NOT NULL),
+         sk AS (SELECT event_type, h FROM (
+                  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                  FROM hsh) z WHERE rn <= ${RelationalOps.KmvK}),
+         tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+                FROM (SELECT DISTINCT event_type FROM hsh) a
+                JOIN (SELECT DISTINCT event_type FROM hsh) b ON a.event_type < b.event_type),
+         pr AS (SELECT tp.ta, tp.tb, s.h,
+                       max(CASE WHEN s.event_type = tp.ta THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN s.event_type = tp.tb THEN 1 ELSE 0 END) AS in_b
+                FROM tp JOIN sk s ON s.event_type = tp.ta OR s.event_type = tp.tb
+                GROUP BY 1, 2, 3),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM pr),
+         um AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS nu, max(h) AS kth,
+                       CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+                FROM rk WHERE rn <= ${RelationalOps.KmvK} GROUP BY 1, 2),
+         eu AS (SELECT ta, tb, nu, nc,
+                       CASE WHEN nu < ${RelationalOps.KmvK} THEN nu
+                            ELSE (${RelationalOps.KmvK} - 1) * 4294967296 // greatest(kth, 1) END AS est_union
+                FROM um),
+         tru AS (SELECT a.event_type AS ta, b.event_type AS tb, CAST(count(*) AS BIGINT) AS n_true
+                 FROM hsh a JOIN hsh b ON a.h = b.h AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+         SELECT eu.ta AS type_a, eu.tb AS type_b, CAST(est_union AS BIGINT) AS est_union,
+                CAST(CASE WHEN nu < ${RelationalOps.KmvK} THEN nc
+                          ELSE (nc * est_union) // ${RelationalOps.KmvK} END AS BIGINT) AS est_intersection,
+                coalesce(t.n_true, 0) AS n_true
+         FROM eu LEFT JOIN tru t ON t.ta = eu.ta AND t.tb = eu.tb"""
   )
 }

@@ -343,6 +343,90 @@ object RelationalOps {
           .otherwise(expr(s"((${k}L - 1L) * 4294967296L) div greatest(kth_min_hash, 1L)")))
   }
 
+  /** KMV sketch algebra: estimate the DISTINCT-USER overlap of every
+    * event-type pair from the per-type k-minimum-value sketches alone —
+    * the set-operation property that makes KMV more than a distinct
+    * counter (union k-mins give the union cardinality; the fraction of
+    * union k-mins present in both sketches gives the Jaccard, hence the
+    * intersection). Everything is deterministic integer arithmetic
+    * (sha-prefix hashes, floor division), so estimates AND the exact
+    * audit column are DuckDB-oracled bit-for-bit.
+    *
+    * Per pair (a < b): `est_union = (k-1)·2³² div kth_min(union k-mins)`
+    * (exact count when the union holds < k hashes — then both sketches
+    * are complete sets), `est_intersection = n_common·est_union div k`,
+    * plus the exact `n_true` intersection for calibration.
+    *
+    * Scale shape: the corpus collapses to (type, user-hash) DISTINCT once
+    * (the only full-width exchange, shared with the exact audit); the
+    * sketch trim is the same partial WindowGroupLimit as [[kmvDistinct]];
+    * all pair algebra runs on k·types rows.
+    */
+  /** The distinct (event_type, user-hash) projection feeding both the
+    * sketches and the exact audit of [[kmvSetOverlap]]. */
+  private[graft] def userTypeHashes(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        conv(substring(sha2(col("user_id").cast("string"), 256), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+
+  /** Per-type k-minimum user hashes (the same partial-WindowGroupLimit
+    * trim as [[kmvDistinct]] — plan-asserted). */
+  private[graft] def kmvUserSketch(hashed: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+  }
+
+  def kmvSetOverlap(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame = {
+    val hashed = userTypeHashes(spark, dir).persist()
+    try {
+      val sketch = kmvUserSketch(hashed, k)
+      val types = hashed.select(col("event_type")).distinct()
+      val pairs = types.select(col("event_type").as("type_a"))
+        .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
+        .filter(col("type_a") < col("type_b"))
+      // union k-mins per pair with membership flags (sketch-sized rows)
+      val unionRanked = pairs
+        .join(broadcast(sketch),
+          col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+        .groupBy(col("type_a"), col("type_b"), col("h"))
+        .agg(
+          max(when(col("event_type") === col("type_a"), 1L).otherwise(0L)).as("in_a"),
+          max(when(col("event_type") === col("type_b"), 1L).otherwise(0L)).as("in_b"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h").asc)))
+        .filter(col("rn") <= k)
+      val est = unionRanked
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(
+          count(lit(1)).as("nu"),
+          max(col("h")).as("kth"),
+          sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L)).as("nc"))
+        .withColumn("est_union",
+          when(col("nu") < k, col("nu"))
+            .otherwise(expr(s"((${k}L - 1L) * 4294967296L) div greatest(kth, 1L)")))
+        .withColumn("est_intersection",
+          when(col("nu") < k, col("nc"))
+            .otherwise(expr(s"(nc * est_union) div ${k}L")))
+      // exact audit: true distinct-user intersection per pair
+      val trueInter = hashed.select(col("event_type").as("type_a"), col("h"))
+        .join(hashed.select(col("event_type").as("type_b"), col("h")), "h")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_true"))
+      est.join(trueInter, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("est_union"),
+          col("est_intersection"), coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .localCheckpoint() // pair-count rows; materialize before unpersist
+    } finally hashed.unpersist(blocking = false)
+  }
+
   /** A5/J4: per-group argmin via min_by — nearest-neighbor distance shape
     * (ref: signature_detect.py:96-108 best-match per detected signature).
     * Here: cheapest supplier-part pairing per brand by retail price.

@@ -412,4 +412,95 @@ object TextOps {
       .select(col("lang"), col("pct"), col("n_tokens").as("token_count"),
         col("n").as("n_docs"))
   }
+
+  /** Minimum bigram count for a collocation candidate (noise floor). */
+  val CollocMinPair = 3L
+  val CollocK = 50
+
+  /** Collocation mining: adjacent whitespace-token bigrams ranked by
+    * exact-integer lift, `lift_x10000 = (c_ab · N · 10⁴) div (c_a · c_b)`
+    * — the PMI ratio without the log, so the score stays in integer
+    * arithmetic an oracle reproduces bit-for-bit (phrase-mining shape:
+    * "new york" scores high because its parts rarely appear apart).
+    * The product is computed in DECIMAL(38,0): at a 10¹²-token corpus
+    * `c_ab·10⁴·N` overflows BIGINT, the same latent trap the round-3
+    * advisor flagged in tfidfKeywords.
+    *
+    * Scale shape: bigrams come from one codegen'd `transform` over the
+    * token array (no self-join); both count tables are map-side-combining
+    * aggs that shuffle (token, count) pairs only; the unigram table is
+    * vocab-bounded, so BOTH dictionary joins are explicit broadcasts; the
+    * top-k is a TakeOrderedAndProject (plan-asserted). The only driver
+    * scalar is the 1-row corpus token total (the q86 nDocs precedent).
+    */
+  def collocations(
+      spark: SparkSession, dir: String,
+      k: Int = CollocK, minPair: Long = CollocMinPair): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(filter(split(trim(col("text")), "\\s+"), x => x =!= "").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val nTokens: Long = toks
+      .agg(sum(size(col("toks")).cast("long"))).head.getLong(0)
+    toks
+      .select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(x, i) -> named_struct('w1', x, 'w2', element_at(toks, i + 2)))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPair)
+      .join(broadcast(uni.select(col("token").as("w1"), col("cnt").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("token").as("w2"), col("cnt").as("c_b"))), "w2")
+      .withColumn("lift_x10000",
+        expr(s"(CAST(c_ab AS DECIMAL(38,0)) * 10000 * ${nTokens}L) div " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b)"))
+      .orderBy(col("lift_x10000").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"), col("lift_x10000"))
+  }
+
+  /** Power-of-two token-count histogram per language — the mergeable
+    * distribution sketch: `bucket = bitlength(n_tokens)` (0 for empty
+    * docs), so each bucket covers `[2^(b-1), 2^b)`, counts sum across
+    * partials/partitions, and — unlike a t-digest — every cell is a
+    * deterministic exact integer the oracle recomputes.
+    *
+    * Scale shape: one narrow projection + one map-side-combining agg on
+    * (lang, bucket) — the shuffle carries at most `langs × 64` rows.
+    */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("lang"),
+        size(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") === 0L, lit(0))
+          .otherwise(length(bin(col("n_tokens")))).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_hi",
+        call_function("shiftleft", lit(1L), col("bucket")) - lit(1L))
+      .select(col("lang"), col("bucket"), col("bucket_hi"), col("n_docs"))
+
+  /** Sketch-side quantile estimates read off the [[tokenHistogram]]: for
+    * each percentile, the upper bound (`bucket_hi`) of the first bucket
+    * whose cumulative count reaches `ceil(n·pct/100)` — a ≤2× relative
+    * error bound by construction, vs the exact ranks of q83. Same
+    * integer-rank math as [[tokenQuantiles]]; the windows run over the
+    * bucket-sized histogram, not the corpus.
+    */
+  def histogramQuantiles(spark: SparkSession, dir: String,
+      pcts: Seq[Int] = Seq(50, 90)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy(col("lang")).orderBy(col("bucket").asc)
+    val allW = Window.partitionBy(col("lang"))
+    tokenHistogram(spark, dir)
+      .withColumn("cum", sum(col("n_docs")).over(cumW))
+      .withColumn("n", sum(col("n_docs")).over(allW))
+      .select(col("lang"), col("bucket"), col("bucket_hi"), col("n_docs"),
+        col("cum"), col("n"), explode(typedLit(pcts)).as("pct"))
+      .withColumn("target", expr("(n * pct + 99) div 100"))
+      .filter(col("cum") >= col("target") && col("cum") - col("n_docs") < col("target"))
+      .select(col("lang"), col("pct"), col("bucket"),
+        col("bucket_hi").as("est_token_count_hi"), col("n").as("n_docs"))
+  }
 }

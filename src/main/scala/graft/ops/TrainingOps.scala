@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,23 +132,11 @@ object TrainingOps {
     * text never shuffles.
     */
   def decontaminate(spark: SparkSession, dir: String, seed: String = DefaultSeed): DataFrame = {
-    import spark.implicits._
-    val k = TextOps.WinnowK
-    val grams = table(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        graft.text.TextAlgos.shingleHashesOrdered(graft.text.TextAlgos.tokenize(t), k)
-          .distinct.iterator.map(g => (id, g))
-      }
-      .toDF("doc_id", "gram")
-      .withColumn(
-        "split",
-        when(
-          conv(substring(sha2(concat_ws("|", lit(seed), col("doc_id").cast("string")), 256), 1, 8),
-            16, 10).cast("long") % 100 < TrainPct, "train").otherwise("eval"))
-    val trainGrams = grams.filter(col("split") === "train").select(col("gram")).distinct()
+    val grams = docGramBuckets(spark, dir, seed)
+    val trainGrams = grams.filter(col("bucket") < TrainPct).select(col("gram")).distinct()
     grams
-      .filter(col("split") =!= "train")
+      .filter(col("bucket") >= TrainPct)
+      .select(col("doc_id"), col("gram"))
       .join(trainGrams, "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -160,6 +148,90 @@ object TrainingOps {
           16, 10).cast("long") % 100)
       .withColumn("split", when(col("bucket") < TrainPct + ValPct, "val").otherwise("test"))
       .select(col("doc_id"), col("split"), col("n_shared_grams"))
+  }
+
+  /** (doc_id, gram, bucket): each document's DISTINCT winnow k-grams with
+    * its split-hash bucket — the ONE gram/split projection feeding both
+    * the exact decontamination join (q56) and its Bloom-prefiltered
+    * variant (q103), so the two can never drift.
+    */
+  private[graft] def docGramBuckets(
+      spark: SparkSession, dir: String, seed: String): DataFrame = {
+    import spark.implicits._
+    val k = TextOps.WinnowK
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.text.TextAlgos.shingleHashesOrdered(graft.text.TextAlgos.tokenize(t), k)
+          .distinct.iterator.map(g => (id, g))
+      }
+      .toDF("doc_id", "gram")
+      .withColumn(
+        "bucket",
+        conv(substring(sha2(concat_ws("|", lit(seed), col("doc_id").cast("string")), 256), 1, 8),
+          16, 10).cast("long") % 100)
+  }
+
+  /** Bloom-prefiltered decontamination: the q56 contamination check with
+    * the 100 TB shuffle shape — build a [[BloomSketch]] bitmap over the
+    * SMALL side's grams (the eval split), ship the 16 KiB bitmap to every
+    * task as a literal, and bit-test the HUGE train-gram stream BEFORE
+    * anything shuffles. Bloom error is one-sided (no false negatives), so
+    * the exact equi-join on the survivors restores exact semantics; the
+    * exchange carries only Bloom-passing grams instead of the full
+    * train-side distinct-gram set. Output is a one-row audit of the whole
+    * construction — eval/train gram cardinalities, bits set, prefilter
+    * pass count, measured false positives, and the contamination totals
+    * (which must equal q56's) — every field an exact integer the oracle
+    * rebuilds from the same double-hash arithmetic.
+    */
+  def bloomDecontaminate(
+      spark: SparkSession, dir: String, seed: String = DefaultSeed): DataFrame = {
+    import spark.implicits._
+    val grams = docGramBuckets(spark, dir, seed).persist()
+    try {
+      val evalDocGrams = grams.filter(col("bucket") >= TrainPct)
+        .select(col("doc_id"), col("gram"))
+      val evalGrams = evalDocGrams.select(col("gram")).distinct()
+      val trainGramRows = grams.filter(col("bucket") < TrainPct).select(col("gram"))
+      // ONE mergeable aggregate builds the bitmap (16 KiB whatever the
+      // input size) — the bounded driver value, like the IVF centroids
+      val words: Array[Long] = evalGrams
+        .select(BloomSketch.positions(col("gram")).as("pos")).as[Long]
+        .select(BloomSketch.BitmapAgg.toColumn)
+        .head()
+      // the bloom bit-test runs on the RAW train-gram stream — BEFORE the
+      // distinct, so the exchange dedups survivors only (plan-asserted);
+      // the exact q56 path pays a full-width distinct here instead
+      val pass = trainGramRows
+        .filter(BloomSketch.mayContain(words, col("gram")))
+        .distinct()
+        .persist()
+      try {
+        val nEval = evalGrams.agg(count(lit(1)).as("n_eval_grams"))
+        val nTrain = trainGramRows.agg(count(lit(1)).as("n_train_gram_rows"))
+        val passAgg = pass
+          .join(evalGrams.withColumn("in_eval", lit(1L)), Seq("gram"), "left")
+          .agg(
+            count(lit(1)).as("n_pass_prefilter"),
+            (count(lit(1)) - coalesce(sum(col("in_eval")), lit(0L))).as("n_false_pos"))
+        val docAgg = evalDocGrams
+          .join(pass, "gram")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          .agg(
+            count(lit(1)).as("n_contaminated_docs"),
+            coalesce(sum(col("n")), lit(0L)).as("shared_grams_total"))
+        nEval
+          .crossJoin(broadcast(nTrain))
+          .crossJoin(broadcast(passAgg))
+          .crossJoin(broadcast(docAgg))
+          .withColumn("bloom_bits_set", lit(BloomSketch.bitsSet(words)))
+          .select(col("n_eval_grams"), col("n_train_gram_rows"), col("bloom_bits_set"),
+            col("n_pass_prefilter"), col("n_false_pos"),
+            col("n_contaminated_docs"), col("shared_grams_total"))
+          .localCheckpoint() // one row; materialize before unpersisting inputs
+      } finally pass.unpersist(blocking = false)
+    } finally grams.unpersist(blocking = false)
   }
 
   /** Vocabulary build: the top-`vocabSize` whitespace tokens by corpus
@@ -450,6 +522,74 @@ object TrainingOps {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
+
+  /** Bits per z-order dimension (16+16 interleave to a 32-bit z-value). */
+  val ZBits = 16
+  val ZShards = 64
+
+  /** Spread a 16-bit value's bits to the even positions of a 32-bit word
+    * (the classic Morton magic-mask ladder) — pure shift/mask column
+    * arithmetic, codegen'd, identical in any engine's BIGINT.
+    */
+  private def spread16(x0: Column): Column = {
+    val x = x0.bitwiseAND(lit(0xFFFFL))
+    val a = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton z-value of two 16-bit coordinates. */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Driver/test-side z-value (for local truths). */
+  def zValueScala(x: Long, y: Long): Long = {
+    def spread(v0: Long): Long = {
+      var v = v0 & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
+  /** Z-order (Morton-curve) data layout over the event stream: interleave
+    * the bits of (user, hour) so one linear shard key clusters BOTH
+    * dimensions — the lakehouse clustering trick (Delta/Iceberg OPTIMIZE
+    * ZORDER) that lets a (user-range × time-range) predicate prune to a
+    * handful of shards instead of scanning one full dimension.
+    *
+    * Shards are fixed z-ranges (`z div 2^26` for 64 shards), NOT sampled
+    * range boundaries, so the layout is deterministic and oracle-exact.
+    * The locality guarantee is structural: a 2^26-wide z-range spans at
+    * most 2^13 user values × 2^13 hour values (asserted per shard in the
+    * local truth). Output: one audit row per shard — row count, distinct
+    * users, distinct hours, z min/max.
+    *
+    * Scale shape: the z-value is a narrow shift/mask projection; the only
+    * exchange is the shard-keyed aggregation (plan-asserted); writing
+    * would reuse [[shardLayout]]'s single range exchange on `zval`.
+    */
+  def zOrderShards(spark: SparkSession, dir: String, nShards: Int = ZShards): DataFrame = {
+    val span = (1L << (2 * ZBits)) / nShards
+    table(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .select(
+        pmod(col("user_id"), lit(1L << ZBits)).as("ux"),
+        pmod(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"), lit(1L << ZBits))
+          .as("tx"))
+      .withColumn("zval", zValue(col("ux"), col("tx")))
+      .withColumn("shard_id", expr(s"zval div ${span}L"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("ux")).as("n_users"),
+        countDistinct(col("tx")).as("n_hours"),
+        min(col("zval")).as("z_min"),
+        max(col("zval")).as("z_max"))
+  }
 
   def packSequences(spark: SparkSession, dir: String, budget: Long = DefaultChunkBudget): DataFrame = {
     val toks = TextOps.tokenCountBpe(spark, dir)

@@ -335,6 +335,108 @@ object WebOps {
     }
   }
 
+  /** HITS iterations / fixed-point scale for [[hostHits]]. The scale is
+    * 1e6 (not 1e12) because each un-normalized step multiplies a score by
+    * the scale before the floor division: raw ≤ scale·deg, raw·scale must
+    * stay in BIGINT on both engines — 1e6 bounds it at 1e12·deg, safe to
+    * ~9×10⁶-degree hubs (document the HUGEINT/decimal upgrade past that).
+    */
+  val HitsIters = 8
+  val HitsScale = 1000000L
+
+  /** Exact fixed-point HITS (hubs & authorities) over the host co-link
+    * graph: `auth'(v) = Σ_{(u,v)} hub(u)`, `hub'(u) = Σ_{(u,v)} auth'(v)`,
+    * each half-step L1-normalized to sum ≈ [[HitsScale]] by integer floor
+    * division (`x·scale div total`) — every operation is floor division
+    * or an associative integer sum on non-negative longs, so engine and
+    * DuckDB agree bit-for-bit at any parallelism, like [[hostRank]].
+    *
+    * Scale shape: edges cached pre-partitioned by src; hub/auth frames
+    * stay node-keyed DataFrames (never collected); the per-step total is
+    * a 1-row aggregate crossJoined back as a broadcast, NOT a driver
+    * scalar; localCheckpoint bounds per-round plan growth.
+    */
+  def hostHits(docs: DataFrame, iters: Int = HitsIters): DataFrame = {
+    val edges = hostEdges(docs).repartition(col("src")).persist()
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst"))).distinct().persist()
+    try {
+      val n = nodes.count()
+      if (n == 0)
+        nodes.withColumn("hub_x1e6", lit(0L)).withColumn("auth_x1e6", lit(0L))
+      else {
+        def normalized(raw: DataFrame): DataFrame = {
+          // raw: (host, raw) over the touched nodes only; normalize so the
+          // total is HitsScale, spread to ALL nodes (untouched get 0)
+          val tot = raw.agg(sum(col("raw")).as("tot"))
+          nodes.join(raw, Seq("host"), "left")
+            .crossJoin(broadcast(tot))
+            .select(col("host"),
+              expr(s"(coalesce(raw, 0L) * ${HitsScale}L) div greatest(coalesce(tot, 0L), 1L)")
+                .as("score"))
+            .localCheckpoint()
+        }
+        var hubs = nodes.withColumn("score", lit(HitsScale / n))
+        var auths: DataFrame = null
+        var r = 0
+        while (r < iters) {
+          auths = normalized(
+            edges.join(
+              hubs.select(col("host").as("src"), col("score").as("h")), "src")
+              .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+              .withColumnRenamed("dst", "host"))
+          hubs = normalized(
+            edges.join(
+              auths.select(col("host").as("dst"), col("score").as("a")), "dst")
+              .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+              .withColumnRenamed("src", "host"))
+          r += 1
+        }
+        hubs.select(col("host"), col("score").as("hub_x1e6"))
+          .join(auths.select(col("host"), col("score").as("auth_x1e6")), "host")
+      }
+    } finally {
+      edges.unpersist()
+      nodes.unpersist()
+    }
+  }
+
+  /** DuckDB CTE chain replicating [[hostHits]] exactly (same half-step
+    * normalization order, same integer arithmetic). `h0` is the uniform
+    * start; each round adds raw + normalized CTEs for auth then hub.
+    */
+  def duckdbHitsCtes(iters: Int, webDocsPath: String): String = {
+    val b = new StringBuilder
+    // every chain CTE is MATERIALIZED: each round references its raw CTE
+    // twice (contribution join + scalar-subquery total), so DuckDB's
+    // default inlining would expand the tree 2^iters-fold — at 8 rounds
+    // that exhausts file handles on the base parquet scan (measured)
+    b ++= s"""u AS MATERIALIZED (SELECT doc_id, regexp_extract_all(text, '$UrlRe') AS urls
+             FROM read_parquet('$webDocsPath')),
+      h AS MATERIALIZED (SELECT [regexp_replace(lower(regexp_extract(x, '$HostRe', 1)), '^www\\.', '') for x in urls] AS hosts
+            FROM u WHERE len(urls) >= 2),
+      e AS MATERIALIZED (SELECT DISTINCT hosts[1] AS src, d AS dst
+            FROM (SELECT hosts, unnest(list_distinct(hosts[2:])) AS d FROM h) z
+            WHERE hosts[1] <> d),
+      nodes AS MATERIALIZED (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e) q),
+      params AS MATERIALIZED (SELECT $HitsScale // greatest(count(*), 1) AS base FROM nodes),
+      h0 AS MATERIALIZED (SELECT host, base AS score FROM nodes, params)"""
+    for (r <- 1 to iters) {
+      b ++= s""",
+      a${r}raw AS MATERIALIZED (SELECT e.dst AS host, SUM(hh.score) AS raw
+                   FROM e JOIN h${r - 1} hh ON e.src = hh.host GROUP BY e.dst),
+      a$r AS MATERIALIZED (SELECT n.host,
+                     coalesce(ar.raw, 0) * $HitsScale // greatest((SELECT coalesce(sum(raw), 0) FROM a${r}raw), 1) AS score
+              FROM nodes n LEFT JOIN a${r}raw ar USING (host)),
+      h${r}raw AS MATERIALIZED (SELECT e.src AS host, SUM(aa.score) AS raw
+                   FROM e JOIN a$r aa ON e.dst = aa.host GROUP BY e.src),
+      h$r AS MATERIALIZED (SELECT n.host,
+                     coalesce(hr.raw, 0) * $HitsScale // greatest((SELECT coalesce(sum(raw), 0) FROM h${r}raw), 1) AS score
+              FROM nodes n LEFT JOIN h${r}raw hr USING (host))"""
+    }
+    b.toString
+  }
+
   /** DuckDB CTE chain replicating [[hostRank]] exactly (same regexes,
     * same integer arithmetic, same LEFT JOIN contribution rounds) so the
     * oracle independently re-runs all iterations from raw text.

@@ -60,6 +60,39 @@ object Pipeline {
       .as[Turn]
   }
 
+  /** Skew report: the conversation-length histogram [[salted]] acts on,
+    * as a driver query — per conversation its turn count, byte weight,
+    * whether it crosses the long-conversation threshold, and the number
+    * of salt buckets the salted repartition will actually spread it over
+    * (`|{turn_idx mod S}|`, 1 for short conversations). The top-k by turn
+    * count IS the skew: on a Zipf-shaped corpus these are the keys that
+    * would pin single tasks without salting.
+    *
+    * Scale shape: one map-side-combining agg on conv_id (count/sum plus a
+    * partial-distinct for the salt cardinality — never wider than S values
+    * per key); the top-k compiles to a TakeOrderedAndProject
+    * (plan-asserted), so no global sort materializes.
+    */
+  def skewReport(
+      turns: Dataset[Turn],
+      saltBuckets: Int = DefaultSaltBuckets,
+      longConvThreshold: Long = DefaultLongConvThreshold,
+      topK: Int = 50): org.apache.spark.sql.DataFrame =
+    turns.toDF()
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct(pmod(col("turn_idx"), lit(saltBuckets))).as("n_salt_values"))
+      .withColumn("is_long", (col("n_turns") >= longConvThreshold).cast("int"))
+      .withColumn(
+        "n_salt_buckets",
+        when(col("is_long") === 1, col("n_salt_values")).otherwise(lit(1L)))
+      .orderBy(col("n_turns").desc, col("conv_id").asc)
+      .limit(topK)
+      .select(col("conv_id"), col("n_turns"), col("n_chars"),
+        col("is_long"), col("n_salt_buckets"))
+
   /** Fused single-stage extraction over an already-partitioned input. */
   def extractStage(spark: SparkSession, turns: Dataset[Turn]): Dataset[ExtractedTurn] = {
     import spark.implicits._

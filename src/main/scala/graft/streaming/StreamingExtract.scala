@@ -157,4 +157,70 @@ object StreamingExtract {
       .start()
     q
   }
+
+  /** Sentinel event type used by [[eventWindows]] to close the watermark. */
+  val WatermarkSentinel = "__watermark_sentinel__"
+
+  /** Driver-visible watermarked windowed aggregation over the events
+    * table: hourly tumbling windows per event_type (count + exact cent
+    * sum), run THROUGH a checkpointed file-source stream in APPEND mode —
+    * the mode whose output a 100 TB deployment would actually consume
+    * (each window row is final when emitted; complete mode would rewrite
+    * the whole result every batch).
+    *
+    * Append mode only emits a window once the watermark passes its end,
+    * so a single drain would withhold the trailing windows. Instead of
+    * weakening to complete mode, the drain runs TWICE over one
+    * checkpoint: the first pass consumes the corpus; the second pass
+    * feeds one sentinel event 3 hours past the corpus max, advancing the
+    * PERSISTED watermark beyond every real window so the resume emits
+    * them all. The sentinel's own window stays open forever and is
+    * filtered back out — so the result equals the batch aggregation
+    * exactly, and the equality also exercises the checkpoint-resume path
+    * (the second run recovers watermark state written by the first).
+    */
+  def eventWindows(
+      spark: SparkSession,
+      events: DataFrame,
+      base: String,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    events.select(cols.map(col): _*).filter(col("ts").isNotNull)
+      // event-time watermarks require TIMESTAMP (with local tz) — the raw
+      // table's NTZ timestamps are value-identical under the UTC session
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .withWatermark("ts", watermark)
+        .groupBy(window(col("ts"), windowLen), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("cents_sum"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("cents_sum"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // max over the rewritten (TIMESTAMP-typed) landing data, not the raw
+    // frame — the source table may carry NTZ timestamps
+    val maxTs = spark.read.parquet(in).agg(max(col("ts"))).head().getTimestamp(0)
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000), -1L,
+        WatermarkSentinel, 0.0))
+      .toDF(cols: _*)
+      .write.mode("append").parquet(in)
+    drain()
+    spark.read.parquet(out).filter(col("event_type") =!= WatermarkSentinel)
+  }
 }

@@ -799,4 +799,101 @@ class OpsSpec extends AnyFunSuite {
     assert(passes > 0 && passes < got.length,
       s"threshold must genuinely split the corpus, passed $passes/${got.length}")
   }
+
+  test("kmv set overlap: sketch algebra equals local recompute; estimator and audit agree") {
+    import spark.implicits._
+    val k = RelationalOps.KmvK
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .select("event_type", "user_id").as[(String, Long)].collect()
+    def h(u: Long): Long = java.lang.Long.parseLong(sha256Hex(u.toString).substring(0, 8), 16)
+    val sets = ev.groupBy(_._1).map { case (t, rows) => t -> rows.map(r => h(r._2)).toSet }
+    val types = sets.keys.toSeq.sorted
+    val local = (for { a <- types; b <- types if a < b } yield {
+      val (sa, sb) = (sets(a), sets(b))
+      val ska = sa.toSeq.sorted.take(k).toSet
+      val skb = sb.toSeq.sorted.take(k).toSet
+      val union = (ska ++ skb).toSeq.sorted.take(k)
+      val (nu, nc) = (union.size, union.count(x => ska(x) && skb(x)))
+      val estU = if (nu < k) nu.toLong else (k - 1).toLong * 4294967296L / math.max(union.last, 1L)
+      val estI = if (nu < k) nc.toLong else nc * estU / k
+      (a, b, estU, estI, (sa intersect sb).size.toLong)
+    }).sortBy(r => (r._1, r._2))
+    val got = RelationalOps.kmvSetOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got == local)
+    // the estimator should land in the right order of magnitude of truth
+    got.filter(_._5 >= k).foreach { case (a, b, _, estI, nTrue) =>
+      assert(estI > nTrue / 4 && estI < nTrue * 4, s"($a,$b): est $estI vs true $nTrue")
+    }
+  }
+
+  test("skew report: top-k heavy conversations with exact salt fan-out (vs local recompute)") {
+    import spark.implicits._
+    val nConvs = 150
+    val local = graft.synth.Synth.localCorpus(nConvs)
+      .groupBy(_.conv_id).map { case (cid, ts) =>
+        val nTurns = ts.size.toLong
+        val nChars = ts.map(_.text.length.toLong).sum
+        val isLong = if (nTurns >= graft.pipeline.Pipeline.DefaultLongConvThreshold) 1 else 0
+        val nSalts =
+          if (isLong == 1) ts.map(_.turn_idx % graft.pipeline.Pipeline.DefaultSaltBuckets).distinct.size.toLong
+          else 1L
+        (cid, nTurns, nChars, isLong, nSalts)
+      }.toSeq.sortBy(r => (-r._2, r._1)).take(50)
+    val got = graft.pipeline.Pipeline.skewReport(graft.synth.SynthDataset.turns(spark, nConvs.toLong))
+      .as[(String, Long, Long, Int, Long)].collect().toSeq
+    assert(got == local)
+    // the corpus must genuinely contain both long (salted) and short convs
+    assert(got.count(_._4 == 1) >= 1 && got.count(_._4 == 0) >= 1)
+    assert(got.filter(_._4 == 1).forall(_._5 > 1), "long convs must fan out over >1 salt")
+  }
+
+  test("collocations: exact-integer lift equals a brute-force local recompute") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").as[String].collect()
+    val tokens = docs.map(_.trim.split("\\s+").filter(_.nonEmpty))
+    val uni = tokens.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val local = tokens.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .filter(_._2 >= TextOps.CollocMinPair)
+      .map { case ((a, b), cab) =>
+        val lift = (BigInt(cab) * 10000 * n / (BigInt(uni(a)) * uni(b))).toLong
+        (a, b, cab, lift)
+      }
+      .sortBy(r => (-r._4, r._1, r._2)).take(TextOps.CollocK)
+    val got = TextOps.collocations(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == local)
+    assert(got.nonEmpty && got.head._4 > 10000L,
+      "top collocation should be positively associated (lift > 1)")
+  }
+
+  test("token histogram: power-of-two buckets exact; sketch quantiles bracket the exact ranks") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "text").as[(String, String)].collect()
+    val nTok = docs.map { case (l, t) => (l, t.trim.split("\\s+").count(_.nonEmpty).toLong) }
+    def bucket(n: Long): Int = if (n == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val localHist = nTok.groupBy { case (l, n) => (l, bucket(n)) }
+      .map { case ((l, b), rows) => (l, b, (1L << b) - 1, rows.length.toLong) }
+      .toSet
+    val gotHist = TextOps.tokenHistogram(spark, dir)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(gotHist == localHist)
+    // quantile read-off: the estimate's bucket must contain the exact rank value
+    val est = TextOps.histogramQuantiles(spark, dir)
+      .as[(String, Int, Int, Long, Long)].collect()
+    val exact = TextOps.tokenQuantiles(spark, dir, Seq(50, 90))
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.nonEmpty && est.length == exact.size)
+    est.foreach { case (lang, pct, b, hi, _) =>
+      val ex = exact((lang, pct))
+      assert(ex <= hi, s"$lang p$pct: exact $ex above bucket hi $hi")
+      assert(b == bucket(ex), s"$lang p$pct: exact $ex not in estimate bucket $b")
+    }
+  }
 }

@@ -513,4 +513,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected only the host agg + distinct exchanges:\n$p")
     assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
   }
+
+  test("skew report: top-k heavy keys compile to TakeOrderedAndProject over partial aggs") {
+    val p = plan(Pipeline.skewReport(graft.synth.SynthDataset.turns(spark, 150L)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("partial_count"), s"conv histogram must partial-agg map-side:\n$p")
+  }
+
+  test("collocations: both dictionary joins broadcast; top-k without global sort") {
+    val p = plan(graft.ops.TextOps.collocations(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"unigram dictionary must broadcast on both sides:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab join fell back to SMJ:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("bloom prefilter bit-tests the gram stream BELOW the survivor-dedup exchange") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{BloomSketch, TrainingOps}
+    // all-ones bitmap: pass-through semantics, identical plan shape
+    val words = Array.fill(BloomSketch.Words)(-1L)
+    val pass = TrainingOps.docGramBuckets(spark, dir, TrainingOps.DefaultSeed)
+      .filter(col("bucket") < TrainingOps.TrainPct).select("gram")
+      .filter(BloomSketch.mayContain(words, col("gram")))
+      .distinct()
+    val p = plan(pass)
+    val exAt = p.indexOf("Exchange")
+    val srAt = p.indexOf("shiftright")
+    assert(exAt >= 0 && srAt > exAt,
+      s"the bloom bit test must run before (below) the distinct's exchange:\n$p")
+  }
+
+  test("z-order shard audit: narrow morton projection, shard-keyed aggregation only") {
+    val p = plan(graft.ops.TrainingOps.zOrderShards(spark, dir))
+    // the z-value itself must never cost a shuffle — the only exchanges
+    // belong to the (shard × two-distinct) aggregation
+    val keys = "Exchange hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("shard_id"), s"unexpected shuffle keys $keys:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("kmv overlap sketch trim keeps the partial WindowGroupLimit bound") {
+    val hashed = RelationalOps.userTypeHashes(spark, dir)
+    val p = plan(RelationalOps.kmvUserSketch(hashed, RelationalOps.KmvK))
+    assert(p.contains("WindowGroupLimit"),
+      s"sketch trim must bound the shuffle to k rows per group:\n$p")
+  }
+
+  test("token histogram shuffles one (lang,bucket) partial-count exchange only") {
+    val p = plan(graft.ops.TextOps.tokenHistogram(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected a single agg exchange:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+  }
 }

@@ -17,6 +17,23 @@ class StreamingSpec extends AnyFunSuite {
 
   private val nConvs = 40L
 
+  test("stream windowed aggregation equals batch exactly (sentinel drain closes the watermark)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-windows").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = StreamingExtract.eventWindows(spark, events, base)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val expected = events.filter(col("ts").isNotNull)
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents_sum"))
+      .select(unix_micros(col("window.start")).as("us"), col("event_type"),
+        col("n_events"), col("cents_sum"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expected, "append-mode emitted windows must equal the batch aggregation")
+    assert(got.nonEmpty && !got.exists(_._2 == StreamingExtract.WatermarkSentinel))
+  }
+
   test("AvailableNow stream extracts exactly the batch pipeline's rows, and restart is exactly-once") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream").toString

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{SimilarityOps, TrainingOps}
 import graft.text.TextAlgos
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Exact local-truth checks for the training-set assembly operators and
@@ -20,6 +21,91 @@ class TrainingIvfSpec extends AnyFunSuite {
   /** The content-hash bucket TrainingOps.trainSplit computes in-plan. */
   private def localBucket(seed: String, id: Long): Long =
     java.lang.Long.parseLong(sha256Hex(s"$seed|$id").substring(0, 8), 16) % 100
+
+  test("bloom decontamination: exact totals equal q56, false positives non-negative, prefilter is a superset") {
+    import spark.implicits._
+    val audit = TrainingOps.bloomDecontaminate(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nEval, nTrainRows, bitsSet, nPass, nFp, nContam, sharedTotal) = audit
+    // the one-sided-error contract: prefilter+verify must equal the exact path
+    val exact = TrainingOps.decontaminate(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(nContam == exact.length)
+    assert(sharedTotal == exact.map(_._3).sum)
+    // independent recompute of the gram sets from the corpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[Long] =
+      TextAlgos.shingleHashesOrdered(TextAlgos.tokenize(t), graft.ops.TextOps.WinnowK).toSet
+    val seed = TrainingOps.DefaultSeed
+    val eval = docs.filter(d => localBucket(seed, d._1) >= TrainingOps.TrainPct)
+    val train = docs.filter(d => localBucket(seed, d._1) < TrainingOps.TrainPct)
+    val evalSet = eval.flatMap(d => grams(d._2)).toSet
+    val trainSet = train.flatMap(d => grams(d._2)).toSet
+    assert(nEval == evalSet.size)
+    assert(nTrainRows == train.map(d => grams(d._2).size.toLong).sum)
+    // bitmap + prefilter recomputed with the driver-side bloom math
+    val words = {
+      val b = graft.ops.BloomSketch.BitmapAgg.zero
+      for (g <- evalSet; i <- 0 until graft.ops.BloomSketch.Probes)
+        graft.ops.BloomSketch.BitmapAgg.reduce(b, graft.ops.BloomSketch.positionScala(g, i))
+      b
+    }
+    assert(bitsSet == graft.ops.BloomSketch.bitsSet(words))
+    val pass = trainSet.filter(graft.ops.BloomSketch.mayContainScala(words, _))
+    assert(nPass == pass.size)
+    assert(nFp == (pass -- evalSet).size)
+    assert(nFp >= 0 && (evalSet intersect trainSet).subsetOf(pass),
+      "prefilter must be a superset of the true intersection")
+  }
+
+  test("z-order: interleave is bijective, column==driver math, shards honor the locality bound") {
+    import spark.implicits._
+    // bijectivity + parity on a deterministic sample incl. extremes
+    def deinterleave(z: Long): (Long, Long) = {
+      def squash(v0: Long): Long = {
+        var v = v0 & 0x55555555L
+        v = (v | (v >> 1)) & 0x33333333L
+        v = (v | (v >> 2)) & 0x0F0F0F0FL
+        v = (v | (v >> 4)) & 0x00FF00FFL
+        (v | (v >> 8)) & 0xFFFFL
+      }
+      (squash(z), squash(z >> 1))
+    }
+    val coords = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L), (12345L, 54321L)) ++
+      (0 until 200).map(i => ((graft.synth.Synth.mix(i.toLong) & 0xFFFFL),
+        (graft.synth.Synth.mix(i + 7777L) & 0xFFFFL)))
+    coords.foreach { case (x, y) =>
+      val z = TrainingOps.zValueScala(x, y)
+      assert(z >= 0 && z < (1L << 32) && deinterleave(z) == ((x, y)), s"($x,$y)")
+    }
+    val fromCol = coords.toDF("x", "y")
+      .select(col("x"), col("y"), TrainingOps.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    fromCol.foreach { case (x, y, z) => assert(z == TrainingOps.zValueScala(x, y)) }
+    // shard audit equals a local recompute over the raw events
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .as[(Long, Long)].collect()
+    val local = events.map { case (u, us) =>
+      val ux = ((u % 65536) + 65536) % 65536
+      val tx = (us / 3600000000L) % 65536
+      (ux, tx, TrainingOps.zValueScala(ux, tx))
+    }
+    val span = (1L << 32) / TrainingOps.ZShards
+    val localShards = local.groupBy(_._3 / span).map { case (sid, rows) =>
+      (sid, rows.length.toLong, rows.map(_._1).distinct.length.toLong,
+        rows.map(_._2).distinct.length.toLong, rows.map(_._3).min, rows.map(_._3).max)
+    }.toSet
+    val got = TrainingOps.zOrderShards(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == localShards)
+    // structural locality: one z shard (2^26 span) covers ≤ 2^13 distinct
+    // values per dimension
+    got.foreach { case (sid, _, nUsers, nHours, _, _) =>
+      assert(nUsers <= 8192 && nHours <= 8192, s"shard $sid breaks the locality bound")
+    }
+  }
 
   test("trainSplit matches an independent sha256 recompute, 64/16/20 mapping") {
     import spark.implicits._

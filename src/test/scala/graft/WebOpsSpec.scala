@@ -268,6 +268,43 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.toSet.size > 1, "ranks must differentiate hosts")
   }
 
+  test("host HITS matches a naive integer recompute across all rounds") {
+    val nDocs = 240L
+    val urlRe = new scala.util.matching.Regex(WebOps.UrlRe)
+    val hostRe = new scala.util.matching.Regex(WebOps.HostRe)
+    val edges = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    (0L until nDocs).foreach { id =>
+      val hosts = urlRe.findAllIn(WebDocs.text(id)).toSeq
+        .map(u => hostRe.findFirstMatchIn(u).get.group(1)
+          .toLowerCase.replaceFirst("^www\\.", ""))
+      if (hosts.size >= 2) {
+        val src = hosts.head
+        hosts.tail.distinct.foreach(d => if (d != src) edges += ((src, d)))
+      }
+    }
+    val nodes = edges.flatMap { case (s, d) => Seq(s, d) }.toSet
+    def normalize(raw: Map[String, Long]): Map[String, Long] = {
+      val tot = math.max(raw.values.sum, 1L)
+      nodes.map(v => v -> raw.getOrElse(v, 0L) * WebOps.HitsScale / tot).toMap
+    }
+    var hub = nodes.map(_ -> WebOps.HitsScale / nodes.size).toMap
+    var auth = Map.empty[String, Long]
+    (1 to WebOps.HitsIters).foreach { _ =>
+      val ra = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => ra(d) += hub(s) }
+      auth = normalize(ra.toMap)
+      val rh = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => rh(s) += auth(d) }
+      hub = normalize(rh.toMap)
+    }
+    val got = WebOps.hostHits(WebDocs.docs(spark, nDocs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == hub)
+    assert(got.map(r => r._1 -> r._3).toMap == auth)
+    assert(got.map(_._2).distinct.length > 1 && got.map(_._3).distinct.length > 1,
+      "hub and authority scores must differentiate hosts")
+  }
+
   test("WebDocs generation is deterministic and parallelism-independent") {
     val a = WebDocs.docs(spark, 40).collect().map(r => (r.getLong(0), r.getString(1))).sorted
     val b = (0L until 40L).map(id => (id, WebDocs.text(id)))
