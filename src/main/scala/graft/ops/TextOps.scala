@@ -441,7 +441,7 @@ object TextOps {
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val nTokens: Long = toks
-      .agg(sum(size(col("toks")).cast("long"))).head.getLong(0)
+      .agg(coalesce(sum(size(col("toks")).cast("long")), lit(0L))).head.getLong(0)
     toks
       .select(explode(expr(
         "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +

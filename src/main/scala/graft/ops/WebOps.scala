@@ -374,12 +374,14 @@ object WebOps {
             .select(col("host"),
               expr(s"(coalesce(raw, 0L) * ${HitsScale}L) div greatest(coalesce(tot, 0L), 1L)")
                 .as("score"))
-            .localCheckpoint()
         }
         var hubs = nodes.withColumn("score", lit(HitsScale / n))
         var auths: DataFrame = null
         var r = 0
         while (r < iters) {
+          // both half-steps stay in ONE plan per round; the single eager
+          // localCheckpoint on the hub side cuts the lineage for both
+          // (auth feeds hub), halving the per-round job launches
           auths = normalized(
             edges.join(
               hubs.select(col("host").as("src"), col("score").as("h")), "src")
@@ -390,8 +392,12 @@ object WebOps {
               auths.select(col("host").as("dst"), col("score").as("a")), "dst")
               .groupBy(col("src")).agg(sum(col("a")).as("raw"))
               .withColumnRenamed("src", "host"))
+            .localCheckpoint()
           r += 1
         }
+        // materialize the final auth half-step while edges are still
+        // cached (the enclosing finally releases them)
+        auths = auths.localCheckpoint()
         hubs.select(col("host"), col("score").as("hub_x1e6"))
           .join(auths.select(col("host"), col("score").as("auth_x1e6")), "host")
       }
