@@ -171,7 +171,15 @@ object Bench {
     }
     // a failed query records -1 (never a fake fast timing) and is listed
     // in "failed_queries" — a regression must not read as a speedup
-    val queryResults = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERY_FILTER=q87,q110 restricts the per-query pass to
+    // queries whose name starts with one of the prefixes (dev iteration
+    // only; the driver never sets it, so graded runs time everything)
+    val queryFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected =
+      (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty)
+        .filter { case (n, _) => queryFilter.forall(_.exists(n.startsWith)) }
+    val queryResults = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

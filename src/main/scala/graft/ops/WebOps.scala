@@ -357,7 +357,11 @@ object WebOps {
     * scalar; localCheckpoint bounds per-round plan growth.
     */
   def hostHits(docs: DataFrame, iters: Int = HitsIters): DataFrame = {
+    // BOTH orientations are cached: the auth half-step joins on src, the
+    // hub half-step on dst — one orientation would re-shuffle the whole
+    // edge set every round on the other side (O(E) per round at scale)
     val edges = hostEdges(docs).repartition(col("src")).persist()
+    val edgesByDst = edges.repartition(col("dst")).persist()
     val nodes = edges.select(col("src").as("host"))
       .union(edges.select(col("dst"))).distinct().persist()
     try {
@@ -366,13 +370,16 @@ object WebOps {
         nodes.withColumn("hub_x1e6", lit(0L)).withColumn("auth_x1e6", lit(0L))
       else {
         def normalized(raw: DataFrame): DataFrame = {
-          // raw: (host, raw) over the touched nodes only; normalize so the
-          // total is HitsScale, spread to ALL nodes (untouched get 0)
+          // raw: (host, raw) over the TOUCHED nodes only, kept sparse
+          // through the rounds — a zero-score host contributes nothing to
+          // any downstream sum or total, so sparse frames are bit-equal
+          // to the oracle's dense spread (zeros are restored once at the
+          // end). The total rides back as a broadcast, never a driver
+          // scalar.
           val tot = raw.agg(sum(col("raw")).as("tot"))
-          nodes.join(raw, Seq("host"), "left")
-            .crossJoin(broadcast(tot))
+          raw.crossJoin(broadcast(tot))
             .select(col("host"),
-              expr(s"(coalesce(raw, 0L) * ${HitsScale}L) div greatest(coalesce(tot, 0L), 1L)")
+              expr(s"(raw * ${HitsScale}L) div greatest(coalesce(tot, 0L), 1L)")
                 .as("score"))
         }
         var hubs = nodes.withColumn("score", lit(HitsScale / n))
@@ -388,7 +395,7 @@ object WebOps {
               .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
               .withColumnRenamed("dst", "host"))
           hubs = normalized(
-            edges.join(
+            edgesByDst.join(
               auths.select(col("host").as("dst"), col("score").as("a")), "dst")
               .groupBy(col("src")).agg(sum(col("a")).as("raw"))
               .withColumnRenamed("src", "host"))
@@ -396,13 +403,21 @@ object WebOps {
           r += 1
         }
         // materialize the final auth half-step while edges are still
-        // cached (the enclosing finally releases them)
+        // cached (the enclosing finally releases them), then spread both
+        // score frames back over ALL nodes (zero-score hosts reappear)
         auths = auths.localCheckpoint()
-        hubs.select(col("host"), col("score").as("hub_x1e6"))
-          .join(auths.select(col("host"), col("score").as("auth_x1e6")), "host")
+        nodes
+          .join(hubs, Seq("host"), "left")
+          .select(col("host"), coalesce(col("score"), lit(0L)).as("hub_x1e6"))
+          .join(
+            nodes.join(auths, Seq("host"), "left")
+              .select(col("host"),
+                coalesce(col("score"), lit(0L)).as("auth_x1e6")),
+            Seq("host"))
       }
     } finally {
       edges.unpersist()
+      edgesByDst.unpersist()
       nodes.unpersist()
     }
   }

@@ -192,7 +192,7 @@ object StreamingExtract {
       // event-time watermarks require TIMESTAMP (with local tz) — the raw
       // table's NTZ timestamps are value-identical under the UTC session
       .withColumn("ts", col("ts").cast("timestamp"))
-      .coalesce(1).write.mode("overwrite").parquet(in)
+      .write.mode("overwrite").parquet(in)
     val schema = spark.read.parquet(in).schema
     def drain(): Unit = {
       val q = spark.readStream.schema(schema).parquet(in)
