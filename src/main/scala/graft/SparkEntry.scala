@@ -411,7 +411,13 @@ object SparkEntry {
     // KMV sketch algebra: distinct-user overlap of every event-type pair
     // estimated from the k-min sketches alone (union kth-min -> union
     // size; shared-k-min fraction -> intersection), exact audit column
-    "q111_kmv_overlap" -> ((s, d) => RelationalOps.kmvSetOverlap(s, d))
+    "q111_kmv_overlap" -> ((s, d) => RelationalOps.kmvSetOverlap(s, d)),
+    // Count-Min heavy hitters: the sketch builds with one bounded
+    // (row,col)-cell exchange, rides back as a 256 KiB constant, and
+    // pre-filters the exact pass map-side — only sketch-passing term
+    // occurrences cross the term exchange (est >= exact, so no true
+    // heavy hitter is lost)
+    "q112_countmin_heavy" -> ((s, d) => CountMinSketch.heavyHitters(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2079,6 +2085,26 @@ object SparkEntry {
                 CAST(CASE WHEN nu < ${RelationalOps.KmvK} THEN nc
                           ELSE (nc * est_union) // ${RelationalOps.KmvK} END AS BIGINT) AS est_intersection,
                 coalesce(t.n_true, 0) AS n_true
-         FROM eu LEFT JOIN tru t ON t.ta = eu.ta AND t.tb = eu.tb"""
+         FROM eu LEFT JOIN tru t ON t.ta = eu.ta AND t.tb = eu.tb""",
+    // q112: DuckDB rebuilds the Count-Min counter matrix cell-for-cell
+    // (same sha256-prefix grams, same double-hash probes), reads the
+    // corpus total off row 0, and re-derives the identical heavy set
+    "q112_countmin_heavy" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS term
+                FROM documents),
+         g AS (SELECT term, CAST('0x' || substr(sha256(term), 1, 8) AS BIGINT) AS gram FROM toks),
+         p AS (SELECT term, gram, unnest([0, 1, 2, 3]) AS row FROM g),
+         pp AS (SELECT term, row,
+                       ((gram % ${CountMinSketch.P1}) + row * ((gram % ${CountMinSketch.P2}) + 1)) % ${CountMinSketch.Width} AS col
+                FROM p),
+         m AS (SELECT row, col, CAST(count(*) AS BIGINT) AS c FROM pp GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM m WHERE row = 0),
+         est AS (SELECT d.term, min(m.c) AS est_count
+                 FROM (SELECT DISTINCT term, row, col FROM pp) d
+                 JOIN m USING (row, col) GROUP BY 1),
+         ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY 1)
+         SELECT e.term, CAST(e.est_count AS BIGINT) AS est_count, x.exact_count
+         FROM est e JOIN ex x USING (term), tot
+         WHERE e.est_count >= greatest(tot.t // ${CountMinSketch.HeavyDiv}, 1)"""
   )
 }

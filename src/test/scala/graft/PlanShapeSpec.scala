@@ -561,6 +561,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sketch trim must bound the shuffle to k rows per group:\n$p")
   }
 
+  test("count-min matrix: one bounded (row,col) exchange with map-side partials") {
+    import graft.ops.CountMinSketch
+    val docs = RelationalOps.table(spark, dir, "documents")
+    val p = plan(CountMinSketch.matrix(CountMinSketch.corpusTerms(docs)))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"sketch build must cost exactly one cell-keyed exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"partition must collapse to <= Depth x Width cells map-side:\n$p")
+  }
+
+  test("count-min heavy hitters: sketch estimate filters BELOW the term exchange") {
+    val p = plan(graft.ops.CountMinSketch.heavyHitters(spark, dir))
+    val exAt = p.indexOf("Exchange")
+    val estAt = p.indexOf("element_at")
+    assert(exAt >= 0 && estAt > exAt,
+      s"the est>=threshold prefilter must run before (below) the exact-count exchange:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the matrix must ride as literals, not a join:\n$p")
+  }
+
   test("token histogram shuffles one (lang,bucket) partial-count exchange only") {
     val p = plan(graft.ops.TextOps.tokenHistogram(spark, dir))
     assert("Exchange".r.findAllIn(p).size == 1, s"expected a single agg exchange:\n$p")
