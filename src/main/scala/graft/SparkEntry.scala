@@ -2051,7 +2051,8 @@ object SparkEntry {
     // raw text — the q85 PageRank precedent, with per-step L1 rescale
     "q110_host_hits" ->
       s"""WITH ${WebOps.duckdbHitsCtes(WebOps.HitsIters, "__SYNTH__/web_docs.parquet/*.parquet")}
-         SELECT hh.host, hh.score AS hub_x1e6, aa.score AS auth_x1e6
+         SELECT hh.host, CAST(hh.score AS BIGINT) AS hub_x1e6,
+                CAST(aa.score AS BIGINT) AS auth_x1e6
          FROM h${WebOps.HitsIters} hh JOIN a${WebOps.HitsIters} aa USING (host)""",
     // q111: DuckDB rebuilds the per-type KMV sketches, the union k-mins,
     // the same floor-division estimators, and the exact audit join
