@@ -417,7 +417,14 @@ object SparkEntry {
     // pre-filters the exact pass map-side — only sketch-passing term
     // occurrences cross the term exchange (est >= exact, so no true
     // heavy hitter is lost)
-    "q112_countmin_heavy" -> ((s, d) => CountMinSketch.heavyHitters(s, d))
+    "q112_countmin_heavy" -> ((s, d) => CountMinSketch.heavyHitters(s, d)),
+    // exact per-host triangle count + clustering coefficient via
+    // degree-ordered edge orientation: wedges enumerate only at each
+    // edge's low-order endpoint (out-degree capped at O(sqrt(|E|)) — no
+    // celebrity-host wedge explosion), every triangle closed once by a
+    // plain (x,y) equi-join
+    "q113_host_triangles" -> ((s, _) =>
+      WebOps.hostTriangles(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2106,6 +2113,37 @@ object SparkEntry {
          ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY 1)
          SELECT e.term, CAST(e.est_count AS BIGINT) AS est_count, x.exact_count
          FROM est e JOIN ex x USING (term), tot
-         WHERE e.est_count >= greatest(tot.t // ${CountMinSketch.HeavyDiv}, 1)"""
+         WHERE e.est_count >= greatest(tot.t // ${CountMinSketch.HeavyDiv}, 1)""",
+    // q113: DuckDB rebuilds the undirected co-link graph (same edge CTEs
+    // as q110), re-derives the (degree, host) orientation, and closes the
+    // same once-per-triangle wedges — degrees, counts, and clustering are
+    // exact integers on both sides
+    "q113_host_triangles" ->
+      s"""WITH u AS (SELECT doc_id, regexp_extract_all(text, '${WebOps.UrlRe}') AS urls
+                FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
+         h AS (SELECT [regexp_replace(lower(regexp_extract(x, '${WebOps.HostRe}', 1)), '^www\\.', '') for x in urls] AS hosts
+               FROM u WHERE len(urls) >= 2),
+         e AS (SELECT DISTINCT hosts[1] AS src, d AS dst
+               FROM (SELECT hosts, unnest(list_distinct(hosts[2:])) AS d FROM h) z
+               WHERE hosts[1] <> d),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         deg AS (SELECT host, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT a AS host FROM und UNION ALL SELECT b FROM und) z GROUP BY 1),
+         ori AS (SELECT CASE WHEN d1.deg <= d2.deg THEN und.a ELSE und.b END AS u,
+                        CASE WHEN d1.deg <= d2.deg THEN und.b ELSE und.a END AS v,
+                        CASE WHEN d1.deg <= d2.deg THEN d2.deg ELSE d1.deg END AS dv
+                 FROM und JOIN deg d1 ON d1.host = und.a JOIN deg d2 ON d2.host = und.b),
+         tri AS (SELECT e1.u AS t1, e1.v AS t2, e2.v AS t3
+                 FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+                      AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+                 JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v),
+         part AS (SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+                  FROM (SELECT unnest([t1, t2, t3]) AS host FROM tri) z GROUP BY 1)
+         SELECT d.host, d.deg,
+                coalesce(p.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+                CAST(CASE WHEN d.deg >= 2
+                     THEN (coalesce(p.n_triangles, 0) * 20000) // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS clustering_x10000
+         FROM deg d LEFT JOIN part p USING (host)"""
   )
 }

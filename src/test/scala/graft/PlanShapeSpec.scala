@@ -581,6 +581,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the matrix must ride as literals, not a join:\n$p")
   }
 
+  test("host triangles: wedge and close joins stay equi-keyed (no nested-loop explosion)") {
+    val docs = graft.synth.WebDocs.docs(spark, 120)
+    val und = WebOps.undirectedHostEdges(docs)
+    val deg = WebOps.hostDegrees(und)
+    val p = plan(WebOps.triangleStats(WebOps.orientEdges(und, deg), deg))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"orientation must keep every join equi-keyed:\n$p")
+    assert(p.contains("partial_count"),
+      s"degree/participation counts must partial-agg map-side:\n$p")
+  }
+
   test("token histogram shuffles one (lang,bucket) partial-count exchange only") {
     val p = plan(graft.ops.TextOps.tokenHistogram(spark, dir))
     assert("Exchange".r.findAllIn(p).size == 1, s"expected a single agg exchange:\n$p")

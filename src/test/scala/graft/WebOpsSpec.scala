@@ -305,6 +305,58 @@ class WebOpsSpec extends AnyFunSuite {
       "hub and authority scores must differentiate hosts")
   }
 
+  test("hostTriangles: handcrafted triangle + pendant edge (degrees, counts, clustering)") {
+    import spark.implicits._
+    // a->{b,c}, b->c closes the {a,b,c} triangle; a->d is a pendant edge
+    val docs = Seq(
+      (0L, "see http://a.com/x and http://b.com/y and http://c.com/z"),
+      (1L, "see http://b.com/q and http://c.com/r"),
+      (2L, "see http://a.com/1 and http://d.com/2")
+    ).toDF("doc_id", "text")
+    val got = WebOps.hostTriangles(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "a.com" -> ((3L, 1L, 2L * 1L * 10000L / (3L * 2L))),
+      "b.com" -> ((2L, 1L, 10000L)),
+      "c.com" -> ((2L, 1L, 10000L)),
+      "d.com" -> ((1L, 0L, 0L))))
+  }
+
+  test("hostTriangles matches a brute-force recompute over the synthetic corpus") {
+    val nDocs = 240L
+    val urlRe = new scala.util.matching.Regex(WebOps.UrlRe)
+    val hostRe = new scala.util.matching.Regex(WebOps.HostRe)
+    val und = scala.collection.mutable.Set.empty[(String, String)]
+    (0L until nDocs).foreach { id =>
+      val hosts = urlRe.findAllIn(WebDocs.text(id)).toSeq
+        .map(u => hostRe.findFirstMatchIn(u).get.group(1)
+          .toLowerCase.replaceFirst("^www\\.", ""))
+      if (hosts.size >= 2) {
+        val src = hosts.head
+        hosts.tail.distinct.foreach { d =>
+          if (d != src) und += ((if (src < d) src else d, if (src < d) d else src))
+        }
+      }
+    }
+    val adj = scala.collection.mutable.Map.empty[String, Set[String]].withDefaultValue(Set.empty)
+    und.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val nodes = adj.keys.toSeq.sorted
+    val triCount = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- und
+      c <- nodes if c > b && adj(a).contains(c) && adj(b).contains(c)
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val expected = nodes.map { v =>
+      val d = adj(v).size.toLong
+      val t = triCount(v)
+      v -> ((d, t, if (d >= 2) t * 20000L / (d * (d - 1L)) else 0L))
+    }.toMap
+    val got = WebOps.hostTriangles(WebDocs.docs(spark, nDocs)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "synthetic co-link graph must contain triangles")
+  }
+
   test("WebDocs generation is deterministic and parallelism-independent") {
     val a = WebDocs.docs(spark, 40).collect().map(r => (r.getLong(0), r.getString(1))).sorted
     val b = (0L until 40L).map(id => (id, WebDocs.text(id)))
