@@ -47,24 +47,33 @@ object HtmlExtractor {
   val MaxLinkDensity = 0.33
 
   private final class Block {
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
     var linkChars = 0
     var lastWasSpace = true // collapse whitespace runs; drop leading ws
-    def appendText(s: String, inLink: Boolean): Unit = {
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (Character.isWhitespace(c)) {
+    def appendText(s: String, inLink: Boolean): Unit =
+      appendRange(s, 0, s.length, inLink)
+    // range variant: bulk text runs append straight from the input
+    // string — no per-run substring copy, and each non-whitespace word
+    // run lands as ONE arraycopy instead of char-at-a-time appends
+    def appendRange(s: String, from: Int, until: Int, inLink: Boolean): Unit = {
+      var i = from
+      while (i < until) {
+        if (Character.isWhitespace(s.charAt(i))) {
           if (!lastWasSpace) { sb.append(' '); if (inLink) linkChars += 1; lastWasSpace = true }
+          i += 1
         } else {
-          sb.append(c); if (inLink) linkChars += 1; lastWasSpace = false
+          var j = i + 1
+          while (j < until && !Character.isWhitespace(s.charAt(j))) j += 1
+          sb.append(s, i, j)
+          if (inLink) linkChars += j - i
+          lastWasSpace = false
+          i = j
         }
-        i += 1
       }
     }
     def text: String = { // trim trailing single space left by collapse
-      val s = sb.toString
-      if (s.nonEmpty && s.charAt(s.length - 1) == ' ') s.substring(0, s.length - 1) else s
+      val n = sb.length
+      if (n > 0 && sb.charAt(n - 1) == ' ') sb.substring(0, n - 1) else sb.toString
     }
   }
 
@@ -79,9 +88,15 @@ object HtmlExtractor {
 
     def flush(): Unit = {
       val t = cur.text
-      if (t.nonEmpty) blocks += ((t, cur.linkChars))
-      cur = new Block
+      if (t.nonEmpty) { blocks += ((t, cur.linkChars)); cur = new Block }
+      else { // empty block: reset in place, no realloc (most flushes)
+        cur.sb.setLength(0); cur.linkChars = 0; cur.lastWasSpace = true
+      }
     }
+    // next '&' at/after the scan position, lazily advanced — lets the
+    // text-run scan below use the intrinsic single-char indexOf instead
+    // of a scalar two-compare loop
+    var ampNext = html.indexOf('&')
 
     var i = 0
     while (i < n) {
@@ -178,10 +193,13 @@ object HtmlExtractor {
         if (dropDepth == 0) cur.appendText(decoded, anchorDepth > 0)
         i = next
       } else {
-        // bulk-append plain text run up to next special char
-        var j = i
-        while (j < n && { val ch = html.charAt(j); ch != '<' && ch != '&' }) j += 1
-        if (dropDepth == 0) cur.appendText(html.substring(i, j), anchorDepth > 0)
+        // bulk-append plain text run up to next special char (both
+        // bounds found by the vectorized indexOf)
+        val lt = html.indexOf('<', i)
+        if (ampNext >= 0 && ampNext < i) ampNext = html.indexOf('&', i)
+        var j = if (lt < 0) n else lt
+        if (ampNext >= 0 && ampNext < j) j = ampNext
+        if (dropDepth == 0) cur.appendRange(html, i, j, anchorDepth > 0)
         i = j
       }
     }

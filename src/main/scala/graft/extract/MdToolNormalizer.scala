@@ -21,7 +21,38 @@ import scala.collection.mutable
 object MdToolNormalizer {
 
   private val ansiPattern = "\u001b\\[[0-9;]*m".r
-  private val headingPattern = "^#{1,6}\\s+".r
+  /** Java-regex `\s` class: [ \t\n\x0B\f\r] — NOT Character.isWhitespace
+    * (which adds Unicode separators); the hand-rolled scans below keep
+    * the exact class the replaced regexes matched.
+    */
+  @inline private def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+
+  /** `replaceAll("\\s+$", "")` without the per-call Pattern compile +
+    * Matcher (one per input LINE — the markdown/plain paths' hottest
+    * allocation site). Lines here contain no '\n', so `$` is
+    * end-of-input.
+    */
+  private def trimTrailingWs(s: String): String = {
+    var e = s.length
+    while (e > 0 && isJavaWs(s.charAt(e - 1))) e -= 1
+    if (e == s.length) s else s.substring(0, e)
+  }
+
+  /** `"^#{1,6}\\s+".r.replaceFirstIn(line, "")` hand-rolled: with the #s
+    * consecutive, a k<=6 match needs char k to be \s, so a 7+-# run can
+    * never match (backtracking only ever finds another '#').
+    */
+  private def stripHeading(line: String): String = {
+    var h = 0
+    while (h < line.length && line.charAt(h) == '#') h += 1
+    if (h < 1 || h > 6 || h >= line.length || !isJavaWs(line.charAt(h))) line
+    else {
+      var k = h + 1
+      while (k < line.length && isJavaWs(line.charAt(k))) k += 1
+      line.substring(k)
+    }
+  }
 
   def extractMarkdown(input: String): Extracted = {
     val lines = input.split('\n')
@@ -33,7 +64,7 @@ object MdToolNormalizer {
     var i = 0
     while (i < lines.length) {
       val raw = lines(i)
-      val line = raw.replaceAll("\\s+$", "") // trim trailing ws
+      val line = trimTrailingWs(raw)
       if (line.startsWith("```")) {
         if (!inFence) {
           inFence = true
@@ -50,7 +81,7 @@ object MdToolNormalizer {
       } else if (inFence) {
         out.append(line).append('\n') // fence body verbatim (language tag was on the fence line)
       } else {
-        val stripped = headingPattern.replaceFirstIn(line, "")
+        val stripped = stripHeading(line)
         if (stripped.isEmpty) {
           blankRun += 1
           if (blankRun == 1 && out.nonEmpty) out.append('\n')
@@ -80,7 +111,9 @@ object MdToolNormalizer {
     val closeIdx = input.lastIndexOf("\n[/tool]")
     if (closeIdx < 0) return Extracted("", Seq.empty, Some("tool_frame"))
     val body = input.substring(firstNl + 1, closeIdx)
-    val cleaned = ansiPattern.replaceAllIn(body, "")
+    // fast path: no ESC byte, no matcher allocation (the common case)
+    val cleaned =
+      if (body.indexOf(27.toChar) < 0) body else ansiPattern.replaceAllIn(body, "")
     Extracted(cleaned, Seq(Span("tool", 0, cleaned.length)), None)
   }
 
@@ -91,7 +124,7 @@ object MdToolNormalizer {
     var blankRun = 0
     var i = 0
     while (i < lines.length) {
-      val line = lines(i).replaceAll("\\s+$", "")
+      val line = trimTrailingWs(lines(i))
       if (line.isEmpty) {
         blankRun += 1
         if (blankRun == 1 && out.nonEmpty) out.append('\n')

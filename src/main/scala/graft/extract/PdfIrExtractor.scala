@@ -26,7 +26,38 @@ object PdfIrExtractor {
   /** Minimum horizontal gap between x-clusters to declare two columns. */
   val ColumnGap = 200
 
-  private val confidencePattern = """ \(Confidence: \d\.\d\d\)""".r
+  /** Hand-rolled ` \(Confidence: \d\.\d\d\)` strip — the per-run regex
+    * replaceAllIn (matcher + buffer per OCR run) was the pdfir path's
+    * hottest allocation site. Exact same matches: the literal prefix,
+    * then digit '.' digit digit ')'.
+    */
+  private val ConfPrefix = " (Confidence: "
+  private def stripConfidence(s: String): String = {
+    var from = s.indexOf(ConfPrefix)
+    if (from < 0) return s
+    // java.lang.StringBuilder: the scala one has no (CharSequence, from,
+    // until) overload and would auto-tuple the 3-arg append
+    val out = new java.lang.StringBuilder(s.length)
+    var copied = 0
+    while (from >= 0) {
+      // regex \d is ASCII [0-9] only — NOT Character.isDigit (Unicode)
+      @inline def dig(c: Char) = c >= '0' && c <= '9'
+      val d = from + ConfPrefix.length
+      val isMatch = d + 4 < s.length &&
+        dig(s.charAt(d)) && s.charAt(d + 1) == '.' &&
+        dig(s.charAt(d + 2)) && dig(s.charAt(d + 3)) &&
+        s.charAt(d + 4) == ')'
+      if (isMatch) {
+        out.append(s, copied, from)
+        copied = d + 5
+        from = s.indexOf(ConfPrefix, copied)
+      } else {
+        from = s.indexOf(ConfPrefix, from + 1)
+      }
+    }
+    out.append(s, copied, s.length)
+    out.toString
+  }
 
   def extract(input: String): Extracted = {
     val runs = mutable.ArrayBuffer.empty[Run]
@@ -44,36 +75,52 @@ object PdfIrExtractor {
     }
     if (runs.isEmpty) return Extracted("", Seq.empty, Some("pdfir_empty"))
 
-    // per-page column split by largest x-gap (two-column detection)
-    val byPage = runs.groupBy(_.page)
-    val ordered = byPage.keys.toSeq.sorted.flatMap { p =>
-      val rs = byPage(p)
-      val xs = rs.map(_.x).distinct.sorted
-      // find the largest gap between consecutive distinct x positions;
-      // declare a column boundary only if it exceeds ColumnGap
-      var split = Int.MaxValue
-      if (xs.length >= 2) {
-        var bestGap = 0; var bestAt = Int.MaxValue
-        var i = 1
-        while (i < xs.length) {
-          val gap = xs(i) - xs(i - 1)
-          if (gap > bestGap) { bestGap = gap; bestAt = xs(i) }
-          i += 1
-        }
-        if (bestGap >= ColumnGap) split = bestAt
+    // per-page column split by largest x-gap (two-column detection).
+    // Array-based two-sort pipeline (was groupBy + per-page tuple
+    // sortBy — the collection/boxing churn dominated the pdfir path):
+    // sort by (page, x) once to find each page's largest gap between
+    // consecutive DISTINCT x positions, then assign columns and sort by
+    // (page, col, y, x).
+    val arr = runs.toArray
+    java.util.Arrays.sort(arr, (a: Run, b: Run) =>
+      if (a.page != b.page) Integer.compare(a.page, b.page)
+      else Integer.compare(a.x, b.x))
+    // per-page split x (runs at x >= split are column 1)
+    val splitByPage = new java.util.HashMap[Int, Int]()
+    var s0 = 0
+    while (s0 < arr.length) {
+      val p = arr(s0).page
+      var e = s0 + 1
+      while (e < arr.length && arr(e).page == p) e += 1
+      var bestGap = 0; var bestAt = Int.MaxValue
+      var i = s0 + 1
+      while (i < e) {
+        val gap = arr(i).x - arr(i - 1).x // 0 between equal xs: harmless
+        if (gap > bestGap) { bestGap = gap; bestAt = arr(i).x }
+        i += 1
       }
-      rs.map(r => (if (r.x >= split) 1 else 0, r))
-        .sortBy { case (col, r) => (col, r.y, r.x) }
-        .map(_._2)
+      splitByPage.put(p, if (bestGap >= ColumnGap) bestAt else Int.MaxValue)
+      s0 = e
     }
+    def colOf(r: Run): Int = if (r.x >= splitByPage.get(r.page)) 1 else 0
+    java.util.Arrays.sort(arr, (a: Run, b: Run) =>
+      if (a.page != b.page) Integer.compare(a.page, b.page)
+      else {
+        val ca = colOf(a); val cb = colOf(b)
+        if (ca != cb) Integer.compare(ca, cb)
+        else if (a.y != b.y) Integer.compare(a.y, b.y)
+        else Integer.compare(a.x, b.x)
+      })
 
-    val out = new StringBuilder
+    val out = new java.lang.StringBuilder
     val spans = mutable.ArrayBuffer.empty[Span]
-    ordered.foreach { r =>
-      if (out.nonEmpty) out.append('\n')
+    var ri = 0
+    while (ri < arr.length) {
+      if (out.length > 0) out.append('\n')
       val s = out.length
-      out.append(confidencePattern.replaceAllIn(r.text, ""))
+      out.append(stripConfidence(arr(ri).text))
       spans += Span("line", s, out.length)
+      ri += 1
     }
     Extracted(out.toString, spans.toSeq, None)
   }
