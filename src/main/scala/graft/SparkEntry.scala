@@ -424,7 +424,15 @@ object SparkEntry {
     // celebrity-host wedge explosion), every triangle closed once by a
     // plain (x,y) equi-join
     "q113_host_triangles" -> ((s, _) =>
-      WebOps.hostTriangles(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
+      WebOps.hostTriangles(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // transcript-protocol audits over the RAW turn table: per-tool call
+    // stats (one 3-key groupBy, map-side combined) and per-conversation
+    // role-alternation audit (one conv-keyed window whose partitioning
+    // the rollup reuses — a single Exchange at any scale)
+    "q114_tool_stats" -> ((s, _) =>
+      TranscriptOps.toolCallStats(SynthDataset.turns(s, VerifyConvs))),
+    "q115_role_audit" -> ((s, _) =>
+      TranscriptOps.roleAudit(SynthDataset.turns(s, VerifyConvs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2144,6 +2152,42 @@ object SparkEntry {
                 CAST(CASE WHEN d.deg >= 2
                      THEN (coalesce(p.n_triangles, 0) * 20000) // (d.deg * (d.deg - 1))
                      ELSE 0 END AS BIGINT) AS clustering_x10000
-         FROM deg d LEFT JOIN part p USING (host)"""
+         FROM deg d LEFT JOIN part p USING (host)""",
+    // q114: tool-call stats recomputed over the same raw payloads; the
+    // unclosed-frame predicate is the raw-signal twin of the extractor's
+    // tool_frame failure (suffix test, no regex)
+    "q114_tool_stats" ->
+      """WITH t AS (SELECT tool, conv_id, turn_idx, text
+                FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
+                WHERE role = 'tool')
+         SELECT tool,
+                CAST(count(*) AS BIGINT) AS n_calls,
+                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                CAST(sum(CASE WHEN ends_with(text, '[/tool]') THEN 0 ELSE 1 END) AS BIGINT) AS n_unclosed,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                CAST((sum(CAST(turn_idx AS BIGINT)) * 10000) // count(*) AS BIGINT) AS avg_turn_idx_x10000
+         FROM t GROUP BY tool""",
+    // q115: DuckDB re-derives the same one-window protocol audit
+    // (IGNORE NULLS last_value == Spark last(..., ignoreNulls = true))
+    "q115_role_audit" ->
+      """WITH t AS (SELECT conv_id, turn_idx, role, epoch_us(ts) AS us
+                FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
+         x AS (SELECT *,
+                lag(role) OVER w AS prev_role,
+                last_value(CASE WHEN role <> 'tool' THEN role END IGNORE NULLS)
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nontool_role,
+                lag(us) OVER w AS prev_us
+               FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+         SELECT conv_id,
+                CAST(count(*) AS BIGINT) AS n_turns,
+                CAST(count(*) FILTER (role = 'tool') AS BIGINT) AS n_tool_turns,
+                CAST(count(*) FILTER (prev_role = role) AS BIGINT) AS n_same_adjacent,
+                CAST(count(*) FILTER (role <> 'tool' AND prev_nontool_role = role) AS BIGINT) AS n_alt_breaks,
+                CAST(count(*) FILTER (prev_role = 'user' AND role = 'tool') AS BIGINT) AS n_tool_after_user,
+                CAST(count(*) FILTER (us < prev_us) AS BIGINT) AS n_ts_regressions,
+                min_by(role, turn_idx) AS first_role,
+                max_by(role, turn_idx) AS last_role
+         FROM x GROUP BY conv_id"""
   )
 }

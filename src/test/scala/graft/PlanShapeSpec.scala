@@ -597,4 +597,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, s"expected a single agg exchange:\n$p")
     assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
   }
+
+  test("role audit: one conv-keyed shuffle; rollup reuses the window partitioning") {
+    val turns = graft.synth.SynthDataset.turns(spark, 40)
+    val p = plan(graft.ops.TranscriptOps.roleAudit(turns))
+    // lag + last-ignore-nulls share the conv_id partitioning; the
+    // groupBy(conv_id) rollup is subset-clustered by it — ONE exchange
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected a single shuffle:\n$p")
+    val specs = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_ == "windowspecdefinition(conv_id"),
+      s"every window must partition by conv_id, got $specs:\n$p")
+  }
+
+  test("tool stats: distinct-conv rewrite keeps both aggregates map-side partial") {
+    val turns = graft.synth.SynthDataset.turns(spark, 40)
+    val p = plan(graft.ops.TranscriptOps.toolCallStats(turns))
+    // Expand + two-phase agg: (tool, conv_id) partial then tool —
+    // never more than those two exchanges, both fed by partial_count
+    assert("Exchange".r.findAllIn(p).size <= 2, s"distinct rewrite grew extra shuffles:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"unexpected join:\n$p")
+  }
 }
