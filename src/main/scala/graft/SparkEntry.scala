@@ -37,6 +37,9 @@ object SparkEntry {
   /** Synthetic web docs (planted emails/phones/URLs) for q61/q62. */
   val VerifyWebDocs = 240L
 
+  /** Base conversations in the planted retry/loop corpus (q116-q118). */
+  val VerifyRetryConvs = 240L
+
   /** Flagship: full extraction pipeline over the synthetic transcript
     * corpus — per-conversation failure rollup (SURVEY.md §7.2 minimum
     * slice). Driver smoke-checks rows > 0 on sf0.001.
@@ -432,7 +435,18 @@ object SparkEntry {
     "q114_tool_stats" -> ((s, _) =>
       TranscriptOps.toolCallStats(SynthDataset.turns(s, VerifyConvs))),
     "q115_role_audit" -> ((s, _) =>
-      TranscriptOps.roleAudit(SynthDataset.turns(s, VerifyConvs)))
+      TranscriptOps.roleAudit(SynthDataset.turns(s, VerifyConvs))),
+    // conversation-level redundancy over the planted retry/loop corpus:
+    // near-dup retry twins via df-capped rare-feature Jaccard (the cap
+    // bounds the candidate join's per-sha fan-out — never quadratic in
+    // convs), stuck-loop run-lengths (one conv-keyed Exchange), and the
+    // high-df boilerplate the near-dup cap discards
+    "q116_conv_neardup" -> ((s, _) =>
+      TranscriptOps.convNearDup(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    "q117_loop_runs" -> ((s, _) =>
+      TranscriptOps.loopRuns(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    "q118_boilerplate" -> ((s, _) =>
+      TranscriptOps.boilerplateTurns(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2188,6 +2202,63 @@ object SparkEntry {
                 CAST(count(*) FILTER (us < prev_us) AS BIGINT) AS n_ts_regressions,
                 min_by(role, turn_idx) AS first_role,
                 max_by(role, turn_idx) AS last_role
-         FROM x GROUP BY conv_id"""
+         FROM x GROUP BY conv_id""",
+    // q116: DuckDB re-derives the df-capped rare-feature Jaccard exactly
+    // (same cap, same fixed-point floor division, same < pair ordering)
+    "q116_conv_neardup" ->
+      """WITH shas AS MATERIALIZED (
+           SELECT DISTINCT conv_id, sha256(text) AS sha
+           FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')),
+         rare AS MATERIALIZED (
+           SELECT conv_id, sha FROM (
+             SELECT conv_id, sha, count(*) OVER (PARTITION BY sha) AS df FROM shas)
+           WHERE df <= 4),
+         sizes AS (SELECT conv_id, count(*) AS n FROM rare GROUP BY 1),
+         pairs AS (
+           SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS n_shared
+           FROM rare a JOIN rare b USING (sha)
+           WHERE a.conv_id < b.conv_id GROUP BY 1, 2)
+         SELECT conv_a, conv_b,
+                CAST(n_shared AS BIGINT) AS n_shared,
+                CAST(sa.n AS BIGINT) AS n_a,
+                CAST(sb.n AS BIGINT) AS n_b,
+                CAST(n_shared * 10000 // (sa.n + sb.n - n_shared) AS BIGINT) AS jaccard_x10000
+         FROM pairs
+         JOIN sizes sa ON sa.conv_id = conv_a
+         JOIN sizes sb ON sb.conv_id = conv_b
+         WHERE n_shared * 10000 // (sa.n + sb.n - n_shared) >= 5000""",
+    // q117: identical-adjacent run-length recompute (lag + running change
+    // count), NULL-first-row handled by the IS NULL disjunct on both sides
+    "q117_loop_runs" ->
+      """WITH t AS (SELECT conv_id, turn_idx, role, sha256(text) AS sha
+                FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')),
+         m AS (SELECT conv_id, turn_idx,
+                CASE WHEN lag(sha) OVER w IS NULL
+                       OR lag(sha) OVER w <> sha
+                       OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS chg
+               FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         r AS (SELECT conv_id,
+                sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+               FROM m),
+         runs AS (SELECT conv_id, run_id, count(*) AS run_len FROM r GROUP BY 1, 2)
+         SELECT conv_id,
+                CAST(count(*) AS BIGINT) AS n_runs,
+                CAST(sum(run_len) AS BIGINT) AS n_turns,
+                CAST(max(run_len) AS BIGINT) AS max_run_len,
+                CAST(sum(CASE WHEN run_len > 1 THEN run_len - 1 ELSE 0 END) AS BIGINT) AS n_looped_turns
+         FROM runs GROUP BY conv_id""",
+    // q118: high-df repeated-turn mining (the shas q116's cap discards)
+    "q118_boilerplate" ->
+      """WITH t AS (SELECT conv_id, role, sha256(text) AS sha,
+                CAST(length(text) AS BIGINT) AS len
+                FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet'))
+         SELECT sha,
+                CAST(count(*) AS BIGINT) AS n_occurrences,
+                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                max(role) AS role,
+                CAST(max(len) AS BIGINT) AS n_chars,
+                CAST((count(*) - 1) * max(len) AS BIGINT) AS dedup_savings_chars
+         FROM t GROUP BY sha
+         HAVING count(DISTINCT conv_id) >= 10"""
   )
 }

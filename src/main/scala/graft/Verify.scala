@@ -52,6 +52,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/web_docs.parquet")
       }
+      synthWrite("retry_turns", "q116-q118 conversation-redundancy oracles") {
+        synth.RetryCorpus.turns(spark, SparkEntry.VerifyRetryConvs)
+          .toDF().coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/retry_turns.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

@@ -42,6 +42,96 @@ object TranscriptOps {
         expr("(sum(cast(turn_idx as bigint)) * 10000L) div count(1)")
           .as("avg_turn_idx_x10000"))
 
+  /** q116: conversation-level near-duplicate pairs by df-capped turn-sha
+    * Jaccard — the transcript analogue of document near-dup, catching
+    * RETRIED runs that replay most turns verbatim. The feature set of a
+    * conversation is its DISTINCT turn-text sha set restricted to shas
+    * seen in at most `dfCap` conversations: high-df features (shared
+    * system preambles, canned tool banners) are boilerplate, carry no
+    * identity signal, and — critically at 10^12 turns — would fan a
+    * single sha out to O(df²) candidate pairs. The df cap makes the
+    * candidate self-join's per-key fan-out a constant, so the pair
+    * stream is linear in the rare-feature postings, never quadratic in
+    * conversations (the same rare-feature trick as q23's band prefilter).
+    * Jaccard is exact over the rare sets, fixed-point x10000.
+    */
+  def convNearDup(turns: Dataset[Turn], dfCap: Int = 4,
+      minJaccardX10000: Long = 5000L): DataFrame = {
+    val shas = turns
+      .select(col("conv_id"), sha2(col("text"), 256).as("sha"))
+      .distinct()
+    // df via a sha-partitioned window COUNT so the cap filter rides the
+    // same exchange that the candidate self-join needs anyway
+    val rare = shas
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sha"))))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    val sizes = rare.groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
+    val pairs = rare.select(col("sha"), col("conv_id").as("conv_a"))
+      .join(rare.select(col("sha"), col("conv_id").as("conv_b")), "sha")
+      .filter(col("conv_a") < col("conv_b"))
+      .groupBy(col("conv_a"), col("conv_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("conv_id").as("conv_a"), col("n").as("n_a")), "conv_a")
+      .join(sizes.select(col("conv_id").as("conv_b"), col("n").as("n_b")), "conv_b")
+      .withColumn("jaccard_x10000",
+        expr("n_shared * 10000L div (n_a + n_b - n_shared)"))
+      .filter(col("jaccard_x10000") >= minJaccardX10000)
+      .select("conv_a", "conv_b", "n_shared", "n_a", "n_b", "jaccard_x10000")
+  }
+
+  /** q117: agent-loop detection — per conversation, the run-length
+    * structure of identical adjacent (role, text) turns. A stuck tool
+    * loop repeats one turn verbatim, so `max_run_len` spikes and
+    * `n_looped_turns` (turns that merely repeat their predecessor) is the
+    * exact char-free redundancy count. One conv-keyed window computes the
+    * change marker and the running run-id; both rollups are
+    * subset-clustered by the same hash partitioning — a single Exchange
+    * at any scale (the q115 shape).
+    */
+  def loopRuns(turns: Dataset[Turn]): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val marked = turns
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        sha2(col("text"), 256).as("sha"))
+      .withColumn("chg",
+        when(lag(col("sha"), 1).over(w).isNull
+          || lag(col("sha"), 1).over(w) =!= col("sha")
+          || lag(col("role"), 1).over(w) =!= col("role"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(w))
+    marked
+      .groupBy(col("conv_id"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("n_turns"),
+        max(col("run_len")).as("max_run_len"),
+        sum(when(col("run_len") > 1L, col("run_len") - 1L).otherwise(0L))
+          .as("n_looped_turns"))
+  }
+
+  /** q118: boilerplate-turn mining — turn texts repeated across at least
+    * `minConvs` distinct conversations (shared system preambles, canned
+    * banners). The inverse of q116's df cap: the HIGH-df shas q116
+    * discards are exactly the dedup-savings opportunity here. One sha
+    * groupBy; the distinct-conv count rides Spark's Expand rewrite, so
+    * both aggregates stay map-side partial.
+    */
+  def boilerplateTurns(turns: Dataset[Turn], minConvs: Long = 10L): DataFrame =
+    turns
+      .select(col("conv_id"), col("role"), sha2(col("text"), 256).as("sha"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy(col("sha"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("conv_id")).as("n_convs"),
+        max(col("role")).as("role"),
+        max(col("len")).as("n_chars"),
+        expr("(count(1) - 1) * max(len)").as("dedup_savings_chars"))
+      .filter(col("n_convs") >= minConvs)
+
   /** q115: role-alternation audit per conversation. One window pass
     * computes, per turn, the previous role, the previous NON-tool role
     * (last-ignore-nulls over the preceding frame), and the previous

@@ -609,6 +609,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"every window must partition by conv_id, got $specs:\n$p")
   }
 
+  test("conv near-dup: df-capped candidate join stays sha-equi-keyed, no cartesian") {
+    val turns = graft.synth.RetryCorpus.turns(spark, 24)
+    val p = plan(graft.ops.TranscriptOps.convNearDup(turns))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must never go all-pairs:\n$p")
+    // the df cap is computed by a sha-partitioned window BEFORE the
+    // self-join, so every join key is equi (sha, then conv ids)
+    assert("windowspecdefinition\\(sha".r.findAllIn(p).nonEmpty,
+      s"df cap must ride a sha-partitioned window:\n$p")
+  }
+
+  test("loop runs: one conv-keyed shuffle; both rollups reuse the window partitioning") {
+    val turns = graft.synth.RetryCorpus.turns(spark, 24)
+    val p = plan(graft.ops.TranscriptOps.loopRuns(turns))
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected a single shuffle:\n$p")
+    val specs = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_ == "windowspecdefinition(conv_id"),
+      s"every window must partition by conv_id, got $specs:\n$p")
+  }
+
+  test("boilerplate: distinct-conv rewrite keeps the sha aggregation two-phase") {
+    val turns = graft.synth.RetryCorpus.turns(spark, 24)
+    val p = plan(graft.ops.TranscriptOps.boilerplateTurns(turns))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"distinct rewrite grew extra shuffles:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("tool stats: distinct-conv rewrite keeps both aggregates map-side partial") {
     val turns = graft.synth.SynthDataset.turns(spark, 40)
     val p = plan(graft.ops.TranscriptOps.toolCallStats(turns))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.TranscriptOps
-import graft.synth.{Synth, SynthDataset}
+import graft.synth.{RetryCorpus, Synth, SynthDataset}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Local truths for the transcript-protocol audits: a driver-side
@@ -67,5 +67,73 @@ class TranscriptOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._4).sum > 0, "corpus must contain alternation breaks")
     assert(got.values.map(_._5).sum > 0, "corpus must contain tool-after-user")
     assert(got.values.map(_._6).sum == 0, "synth timestamps are strictly increasing")
+  }
+
+  // --- retry/loop corpus family (q116-q118) --------------------------------
+
+  private val NBase = 48
+  private lazy val retryCorpus = RetryCorpus.localCorpus(NBase)
+
+  private def sha256hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("convNearDup: exact df-capped Jaccard equals a driver recompute; retries found") {
+    import spark.implicits._
+    val shaSets = retryCorpus.groupBy(_.conv_id)
+      .map { case (c, ts) => c -> ts.map(t => sha256hex(t.text)).toSet }
+    val df = shaSets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val rareSets = shaSets.map { case (c, s) => c -> s.filter(df(_) <= 4) }
+    val convs = rareSets.keys.toSeq.sorted
+    val want = (for {
+      ai <- convs.indices; bi <- (ai + 1) until convs.length
+      a = convs(ai); b = convs(bi)
+      inter = (rareSets(a) & rareSets(b)).size.toLong if inter > 0
+      union = rareSets(a).size + rareSets(b).size - inter
+      jac = inter * 10000L / union if jac >= 5000L
+    } yield (a, b) -> ((inter, rareSets(a).size.toLong, rareSets(b).size.toLong, jac))).toMap
+    val got = TranscriptOps.convNearDup(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "planted retry twins must surface as near-dup pairs")
+    assert(got.values.exists(_._4 < 10000L), "perturbed retries must score below 1.0")
+    assert(got.keys.forall { case (a, b) => a < b }, "pair ordering must be strict")
+  }
+
+  test("loopRuns equals a driver recompute; planted loops spike max_run_len") {
+    import spark.implicits._
+    val want = retryCorpus.groupBy(_.conv_id).map { case (c, ts) =>
+      val s = ts.sortBy(_.turn_idx).map(t => (t.role, t.text))
+      val runLens = s.foldLeft(List.empty[((String, String), Long)]) {
+        case (acc, cur) => acc match {
+          case (h, n) :: rest if h == cur => (h, n + 1L) :: rest
+          case _                          => (cur, 1L) :: acc
+        }
+      }.map(_._2)
+      c -> ((runLens.size.toLong, s.size.toLong, runLens.max,
+        runLens.filter(_ > 1L).map(_ - 1L).sum))
+    }
+    val got = TranscriptOps.loopRuns(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._3 >= 3L), "planted stuck loops must produce runs >= 3")
+    assert(got.values.count(_._3 == 1L) > 0, "loop-free convs must stay at run length 1")
+  }
+
+  test("boilerplateTurns surfaces exactly the shared system preambles") {
+    import spark.implicits._
+    val got = TranscriptOps.boilerplateTurns(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, Long, Long, String, Long, Long)].collect()
+    val preShas = RetryCorpus.Preambles.map(sha256hex).toSet
+    assert(got.map(_._1).toSet == preShas,
+      "only the planted preambles cross the min-convs bar")
+    assert(got.forall(_._4 == "system"))
+    // every conversation carries exactly one preamble occurrence
+    assert(got.map(_._3).sum == retryCorpus.map(_.conv_id).distinct.size.toLong)
+    got.foreach { r =>
+      assert(r._6 == (r._2 - 1L) * r._5, s"savings arithmetic for ${r._1}")
+    }
   }
 }
