@@ -446,7 +446,14 @@ object SparkEntry {
     "q117_loop_runs" -> ((s, _) =>
       TranscriptOps.loopRuns(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
     "q118_boilerplate" -> ((s, _) =>
-      TranscriptOps.boilerplateTurns(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs)))
+      TranscriptOps.boilerplateTurns(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    // q116's pairs closed into connected components with a canonical
+    // keeper (the conversation-level pairs->clusters->keep-set chain);
+    // and per-tool exact-integer latency quantiles from inter-turn gaps
+    "q119_conv_clusters" -> ((s, _) =>
+      TranscriptOps.convDedupClusters(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    "q120_tool_latency" -> ((s, _) =>
+      TranscriptOps.toolLatency(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2259,6 +2266,65 @@ object SparkEntry {
                 CAST(max(len) AS BIGINT) AS n_chars,
                 CAST((count(*) - 1) * max(len) AS BIGINT) AS dedup_savings_chars
          FROM t GROUP BY sha
-         HAVING count(DISTINCT conv_id) >= 10"""
+         HAVING count(DISTINCT conv_id) >= 10""",
+    // q119: DuckDB re-derives q116's pair list, then closes it into
+    // connected components by recursive min-label propagation over conv_id
+    // STRINGS — the engine's dense numeric labels follow conv_id order, so
+    // both sides agree on the lexicographic-min canonical without the
+    // oracle ever seeing the id assignment
+    "q119_conv_clusters" ->
+      """WITH RECURSIVE
+         shas AS MATERIALIZED (
+           SELECT DISTINCT conv_id, sha256(text) AS sha
+           FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')),
+         rare AS MATERIALIZED (
+           SELECT conv_id, sha FROM (
+             SELECT conv_id, sha, count(*) OVER (PARTITION BY sha) AS df FROM shas)
+           WHERE df <= 4),
+         sizes AS (SELECT conv_id, count(*) AS n FROM rare GROUP BY 1),
+         p AS (
+           SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS ns
+           FROM rare a JOIN rare b USING (sha)
+           WHERE a.conv_id < b.conv_id GROUP BY 1, 2),
+         pairs AS MATERIALIZED (
+           SELECT conv_a, conv_b FROM p
+           JOIN sizes sa ON sa.conv_id = conv_a
+           JOIN sizes sb ON sb.conv_id = conv_b
+           WHERE ns * 10000 // (sa.n + sb.n - ns) >= 5000),
+         e AS (SELECT conv_a, conv_b FROM pairs
+               UNION SELECT conv_b, conv_a FROM pairs),
+         convs AS (SELECT DISTINCT conv_id FROM shas),
+         comp(conv_id, lbl) AS (
+           SELECT conv_id, conv_id FROM convs
+           UNION
+           SELECT e.conv_b, comp.lbl FROM comp JOIN e ON e.conv_a = comp.conv_id
+           WHERE comp.lbl < e.conv_b)
+         SELECT conv_id, min(lbl) AS canonical_conv,
+                (conv_id = min(lbl)) AS is_canonical
+         FROM comp GROUP BY conv_id""",
+    // q120: per-tool latency profile — same lag, same integer rank math
+    // (value at 1-based rank (n*p+99)//100), mean in HUGEINT/decimal
+    // before the x10000 scale on both sides
+    "q120_tool_latency" ->
+      """WITH t AS (SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS us
+                FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')),
+         l AS (SELECT tool, role,
+                      us - lag(us) OVER w AS latency_us,
+                      lag(us) OVER w AS prev_us
+               FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         f AS (SELECT tool, latency_us FROM l
+               WHERE role = 'tool' AND prev_us IS NOT NULL),
+         r AS (SELECT tool, latency_us,
+                      row_number() OVER (PARTITION BY tool ORDER BY latency_us) AS rn,
+                      count(*) OVER (PARTITION BY tool) AS n
+               FROM f)
+         SELECT tool,
+                CAST(count(*) AS BIGINT) AS n_calls,
+                CAST(min(latency_us) AS BIGINT) AS min_us,
+                CAST(max(latency_us) AS BIGINT) AS max_us,
+                CAST(sum(latency_us) * 10000 // count(*) AS BIGINT) AS mean_us_x10000,
+                CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN latency_us END) AS BIGINT) AS p50_us,
+                CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN latency_us END) AS BIGINT) AS p99_us
+         FROM r GROUP BY tool"""
   )
 }

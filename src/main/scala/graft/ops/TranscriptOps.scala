@@ -132,6 +132,71 @@ object TranscriptOps {
         expr("(count(1) - 1) * max(len)").as("dedup_savings_chars"))
       .filter(col("n_convs") >= minConvs)
 
+  /** q119: conversation dedup clusters — q116's near-dup pairs closed
+    * into connected components with a canonical keeper per cluster (the
+    * conversation-level twin of q36/q70's pairs→clusters→keep-set
+    * composition). `DedupOps.clusterEdges` needs numeric vertex ids (its
+    * convergence check sums labels as decimal), so conversations first
+    * get dense longs from `ShredOps.registry`'s two-phase global rank —
+    * and because that rank follows conv_id order, the component's min id
+    * IS the lexicographically smallest conv_id, which an oracle can
+    * recompute without ever seeing the engine's id assignment. Every
+    * join here shuffles (id, conv_id) pairs or pair edges only, never
+    * turn text.
+    */
+  def convDedupClusters(turns: Dataset[Turn], dfCap: Int = 4,
+      minJaccardX10000: Long = 5000L): DataFrame = {
+    val pairs = convNearDup(turns, dfCap, minJaccardX10000)
+      .select(col("conv_a"), col("conv_b"))
+    val ids = ShredOps.registry(turns.toDF())
+    val edges = pairs
+      .join(ids.select(col("conv_id").as("conv_a"), col("reg_id").as("doc_a")), "conv_a")
+      .join(ids.select(col("conv_id").as("conv_b"), col("reg_id").as("doc_b")), "conv_b")
+      .select(col("doc_a"), col("doc_b"))
+    DedupOps.clusterEdges(ids.select(col("reg_id").as("doc_id")), edges)
+      .join(ids.select(col("reg_id").as("doc_id"), col("conv_id")), "doc_id")
+      .join(ids.select(col("reg_id").as("cluster_id"),
+        col("conv_id").as("canonical_conv")), "cluster_id")
+      .select(col("conv_id"), col("canonical_conv"), col("is_canonical"))
+  }
+
+  /** q120: per-tool response-latency profile. Latency of a tool turn is
+    * the exact-µs gap to the turn before it (the turn that issued the
+    * call); tool→tool adjacency (retry bursts) counts too — that IS the
+    * retry cadence. Quantiles use the q83 integer rank recipe (value at
+    * 1-based rank `(n·p+99) div 100` of the sorted latencies) so there is
+    * no float-percentile semantics to reconcile; the mean rides
+    * decimal(38,0) before the x10000 scale because a per-tool µs sum
+    * overflows BIGINT at 10^12 turns. Two exchanges total: the conv-keyed
+    * lag window, then the tool-keyed rank window whose hash partitioning
+    * the rollup reuses (tools are a small set, and only (tool, latency)
+    * pairs cross the exchange — the q83 shape).
+    */
+  def toolLatency(turns: Dataset[Turn]): DataFrame = {
+    val wConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val lat = turns
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wConv))
+      .filter(col("role") === "tool" && col("prev_us").isNotNull)
+      .select(col("tool"), (col("us") - col("prev_us")).as("latency_us"))
+    val byTool = Window.partitionBy(col("tool"))
+    lat
+      .withColumn("rn", row_number().over(byTool.orderBy(col("latency_us"))))
+      .withColumn("n", count(lit(1)).over(byTool))
+      .groupBy(col("tool"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        min(col("latency_us")).as("min_us"),
+        max(col("latency_us")).as("max_us"),
+        expr("cast((sum(cast(latency_us as decimal(38,0))) * 10000) div count(1) as bigint)")
+          .as("mean_us_x10000"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("latency_us")))
+          .as("p50_us"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("latency_us")))
+          .as("p99_us"))
+  }
+
   /** q115: role-alternation audit per conversation. One window pass
     * computes, per turn, the previous role, the previous NON-tool role
     * (last-ignore-nulls over the preceding frame), and the previous

@@ -52,8 +52,15 @@ object RetryCorpus {
   /** Retry twin drops the last content turn for every fourth retried conv. */
   def retryDropsLast(i: Long): Boolean = hasRetry(i) && draw(NS + i, -5L, 0x24, 4) == 0
 
+  /** Per-turn inter-arrival gap in ms, 1.5-16.5 s — varied so latency
+    * profiles (q120) have real spread; conv spacing (900 s) still exceeds
+    * the max conversation span (~22 turns × 16.5 s).
+    */
+  def gapMs(i: Long, ti: Int): Long = 1500L + draw(NS + i, 4096L + ti, 0x31, 15000)
+
   private def ts(i: Long, ti: Int, retry: Boolean): Timestamp =
-    new Timestamp(1738368000000L + i * 900000L + ti * 9000L +
+    new Timestamp(1738368000000L + i * 900000L +
+      (1 to ti).map(gapMs(i, _)).sum +
       (if (retry) 86400000L else 0L))
 
   private def loopText(i: Long): String =

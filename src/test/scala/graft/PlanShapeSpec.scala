@@ -637,6 +637,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"unexpected join:\n$p")
   }
 
+  test("conv clusters: id mapping and label joins stay equi-keyed, no cartesian") {
+    val turns = graft.synth.RetryCorpus.turns(spark, 24)
+    val p = plan(graft.ops.TranscriptOps.convDedupClusters(turns))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster assembly must never go all-pairs:\n$p")
+  }
+
+  test("tool latency: two exchanges; windows keyed by conv_id then tool only") {
+    val turns = graft.synth.RetryCorpus.turns(spark, 24)
+    val p = plan(graft.ops.TranscriptOps.toolLatency(turns))
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"expected the conv-keyed lag + tool-keyed rank shuffles only:\n$p")
+    val specs = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSet
+    assert(specs.nonEmpty && specs.subsetOf(
+      Set("windowspecdefinition(conv_id", "windowspecdefinition(tool")),
+      s"windows must partition by conv_id or tool, got $specs:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("tool stats: distinct-conv rewrite keeps both aggregates map-side partial") {
     val turns = graft.synth.SynthDataset.turns(spark, 40)
     val p = plan(graft.ops.TranscriptOps.toolCallStats(turns))

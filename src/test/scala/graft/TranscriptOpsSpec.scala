@@ -122,6 +122,71 @@ class TranscriptOpsSpec extends AnyFunSuite {
     assert(got.values.count(_._3 == 1L) > 0, "loop-free convs must stay at run length 1")
   }
 
+  test("convDedupClusters equals a driver union-find; twins cluster, canonical is min") {
+    import spark.implicits._
+    // re-derive q116's pairs brute-force, then close them with union-find
+    val shaSets = retryCorpus.groupBy(_.conv_id)
+      .map { case (c, ts) => c -> ts.map(t => sha256hex(t.text)).toSet }
+    val df = shaSets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val rareSets = shaSets.map { case (c, s) => c -> s.filter(df(_) <= 4) }
+    val convs = rareSets.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(convs.map(c => c -> c): _*)
+    def find(c: String): String =
+      if (parent(c) == c) c else { val r = find(parent(c)); parent(c) = r; r }
+    for {
+      ai <- convs.indices; bi <- (ai + 1) until convs.length
+      a = convs(ai); b = convs(bi)
+      inter = (rareSets(a) & rareSets(b)).size.toLong if inter > 0
+      union = rareSets(a).size + rareSets(b).size - inter
+      if inter * 10000L / union >= 5000L
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val want = convs.map { c =>
+      val members = convs.filter(find(_) == find(c))
+      c -> ((members.min, c == members.min))
+    }.toMap
+    val got = TranscriptOps.convDedupClusters(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want)
+    assert(got.exists { case (c, (canon, _)) => c != canon },
+      "planted retry twins must form multi-conv clusters")
+    assert(got.count { case (c, (canon, _)) => c == canon } < got.size,
+      "at least one non-canonical member must exist")
+    // a retry twin always clusters under its base conv (rc- sorts below rr-)
+    got.collect { case (c, (canon, _)) if c.startsWith("rr-") && canon != c =>
+      assert(canon == c.replace("rr-", "rc-"), s"$c clustered under $canon")
+    }
+  }
+
+  test("toolLatency equals a driver recompute with exact rank quantiles") {
+    import spark.implicits._
+    val lats = retryCorpus.groupBy(_.conv_id).toSeq.flatMap { case (_, ts) =>
+      val s = ts.sortBy(_.turn_idx)
+      s.zip(s.drop(1)).collect {
+        case (prev, cur) if cur.role == "tool" =>
+          cur.tool -> (cur.ts.getTime - prev.ts.getTime) * 1000L
+      }
+    }
+    val want = lats.groupBy(_._1).map { case (tool, xs) =>
+      val v = xs.map(_._2).sorted
+      val n = v.size.toLong
+      def atRank(p: Long) = v(((n * p + 99L) / 100L - 1L).toInt)
+      tool -> ((n, v.min, v.max, v.map(BigInt(_)).sum * 10000 / n, atRank(50), atRank(99)))
+    }
+    val got = TranscriptOps.toolLatency(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, BigInt(r._5), r._6, r._7))).toMap
+    assert(got == want)
+    assert(got.size >= 2, "corpus must exercise more than one tool")
+    got.values.foreach { case (_, mn, mx, _, p50, p99) =>
+      assert(mn < mx, "jittered gaps must produce real spread")
+      assert(p50 <= p99 && mn <= p50 && p99 <= mx)
+    }
+  }
+
   test("boilerplateTurns surfaces exactly the shared system preambles") {
     import spark.implicits._
     val got = TranscriptOps.boilerplateTurns(RetryCorpus.turns(spark, NBase.toLong))
