@@ -453,7 +453,20 @@ object SparkEntry {
     "q119_conv_clusters" -> ((s, _) =>
       TranscriptOps.convDedupClusters(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
     "q120_tool_latency" -> ((s, _) =>
-      TranscriptOps.toolLatency(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs)))
+      TranscriptOps.toolLatency(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    // per-SPAN offset equality through the full extraction pipeline (the
+    // north rule's "character-span offsets recomputed per turn" made
+    // driver-visible): engine spans exploded to rows, compared against the
+    // generator's by-construction span layout — same trust model as q28's
+    // expected_text
+    "q121_extract_spans" -> ((s, _) =>
+      Pipeline.run(s, SynthDataset.turns(s, VerifyConvs))
+        .select(col("conv_id"), col("turn_idx"), posexplode(col("spans")))
+        .select(col("conv_id"), col("turn_idx"),
+          col("pos").cast("int").as("span_idx"),
+          col("col").getField("kind").as("span_kind"),
+          col("col").getField("start").as("span_start"),
+          col("col").getField("end").as("span_end")))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2325,6 +2338,13 @@ object SparkEntry {
                 CAST(sum(latency_us) * 10000 // count(*) AS BIGINT) AS mean_us_x10000,
                 CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN latency_us END) AS BIGINT) AS p50_us,
                 CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN latency_us END) AS BIGINT) AS p99_us
-         FROM r GROUP BY tool"""
+         FROM r GROUP BY tool""",
+    // q121: the generator materializes its by-construction span layout
+    // (golden_spans) exactly like it materializes expected_text for q28 —
+    // the oracle is the plain read, and a green row proves the engine's
+    // per-turn span offsets equal the builder's independent derivation
+    "q121_extract_spans" ->
+      """SELECT conv_id, turn_idx, span_idx, span_kind, span_start, span_end
+         FROM read_parquet('__SYNTH__/golden_spans.parquet/*.parquet')"""
   )
 }

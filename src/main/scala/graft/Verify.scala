@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, posexplode}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
@@ -51,6 +52,18 @@ object Verify {
         synth.WebDocs.docs(spark, SparkEntry.VerifyWebDocs)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/web_docs.parquet")
+      }
+      synthWrite("golden_spans", "q121 span-offset oracle (exploded from the generator's by-construction span layout)") {
+        synth.SynthDataset.golden(spark, SparkEntry.VerifyConvs)
+          .toDF()
+          .select(col("conv_id"), col("turn_idx"), posexplode(col("expected_spans")))
+          .select(col("conv_id"), col("turn_idx"),
+            col("pos").cast("int").as("span_idx"),
+            col("col").getField("kind").as("span_kind"),
+            col("col").getField("start").as("span_start"),
+            col("col").getField("end").as("span_end"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_spans.parquet")
       }
       synthWrite("retry_turns", "q116-q118 conversation-redundancy oracles") {
         synth.RetryCorpus.turns(spark, SparkEntry.VerifyRetryConvs)

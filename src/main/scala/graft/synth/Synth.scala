@@ -30,7 +30,8 @@ object Synth {
       ts: Timestamp,
       kind: String,
       expected_text: String,
-      expected_failure: Option[String]
+      expected_failure: Option[String],
+      expected_spans: Seq[graft.model.Span]
   ) {
     def turn: Turn = Turn(conv_id, turn_idx, role, text, tool, ts)
   }
@@ -196,6 +197,37 @@ object Synth {
 
   // --- assembly -------------------------------------------------------------
 
+  /** Expected character-span offsets (north rule: spans recomputed per
+    * turn), derived from the BUILDER's layout knowledge — every payload
+    * kind composes `expected_text` with a fixed separator discipline, so
+    * the generator can place span boundaries without ever consulting the
+    * extractor: html = content blocks joined "\n\n"; pdfir = one "line"
+    * span per reading-order line; markdown = [title, p1, fence, p2]
+    * joined "\n\n" with block 2 the `code` fence interior (fence bodies
+    * never contain blank lines by construction); tool/plain = one span
+    * over the whole output. Failures extract to nothing, so no spans.
+    */
+  def expectedSpans(kind: String, expected: String,
+      failure: Option[String]): Seq[graft.model.Span] = {
+    import graft.model.Span
+    def joined(blocks: Seq[String], sep: Int, kindAt: Int => String): Seq[Span] = {
+      var cur = 0
+      blocks.zipWithIndex.map { case (b, i) =>
+        val s = cur; cur += b.length + sep
+        Span(kindAt(i), s, s + b.length)
+      }
+    }
+    if (failure.isDefined || expected.isEmpty) Seq.empty
+    else kind match {
+      case "tool"     => Seq(Span("tool", 0, expected.length))
+      case "pdfir"    => joined(expected.split('\n').toIndexedSeq, 1, _ => "line")
+      case "html"     => joined(expected.split("\n\n").toIndexedSeq, 2, _ => "content")
+      case "markdown" => joined(expected.split("\n\n").toIndexedSeq, 2,
+        i => if (i == 2) "code" else "content")
+      case _          => Seq(Span("content", 0, expected.length))
+    }
+  }
+
   def goldenTurn(convIdx: Long, turnIdx: Int): GoldenTurn = {
     val kind =
       if (draw(convIdx, turnIdx, 0x01, 17) == 0) "plain"
@@ -219,7 +251,8 @@ object Synth {
       ts = new Timestamp(1735689600000L + convIdx * 1000000L + turnIdx * 7000L),
       kind = kind,
       expected_text = expected,
-      expected_failure = failure
+      expected_failure = failure,
+      expected_spans = expectedSpans(kind, expected, failure)
     )
   }
 

@@ -60,6 +60,22 @@ class GoldenExtractionSpec extends AnyFunSuite {
     }
   }
 
+  test("per-turn SPAN equality vs the builder's by-construction layout") {
+    var multi = 0; var code = 0; var line = 0
+    corpus.foreach { g =>
+      val (_, res) = Extract.one(g.text)
+      assert(res.spans == g.expected_spans,
+        s"(${g.conv_id},${g.turn_idx}) kind=${g.kind}\n--- got:\n${res.spans}\n--- expected:\n${g.expected_spans}\n--- text:\n${res.text.take(400)}")
+      if (res.spans.length > 1) multi += 1
+      code += res.spans.count(_.kind == "code")
+      line += res.spans.count(_.kind == "line")
+    }
+    // the equality must be exercised on real structure, not all-singletons
+    assert(multi > 100, s"too few multi-span turns: $multi")
+    assert(code > 20, s"too few code spans: $code")
+    assert(line > 100, s"too few line spans: $line")
+  }
+
   test("extraction is total: never throws on mutated inputs") {
     // mutate corpus texts: truncate at arbitrary points, inject garbage
     corpus.take(500).zipWithIndex.foreach { case (g, i) =>

@@ -637,6 +637,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"unexpected join:\n$p")
   }
 
+  test("span explode rides the pipeline's single shuffle: Generate, no extra exchange") {
+    val turns = graft.synth.SynthDataset.turns(spark, 40)
+    val p = plan(Pipeline.run(spark, turns)
+      .select(org.apache.spark.sql.functions.col("conv_id"),
+        org.apache.spark.sql.functions.col("turn_idx"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.col("spans"))))
+    assert(p.contains("Generate"), s"span explode must compile to Generate:\n$p")
+    // the pipeline itself costs 2 (salted repartition + tiny long-conv
+    // pre-agg, same budget as the baseline pipeline assert); posexplode
+    // must ride above them without adding a third
+    val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"posexplode must not add a shuffle ($exchanges):\n$p")
+  }
+
   test("conv clusters: id mapping and label joins stay equi-keyed, no cartesian") {
     val turns = graft.synth.RetryCorpus.turns(spark, 24)
     val p = plan(graft.ops.TranscriptOps.convDedupClusters(turns))
