@@ -459,6 +459,11 @@ object SparkEntry {
     // driver-visible): engine spans exploded to rows, compared against the
     // generator's by-construction span layout — same trust model as q28's
     // expected_text
+    // exact conversation dedup: order-sensitive fingerprint (sha over
+    // per-turn text shas in turn order) collapses unperturbed retry
+    // replays before the near-dup pass — the q70 composition one level up
+    "q122_conv_exact_dups" -> ((s, _) =>
+      TranscriptOps.convFingerprintDups(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
     "q121_extract_spans" -> ((s, _) =>
       Pipeline.run(s, SynthDataset.turns(s, VerifyConvs))
         .select(col("conv_id"), col("turn_idx"), posexplode(col("spans")))
@@ -2345,6 +2350,19 @@ object SparkEntry {
     // per-turn span offsets equal the builder's independent derivation
     "q121_extract_spans" ->
       """SELECT conv_id, turn_idx, span_idx, span_kind, span_start, span_end
-         FROM read_parquet('__SYNTH__/golden_spans.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/golden_spans.parquet/*.parquet')""",
+    // q122: DuckDB rebuilds the order-sensitive fingerprint (sha256 over
+    // ordered per-turn shas) and re-derives the dup groups
+    "q122_conv_exact_dups" ->
+      """WITH f AS (
+           SELECT conv_id,
+                  sha256(string_agg(sha256(text), '' ORDER BY turn_idx)) AS fingerprint
+           FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')
+           GROUP BY conv_id)
+         SELECT fingerprint,
+                CAST(count(*) AS BIGINT) AS n_convs,
+                min(conv_id) AS canonical_conv
+         FROM f GROUP BY fingerprint
+         HAVING count(*) >= 2"""
   )
 }

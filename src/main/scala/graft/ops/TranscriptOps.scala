@@ -197,6 +197,29 @@ object TranscriptOps {
           .as("p99_us"))
   }
 
+  /** q122: exact conversation-level dedup — the exact-before-near twin of
+    * q116/q119. A conversation's fingerprint is sha256 over its per-turn
+    * text shas concatenated in turn order (order-SENSITIVE: the same
+    * turns replayed in a different order are a different conversation),
+    * so an unperturbed retry replay collapses exactly, leaving only the
+    * perturbed twins for the near-dup pass — the q70 composition at the
+    * conversation level. One conv-keyed aggregation carrying 32-byte shas
+    * (never text), then a fingerprint-keyed rollup of dup groups; both
+    * exchanges move (id, sha) pairs only.
+    */
+  def convFingerprintDups(turns: Dataset[Turn], minConvs: Long = 2L): DataFrame =
+    turns
+      .select(col("conv_id"), col("turn_idx"), sha2(col("text"), 256).as("sha"))
+      .groupBy(col("conv_id"))
+      .agg(sha2(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("sha")))),
+        x => x.getField("sha")), ""), 256).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        min(col("conv_id")).as("canonical_conv"))
+      .filter(col("n_convs") >= minConvs)
+
   /** q115: role-alternation audit per conversation. One window pass
     * computes, per turn, the previous role, the previous NON-tool role
     * (last-ignore-nulls over the preceding frame), and the previous

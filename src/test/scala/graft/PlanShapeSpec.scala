@@ -652,6 +652,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"posexplode must not add a shuffle ($exchanges):\n$p")
   }
 
+  test("conv fingerprint dups: two sha-only exchanges, map-side partials, no join") {
+    val turns = graft.synth.RetryCorpus.turns(spark, 24)
+    val p = plan(graft.ops.TranscriptOps.convFingerprintDups(turns))
+    assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"expected the conv-keyed then fingerprint-keyed exchanges only:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), s"unexpected join:\n$p")
+  }
+
   test("conv clusters: id mapping and label joins stay equi-keyed, no cartesian") {
     val turns = graft.synth.RetryCorpus.turns(spark, 24)
     val p = plan(graft.ops.TranscriptOps.convDedupClusters(turns))

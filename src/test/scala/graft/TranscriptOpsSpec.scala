@@ -187,6 +187,35 @@ class TranscriptOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("convFingerprintDups: exact replays collapse; perturbed twins do not") {
+    import spark.implicits._
+    val fps = retryCorpus.groupBy(_.conv_id).map { case (c, ts) =>
+      val joined = ts.sortBy(_.turn_idx).map(t => sha256hex(t.text)).mkString
+      c -> sha256hex(joined)
+    }
+    val want = fps.groupBy(_._2).collect {
+      case (fp, members) if members.size >= 2 =>
+        fp -> ((members.size.toLong, members.map(_._1).min))
+    }.toMap
+    val got = TranscriptOps.convFingerprintDups(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "some retry twins must replay unperturbed (exact dups)")
+    // every exact-dup group really is turn-for-turn identical text
+    val textByConv = retryCorpus.groupBy(_.conv_id)
+      .view.mapValues(_.sortBy(_.turn_idx).map(_.text)).toMap
+    fps.groupBy(_._2).values.filter(_.size >= 2).foreach { members =>
+      val texts = members.map(m => textByConv(m._1)).toSeq
+      assert(texts.distinct.size == 1, "fingerprint collision on differing convs")
+    }
+    // and perturbed twins stay OUT of the exact groups (near-dup's job)
+    val exactConvs = fps.groupBy(_._2).values.filter(_.size >= 2).flatten.map(_._1).toSet
+    val perturbedTwin = retryCorpus.map(_.conv_id).distinct
+      .filter(c => c.startsWith("rr-") && !exactConvs.contains(c))
+    assert(perturbedTwin.nonEmpty, "corpus must also contain perturbed (non-exact) twins")
+  }
+
   test("boilerplateTurns surfaces exactly the shared system preambles") {
     import spark.implicits._
     val got = TranscriptOps.boilerplateTurns(RetryCorpus.turns(spark, NBase.toLong))
