@@ -471,7 +471,12 @@ object SparkEntry {
           col("pos").cast("int").as("span_idx"),
           col("col").getField("kind").as("span_kind"),
           col("col").getField("start").as("span_start"),
-          col("col").getField("end").as("span_end")))
+          col("col").getField("end").as("span_end"))),
+    // exact phrase search over a positional index: contains() prunes the
+    // candidate docs before the explode, then the adjacency check is a
+    // per-term chain of (doc_id, pos+i) equi-joins over the query terms'
+    // postings only — never a full-index scan; TakeOrdered caps output
+    "q123_phrase_query" -> ((s, d) => TextOps.phraseQuery(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2363,6 +2368,22 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_convs,
                 min(conv_id) AS canonical_conv
          FROM f GROUP BY fingerprint
-         HAVING count(*) >= 2"""
+         HAVING count(*) >= 2""",
+    // q123: DuckDB rebuilds the positional index (generate_subscripts is
+    // 1-based, matching the engine's pos+1) and re-runs the adjacency join
+    "q123_phrase_query" ->
+      s"""WITH sp AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS l
+              FROM documents),
+         w AS (SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS pos FROM sp)
+         SELECT a.doc_id AS doc_id,
+                CAST(count(*) AS BIGINT) AS n_matches,
+                CAST(min(a.pos) AS BIGINT) AS first_pos
+         FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         WHERE a.word = '${TextOps.PhraseDefaultTerms(0)}'
+           AND b.word = '${TextOps.PhraseDefaultTerms(1)}'
+         GROUP BY a.doc_id
+         ORDER BY n_matches DESC, a.doc_id ASC
+         LIMIT ${TextOps.PhraseK}"""
   )
 }

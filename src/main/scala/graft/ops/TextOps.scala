@@ -503,4 +503,57 @@ object TextOps {
       .select(col("lang"), col("pct"), col("bucket"),
         col("bucket_hi").as("est_token_count_hi"), col("n").as("n_docs"))
   }
+
+  /** Default phrase for [[phraseQuery]] — present at both verify scales
+    * (~45 occurrences across ~45 docs each).
+    */
+  val PhraseDefaultTerms: Seq[String] = Seq("part", "filter")
+  val PhraseK = 50
+
+  /** Exact phrase search over a POSITIONAL index: documents containing
+    * the query terms as adjacent tokens, ranked by occurrence count —
+    * the positional extension of the q101 inverted index (the reference's
+    * NL→SQL agent answers "which documents mention X" lookups over the
+    * shredded text columns, ref: agents/sql_agent/langchain_sql_agent.py:36-44;
+    * a phrase predicate is the exact-match version of that lookup).
+    *
+    * Scale shape: a `text.contains(term)` conjunction prunes candidate
+    * documents BEFORE the positional explode (substring containment is a
+    * superset of token-adjacency, so no match is lost), then only the
+    * query terms' postings survive the explode — the adjacency check is a
+    * per-term chain of (doc_id, pos+i) EQUI-joins over those postings,
+    * never a scan of the full index. Shuffled bytes are (doc_id, pos)
+    * pairs of matched terms only; occurrences of a phrase with repeated
+    * tokens overlap correctly (positions, not token consumption). Ranking
+    * is a TakeOrderedAndProject (count desc, doc_id asc), so only k rows
+    * reach the driver.
+    */
+  def phraseQuery(
+      spark: SparkSession, dir: String,
+      phrase: Seq[String] = PhraseDefaultTerms, k: Int = PhraseK): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val pruned = table(spark, dir, "documents")
+      .filter(phrase.distinct.map(t => col("text").contains(t)).reduce(_ && _))
+    // 1-based positions (matches DuckDB generate_subscripts)
+    val toks = pruned
+      .select(col("doc_id"),
+        posexplode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+      .filter(col("word").isin(phrase.distinct: _*))
+    val base = toks.filter(col("word") === phrase.head)
+      .select(col("doc_id"), col("pos").as("start"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(base) { case (acc, (t, i)) =>
+      val nxt = toks.filter(col("word") === t)
+        .select(col("doc_id").as(s"d_$i"), col("pos").as(s"p_$i"))
+      acc.join(nxt,
+        acc("doc_id") === nxt(s"d_$i") && nxt(s"p_$i") === acc("start") + i)
+        .select(col("doc_id"), col("start"))
+    }
+    matched
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -565,6 +565,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("phraseQuery: adjacency matches a local recompute; 1-based first_pos") {
+    import spark.implicits._
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val Seq(t0, t1) = TextOps.PhraseDefaultTerms
+    val want = docs.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val starts = toks.indices.dropRight(1)
+        .filter(i => toks(i) == t0 && toks(i + 1) == t1)
+      if (starts.isEmpty) None
+      else Some((id, starts.length.toLong, (starts.min + 1).toLong))
+    }.sortBy(r => (-r._2, r._1)).take(TextOps.PhraseK).toSeq
+    val got = TextOps.phraseQuery(spark, dir).as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "corpus must contain the default phrase")
+  }
+
+  test("phraseQuery: repeated-token phrases count overlapping occurrences") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("phraseq").toString
+    Seq((1L, "batch batch batch end", "en", "s", 4L),
+        (2L, "batch end batch batch", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.phraseQuery(spark, tmp, Seq("batch", "batch"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: positions 1-2 and 2-3 overlap -> 2 matches; doc 2: one match
+    assert(got == Seq((1L, 2L, 1L), (2L, 1L, 3L)))
+  }
+
   test("bm25TopK: exact integer chain matches a local recompute; ordering pinned") {
     import spark.implicits._
     val docs = RelationalOps.table(spark, dir, "documents")

@@ -353,6 +353,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("phrase query: contains() prunes before the explode, top-k without global sort") {
+    val p = plan(graft.ops.TextOps.phraseQuery(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Contains"), s"candidate-doc prefilter missing:\n$p")
+    // the adjacency join must key on (doc_id, position), never broadcast
+    // the full postings of a frequent term as a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"adjacency degenerated to NLJ:\n$p")
+  }
+
   test("priority sample: global bottom-k is TakeOrderedAndProject, not a sort") {
     val p = plan(graft.ops.TrainingOps.prioritySample(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
