@@ -476,7 +476,11 @@ object SparkEntry {
     // candidate docs before the explode, then the adjacency check is a
     // per-term chain of (doc_id, pos+i) equi-joins over the query terms'
     // postings only — never a full-index scan; TakeOrdered caps output
-    "q123_phrase_query" -> ((s, d) => TextOps.phraseQuery(s, d))
+    "q123_phrase_query" -> ((s, d) => TextOps.phraseQuery(s, d)),
+    // ordered 3-step funnel (view -> click -> purchase) per user: two
+    // last-ignore-nulls carries over ONE user-keyed window — sequential
+    // pattern matching with no join and a single Exchange at any scale
+    "q124_funnel" -> ((s, d) => RelationalOps.funnel(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2384,6 +2388,38 @@ object SparkEntry {
            AND b.word = '${TextOps.PhraseDefaultTerms(1)}'
          GROUP BY a.doc_id
          ORDER BY n_matches DESC, a.doc_id ASC
-         LIMIT ${TextOps.PhraseK}"""
+         LIMIT ${TextOps.PhraseK}""",
+    // q124: DuckDB re-runs the same two IGNORE-NULLS carries and the
+    // conversion predicate in exact integer µs (epoch_us == unix_micros)
+    "q124_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         x AS (SELECT *,
+                last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+               FROM e),
+         y AS (SELECT *,
+                CASE WHEN event_type = 'click' AND last_view_us IS NOT NULL
+                          AND us - last_view_us <= ${RelationalOps.FunnelStepUs}
+                     THEN us END AS qual_click_us
+               FROM x),
+         z AS (SELECT *,
+                last_value(qual_click_us IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lqc
+               FROM y),
+         f AS (SELECT *,
+                (event_type = 'purchase' AND lqc IS NOT NULL
+                 AND us - lqc <= ${RelationalOps.FunnelStepUs}) AS converted
+               FROM z)
+         SELECT user_id,
+                CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_views,
+                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks,
+                CAST(count(*) FILTER (qual_click_us IS NOT NULL) AS BIGINT) AS n_qual_clicks,
+                CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+                CAST(count(*) FILTER (converted) AS BIGINT) AS n_conversions,
+                CAST(coalesce(min(CASE WHEN converted THEN us - lqc END), -1) AS BIGINT) AS min_convert_us,
+                CAST(coalesce(max(CASE WHEN converted THEN us - lqc END), -1) AS BIGINT) AS max_convert_us
+         FROM f GROUP BY user_id"""
   )
 }

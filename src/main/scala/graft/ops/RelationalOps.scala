@@ -301,6 +301,59 @@ object RelationalOps {
       .agg(count(bucketed("event_id")).as("n_followups"))
   }
 
+  /** Per-step window for [[funnel]] (1 day in µs — calibrated so the
+    * synthetic 30-day stream converts ~10% of purchases at both verify
+    * scales: the interesting middle, not 0% or 100%).
+    */
+  val FunnelStepUs = 86400000000L
+
+  /** Ordered 3-step funnel (view → click → purchase) per user: a click
+    * QUALIFIES if a view precedes it within the step window; a purchase
+    * CONVERTS if a qualified click precedes it within the window — the
+    * standard product-analytics sequence query (the event-stream
+    * generalization of the reference's task-state progression,
+    * ref: app.py:172-186 PENDING → SUCCESS/FAILURE per document).
+    *
+    * Scale shape: sequential pattern matching needs NO join — two
+    * last-ignore-nulls carries over ONE user-partitioned window (the
+    * second window reuses the first's sort AND hash partitioning, and the
+    * per-user rollup subset-clusters on it too), so the whole funnel
+    * costs a single user-keyed Exchange at any corpus size
+    * (plan-asserted). Ties order by (us, event_id) on both sides; all
+    * arithmetic is exact integer µs; `-1` sentinels keep the no-conversion
+    * aggregates NULL-free (ids and µs are non-negative).
+    */
+  def funnel(spark: SparkSession, dir: String, stepUs: Long = FunnelStepUs): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(prior))
+      .withColumn("qual_click_us",
+        when(col("event_type") === "click"
+          && col("last_view_us").isNotNull
+          && col("us") - col("last_view_us") <= stepUs, col("us")))
+      .withColumn("last_qual_click_us",
+        last(col("qual_click_us"), ignoreNulls = true).over(prior))
+      .withColumn("converted",
+        col("event_type") === "purchase"
+          && col("last_qual_click_us").isNotNull
+          && col("us") - col("last_qual_click_us") <= stepUs)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("qual_click_us").isNotNull, 1L).otherwise(0L)).as("n_qual_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_conversions"),
+        coalesce(min(when(col("converted"), col("us") - col("last_qual_click_us"))),
+          lit(-1L)).as("min_convert_us"),
+        coalesce(max(when(col("converted"), col("us") - col("last_qual_click_us"))),
+          lit(-1L)).as("max_convert_us"))
+  }
+
   /** KMV sketch size. */
   val KmvK = 64
 

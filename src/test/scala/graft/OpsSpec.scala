@@ -489,6 +489,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists(_._4 >= 0L), "corpus must exercise real matches")
   }
 
+  test("funnel matches a brute-force sequential-scan recompute; both regimes present") {
+    import spark.implicits._
+    val ev = RelationalOps.table(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val w = RelationalOps.FunnelStepUs
+    val want = ev.groupBy(_._2).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      var lastView = -1L
+      var lastQualClick = -1L
+      var (nv, nc, nq, np, nconv) = (0L, 0L, 0L, 0L, 0L)
+      var convLags = Vector.empty[Long]
+      ordered.foreach { case (_, _, us, tpe) =>
+        tpe match {
+          case "click" =>
+            nc += 1
+            if (lastView >= 0 && us - lastView <= w) { nq += 1; lastQualClick = us }
+          case "purchase" =>
+            np += 1
+            if (lastQualClick >= 0 && us - lastQualClick <= w) {
+              nconv += 1; convLags :+= (us - lastQualClick)
+            }
+          case _ => ()
+        }
+        // carries see only PRECEDING rows, so update view state after
+        if (tpe == "view") { nv += 1; lastView = us }
+      }
+      u -> ((nv, nc, nq, np, nconv,
+        if (convLags.isEmpty) -1L else convLags.min,
+        if (convLags.isEmpty) -1L else convLags.max))
+    }
+    val got = RelationalOps.funnel(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._5 > 0L), "corpus must contain conversions")
+    assert(got.values.exists(v => v._5 < v._4), "corpus must contain non-converting purchases")
+  }
+
   test("rangeFollowups matches a brute-force interval count, incl. zero-followup errors") {
     import spark.implicits._
     val ev = RelationalOps.table(spark, dir, "events")

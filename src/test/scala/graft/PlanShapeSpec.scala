@@ -331,6 +331,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"asof must shuffle exactly once (user-keyed window):\n$p")
   }
 
+  test("funnel: sequential pattern match costs ONE user-keyed Exchange, no join") {
+    val p = plan(graft.ops.RelationalOps.funnel(spark, dir))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"funnel must shuffle exactly once (user-keyed window + subset-clustered rollup):\n$p")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+  }
+
   test("range followups: bucketed EQUI-join, never a cartesian or NLJ") {
     val p = plan(graft.ops.RelationalOps.rangeFollowups(spark, dir))
     assert(!p.contains("CartesianProduct"), s"range join degenerated:\n$p")
