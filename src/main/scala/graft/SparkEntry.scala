@@ -480,7 +480,13 @@ object SparkEntry {
     // ordered 3-step funnel (view -> click -> purchase) per user: two
     // last-ignore-nulls carries over ONE user-keyed window — sequential
     // pattern matching with no join and a single Exchange at any scale
-    "q124_funnel" -> ((s, d) => RelationalOps.funnel(s, d))
+    "q124_funnel" -> ((s, d) => RelationalOps.funnel(s, d)),
+    // per-tool outcome audit over the retry corpus: exact-prefix ok/err
+    // status parse, fixed-point error rate, and the unresolved-failure
+    // count (convs whose LAST call to the tool errored) — two
+    // count-carrying aggs, no join, no window
+    "q125_tool_outcomes" -> ((s, _) =>
+      TranscriptOps.toolOutcomes(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2420,6 +2426,31 @@ object SparkEntry {
                 CAST(count(*) FILTER (converted) AS BIGINT) AS n_conversions,
                 CAST(coalesce(min(CASE WHEN converted THEN us - lqc END), -1) AS BIGINT) AS min_convert_us,
                 CAST(coalesce(max(CASE WHEN converted THEN us - lqc END), -1) AS BIGINT) AS max_convert_us
-         FROM f GROUP BY user_id"""
+         FROM f GROUP BY user_id""",
+    // q125: DuckDB re-parses the frame headers with the same exact
+    // prefix test and re-derives the last-call status via arg_max
+    "q125_tool_outcomes" ->
+      """WITH f AS (
+           SELECT conv_id, turn_idx, tool,
+                  CASE WHEN starts_with(text, '[tool:' || tool || ' status=err]') THEN 'err'
+                       WHEN starts_with(text, '[tool:' || tool || ' status=ok]') THEN 'ok'
+                       ELSE 'unknown' END AS status
+           FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')
+           WHERE role = 'tool'),
+         c AS (
+           SELECT conv_id, tool,
+                  count(*) AS n_calls,
+                  count(*) FILTER (status = 'ok') AS n_ok,
+                  count(*) FILTER (status = 'err') AS n_err,
+                  arg_max(status, turn_idx) AS last_status
+           FROM f GROUP BY conv_id, tool)
+         SELECT tool,
+                CAST(sum(n_calls) AS BIGINT) AS n_calls,
+                CAST(sum(n_ok) AS BIGINT) AS n_ok,
+                CAST(sum(n_err) AS BIGINT) AS n_err,
+                CAST((sum(n_err) * 10000) // sum(n_calls) AS BIGINT) AS err_rate_x10000,
+                CAST(count(*) AS BIGINT) AS n_convs,
+                CAST(count(*) FILTER (last_status = 'err') AS BIGINT) AS n_convs_ending_err
+         FROM c GROUP BY tool"""
   )
 }

@@ -220,6 +220,44 @@ object TranscriptOps {
         min(col("conv_id")).as("canonical_conv"))
       .filter(col("n_convs") >= minConvs)
 
+  /** q125: per-tool outcome audit — ok/err status parsed from the frame
+    * header (exact prefix test against the turn's own tool name, no
+    * regex), error rate in fixed point, and the STUCK signal: how many
+    * conversations' LAST call to the tool was an error (an unresolved
+    * failure — the conversation never saw that tool succeed again; the
+    * reference's terminal FAILURE task state, ref: app.py:172-186).
+    *
+    * Scale shape: two count-carrying aggregations — a (conv_id, tool)
+    * rollup (carrying counts + the arg-max status, never text) feeding a
+    * tool-keyed final; no join, no window. At 10^12 turns the first
+    * exchange moves one row per (conversation, tool) pair, the second one
+    * row per tool.
+    */
+  def toolOutcomes(turns: Dataset[Turn]): DataFrame = {
+    val frames = turns
+      .filter(col("role") === "tool")
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        when(expr("startswith(text, concat('[tool:', tool, ' status=err]'))"), lit("err"))
+          .when(expr("startswith(text, concat('[tool:', tool, ' status=ok]'))"), lit("ok"))
+          .otherwise(lit("unknown")).as("status"))
+    frames
+      .groupBy(col("conv_id"), col("tool"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status") === "err", 1L).otherwise(0L)).as("n_err"),
+        max_by(col("status"), col("turn_idx")).as("last_status"))
+      .groupBy(col("tool"))
+      .agg(
+        sum(col("n_calls")).as("n_calls"),
+        sum(col("n_ok")).as("n_ok"),
+        sum(col("n_err")).as("n_err"),
+        expr("(sum(n_err) * 10000L) div sum(n_calls)").as("err_rate_x10000"),
+        count(lit(1)).as("n_convs"),
+        sum(when(col("last_status") === "err", 1L).otherwise(0L))
+          .as("n_convs_ending_err"))
+  }
+
   /** q115: role-alternation audit per conversation. One window pass
     * computes, per turn, the previous role, the previous NON-tool role
     * (last-ignore-nulls over the preceding frame), and the previous

@@ -216,6 +216,35 @@ class TranscriptOpsSpec extends AnyFunSuite {
     assert(perturbedTwin.nonEmpty, "corpus must also contain perturbed (non-exact) twins")
   }
 
+  test("toolOutcomes equals a driver recompute; stuck loops end their convs in err") {
+    import spark.implicits._
+    val frames = retryCorpus.filter(_.role == "tool").map { t =>
+      val status =
+        if (t.text.startsWith(s"[tool:${t.tool} status=err]")) "err"
+        else if (t.text.startsWith(s"[tool:${t.tool} status=ok]")) "ok"
+        else "unknown"
+      (t.conv_id, t.turn_idx, t.tool, status)
+    }
+    val want = frames.groupBy(_._3).map { case (tool, fs) =>
+      val nOk = fs.count(_._4 == "ok").toLong
+      val nErr = fs.count(_._4 == "err").toLong
+      val byConv = fs.groupBy(_._1)
+      val endErr = byConv.values.count(_.maxBy(_._2)._4 == "err").toLong
+      tool -> ((fs.size.toLong, nOk, nErr, nErr * 10000L / fs.size,
+        byConv.size.toLong, endErr))
+    }
+    val got = TranscriptOps.toolOutcomes(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == want)
+    // every frame parsed: the prefix test must never fall through
+    assert(frames.forall(_._4 != "unknown"), "corpus frames must all parse")
+    // the planted terminal loops are shell errors — only shell has them
+    assert(got("shell")._6 > 0L, "stuck-loop convs must end shell in err")
+    assert(got("browser")._3 == 0L && got("pdf_reader")._3 == 0L,
+      "only the loop tool errors in this corpus")
+  }
+
   test("boilerplateTurns surfaces exactly the shared system preambles") {
     import spark.implicits._
     val got = TranscriptOps.boilerplateTurns(RetryCorpus.turns(spark, NBase.toLong))
