@@ -486,7 +486,11 @@ object SparkEntry {
     // count (convs whose LAST call to the tool errored) — two
     // count-carrying aggs, no join, no window
     "q125_tool_outcomes" -> ((s, _) =>
-      TranscriptOps.toolOutcomes(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs)))
+      TranscriptOps.toolOutcomes(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    // temperature-flattened source-mixture weights (n^(1/2) in exact
+    // integers via the shared isqrt fragment): one bounded source agg +
+    // one broadcast totals row — the corpus never shuffles
+    "q126_temperature_mix" -> ((s, d) => TrainingOps.temperatureMix(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2451,6 +2455,24 @@ object SparkEntry {
                 CAST((sum(n_err) * 10000) // sum(n_calls) AS BIGINT) AS err_rate_x10000,
                 CAST(count(*) AS BIGINT) AS n_convs,
                 CAST(count(*) FILTER (last_status = 'err') AS BIGINT) AS n_convs_ending_err
-         FROM c GROUP BY tool"""
+         FROM c GROUP BY tool""",
+    // q126: DuckDB evaluates the SAME corrected-isqrt fragment and the
+    // same fixed-point share/boost chain (// == div on non-negatives)
+    "q126_temperature_mix" ->
+      s"""WITH per AS (
+           SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT *, ${TrainingOps.isqrtSql("n_tokens")} AS weight FROM per),
+         t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot_w,
+                      CAST(sum(n_tokens) AS BIGINT) AS tot_t FROM w)
+         SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
+                CAST((weight * 10000) // tot_w AS BIGINT) AS share_x10000,
+                CAST((n_tokens * 10000) // tot_t AS BIGINT) AS raw_share_x10000,
+                CAST(CASE WHEN (n_tokens * 10000) // tot_t = 0 THEN -1
+                     ELSE ((weight * 10000) // tot_w * 10000)
+                          // ((n_tokens * 10000) // tot_t) END AS BIGINT) AS boost_x10000
+         FROM w, t"""
   )
 }

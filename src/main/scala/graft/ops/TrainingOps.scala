@@ -373,6 +373,55 @@ object TrainingOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("frac_x10000"))
   }
 
+  /** Exact integer square root as a shared SQL fragment: IEEE floor-sqrt
+    * with a ±1 boundary correction, exact for any non-negative BIGINT
+    * below 2^62 — the one fragment BOTH the engine column and the DuckDB
+    * oracle evaluate, so temperature weights can't drift across engines
+    * the way a raw float `sqrt` could at perfect-square boundaries.
+    */
+  def isqrtSql(x: String): String = {
+    val s = s"CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT)"
+    s"(CASE WHEN ($s + 1) * ($s + 1) <= ($x) THEN $s + 1" +
+      s" WHEN $s * $s > ($x) THEN $s - 1 ELSE $s END)"
+  }
+
+  /** Temperature-flattened source-mixture weights (the data-recipe step
+    * behind multilingual/multi-domain pretraining mixes: sample sources
+    * proportional to n^alpha with alpha = 1/2, so small sources are
+    * upweighted relative to their raw share). All fixed point: weight =
+    * isqrt(n_tokens) exactly (shared engine/oracle fragment above),
+    * share_x10000 = weight·10⁴ div Σweight vs raw_share_x10000 =
+    * n_tokens·10⁴ div Σtokens; boost_x10000 = share·10⁴ div raw_share is
+    * the per-source up/downsampling factor a sampler would apply.
+    *
+    * Scale shape: one source-keyed aggregation (map-side combined,
+    * bounded by source cardinality), then the two totals ride back as a
+    * BROADCAST one-row frame — the corpus never shuffles, the final
+    * arithmetic is a projection over #sources rows.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .select(col("source"),
+        size(filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("weight", expr(isqrtSql("n_tokens")))
+    val totals = per.agg(
+      sum(col("weight")).as("tot_w"), sum(col("n_tokens")).as("tot_t"))
+    per
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        expr("(weight * 10000L) div tot_w").as("share_x10000"),
+        expr("(n_tokens * 10000L) div tot_t").as("raw_share_x10000"),
+        // -1 sentinel when a source is too small to register a raw share
+        // (div-by-zero guard; cannot occur at verify scales)
+        expr("""CASE WHEN (n_tokens * 10000L) div tot_t = 0 THEN -1L
+                ELSE ((weight * 10000L) div tot_w * 10000L)
+                     div ((n_tokens * 10000L) div tot_t) END""")
+          .as("boost_x10000"))
+  }
+
   /** Per-cell document cap for [[clusterBalancedSample]]. */
   val DefaultCellCap = 40L
 

@@ -605,6 +605,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("temperatureMix: exact isqrt weights and fixed-point shares match a recompute") {
+    import spark.implicits._
+    def isqrt(n: Long): Long = {
+      var x = math.max(0L, math.sqrt(n.toDouble).toLong)
+      while (x > 0 && x * x > n) x -= 1
+      while ((x + 1) <= 3037000499L && (x + 1) * (x + 1) <= n) x += 1
+      x
+    }
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val per = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ((ds.length.toLong,
+        ds.map(_._2.trim.split("\\s+").count(_.nonEmpty).toLong).sum))
+    }
+    val totW = per.values.map(v => isqrt(v._2)).sum
+    val totT = per.values.map(_._2).sum
+    val want = per.map { case (s, (nd, nt)) =>
+      val w = isqrt(nt)
+      val share = w * 10000L / totW
+      val raw = nt * 10000L / totT
+      s -> ((nd, nt, w, share, raw, if (raw == 0) -1L else share * 10000L / raw))
+    }
+    val got = TrainingOps.temperatureMix(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == want)
+    assert(got.size > 1, "corpus must contain several sources")
+  }
+
+  test("isqrtSql fragment is exact at perfect-square boundaries (Spark side)") {
+    import spark.implicits._
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 99L, 100L, 101L,
+      (1L << 31) - 1, 1L << 31, 4611686014132420608L /* 2147483647^2 - 1 */,
+      4611686014132420609L /* 2147483647^2 */)
+    val got = ns.toDF("n")
+      .selectExpr(s"n", s"${TrainingOps.isqrtSql("n")} AS r")
+      .as[(Long, Long)].collect().toMap
+    ns.foreach { n =>
+      val r = got(n)
+      assert(r * r <= n && (r + 1) * (r + 1) > n, s"isqrt($n) = $r wrong")
+    }
+  }
+
   test("phraseQuery: adjacency matches a local recompute; 1-based first_pos") {
     import spark.implicits._
     val docs = RelationalOps.table(spark, dir, "documents")

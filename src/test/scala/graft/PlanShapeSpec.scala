@@ -346,6 +346,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bucket"), s"join must key on the time bucket:\n$p")
   }
 
+  test("temperature mix: totals broadcast; only the bounded source agg shuffles") {
+    val p = plan(graft.ops.TrainingOps.temperatureMix(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"totals join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("cluster-balanced sample: vectors never shuffle; fractions broadcast") {
     val p = plan(graft.ops.TrainingOps.clusterBalancedSample(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"cell fractions must broadcast:\n$p")
