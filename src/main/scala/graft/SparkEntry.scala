@@ -490,7 +490,28 @@ object SparkEntry {
     // temperature-flattened source-mixture weights (n^(1/2) in exact
     // integers via the shared isqrt fragment): one bounded source agg +
     // one broadcast totals row — the corpus never shuffles
-    "q126_temperature_mix" -> ((s, d) => TrainingOps.temperatureMix(s, d))
+    "q126_temperature_mix" -> ((s, d) => TrainingOps.temperatureMix(s, d)),
+    // exact Levenshtein verification of q116's candidate pairs over
+    // bounded 256-char prefixes: per-pair per-turn cost is a constant,
+    // and only candidate-conversation turns carry prefixes across an
+    // exchange — the verify stage of the conversation-dedup pipeline
+    "q127_retry_edit_stats" -> ((s, _) =>
+      TranscriptOps.retryEditStats(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    // per-day first-seen 3-gram novelty (corpus freshness): grams hash to
+    // sha256 before any exchange; the planted retry wave shows up as the
+    // later days' novelty collapsing
+    "q128_gram_novelty" -> ((s, _) =>
+      TranscriptOps.gramNovelty(graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    // small-file compaction planner: per-source next-fit size bins from a
+    // running-offset window — ONE source-keyed exchange, plan is a pure
+    // function of the table so any executor computes the same bins
+    "q129_compaction_plan" -> ((s, d) => TrainingOps.compactionPlan(s, d)),
+    // weekly cohort retention matrix over events in exact integer weeks:
+    // the only event-sized exchange is the (user, week) distinct
+    "q130_retention" -> ((s, d) => RelationalOps.retention(s, d)),
+    // Gopher-style quality gate: per-rule 0/1 flags + composed pass from
+    // ONE (doc_id, word) aggregation chain; text never crosses a shuffle
+    "q131_gopher_gate" -> ((s, d) => TextOps.gopherGate(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2473,6 +2494,133 @@ object SparkEntry {
                 CAST(CASE WHEN (n_tokens * 10000) // tot_t = 0 THEN -1
                      ELSE ((weight * 10000) // tot_w * 10000)
                           // ((n_tokens * 10000) // tot_t) END AS BIGINT) AS boost_x10000
-         FROM w, t"""
+         FROM w, t""",
+    // q127: DuckDB re-derives q116's candidate pairs (same CTEs), then
+    // recomputes the per-aligned-turn Levenshtein over the same 256-char
+    // prefix (both engines count codepoint edits; the corpus is ASCII)
+    "q127_retry_edit_stats" ->
+      """WITH shas AS MATERIALIZED (
+           SELECT DISTINCT conv_id, sha256(text) AS sha
+           FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')),
+         rare AS MATERIALIZED (
+           SELECT conv_id, sha FROM (
+             SELECT conv_id, sha, count(*) OVER (PARTITION BY sha) AS df FROM shas)
+           WHERE df <= 4),
+         sizes AS (SELECT conv_id, count(*) AS n FROM rare GROUP BY 1),
+         pairs AS (
+           SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS n_shared
+           FROM rare a JOIN rare b USING (sha)
+           WHERE a.conv_id < b.conv_id GROUP BY 1, 2),
+         cand AS (
+           SELECT conv_a, conv_b FROM pairs
+           JOIN sizes sa ON sa.conv_id = conv_a
+           JOIN sizes sb ON sb.conv_id = conv_b
+           WHERE n_shared * 10000 // (sa.n + sb.n - n_shared) >= 5000),
+         t AS MATERIALIZED (SELECT conv_id, turn_idx, substr(text, 1, 256) AS txt
+              FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')),
+         d AS (SELECT conv_a, conv_b, levenshtein(a.txt, b.txt) AS dist
+               FROM cand
+               JOIN t a ON a.conv_id = conv_a
+               JOIN t b ON b.conv_id = conv_b AND b.turn_idx = a.turn_idx)
+         SELECT conv_a, conv_b,
+                CAST(count(*) AS BIGINT) AS n_aligned,
+                CAST(count(*) FILTER (dist = 0) AS BIGINT) AS n_identical,
+                CAST(count(*) FILTER (dist > 0) AS BIGINT) AS n_perturbed,
+                CAST(sum(dist) AS BIGINT) AS total_edit,
+                CAST(max(dist) AS BIGINT) AS max_edit
+         FROM d GROUP BY conv_a, conv_b""",
+    // q128: DuckDB rebuilds the word 3-grams per turn (lead-window over
+    // 1-based positions), buckets by the same integer day, and re-derives
+    // first-seen novelty; sha256(gram) == sha2(gram, 256)
+    "q128_gram_novelty" ->
+      """WITH sp AS (SELECT conv_id, turn_idx,
+                epoch_us(ts) // 86400000000 AS day,
+                list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS l
+              FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')),
+         w AS (SELECT conv_id, turn_idx, day, unnest(l) AS word,
+                generate_subscripts(l, 1) AS pos FROM sp),
+         g AS (SELECT day,
+                sha256(word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win) AS sha,
+                lead(word, 2) OVER win AS w2
+               FROM w WINDOW win AS (PARTITION BY conv_id, turn_idx ORDER BY pos)),
+         pdg AS (SELECT day, sha, count(*) AS occ FROM g WHERE w2 IS NOT NULL GROUP BY 1, 2),
+         pd AS (SELECT day, count(*) AS n_distinct_grams,
+                sum(occ) AS n_gram_occurrences FROM pdg GROUP BY 1),
+         fs AS (SELECT sha, min(day) AS first_day FROM pdg GROUP BY sha),
+         nn AS (SELECT first_day AS day, count(*) AS n_new_grams FROM fs GROUP BY 1)
+         SELECT pd.day AS day,
+                CAST(n_gram_occurrences AS BIGINT) AS n_gram_occurrences,
+                CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
+                CAST(coalesce(n_new_grams, 0) AS BIGINT) AS n_new_grams,
+                CAST(coalesce(n_new_grams, 0) * 10000 // n_distinct_grams AS BIGINT) AS novelty_x10000
+         FROM pd LEFT JOIN nn ON nn.day = pd.day""",
+    // q129: DuckDB recomputes the running-offset next-fit bins with the
+    // same exclusive-prefix window sum and integer floor division
+    "q129_compaction_plan" ->
+      s"""WITH d AS (SELECT source, doc_id, n_chars,
+                coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+              FROM documents)
+         SELECT source, CAST(pre // ${TrainingOps.CompactionTargetChars} AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                CAST(max(doc_id) AS BIGINT) AS max_doc_id
+         FROM d GROUP BY 1, 2""",
+    // q130: DuckDB re-buckets epoch-µs to integer weeks and rebuilds the
+    // cohort matrix (// == div on non-negative epochs)
+    "q130_retention" ->
+      """WITH wk AS (SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+         cs AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, week FROM wk),
+         r AS (SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_active
+               FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+         SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+                CAST(week_offset AS BIGINT) AS week_offset,
+                CAST(n_active AS BIGINT) AS n_active,
+                CAST(cohort_size AS BIGINT) AS cohort_size,
+                CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_x10000
+         FROM r JOIN cs USING (cohort_week)""",
+    // q131: DuckDB re-derives every Gopher rule from the same
+    // (doc_id, word) aggregation chain in exact integers
+    "q131_gopher_gate" ->
+      s"""WITH w AS (SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS word
+              FROM documents),
+         dw AS (SELECT doc_id, word, count(*) AS cnt, max(length(word)) AS wlen
+                FROM w GROUP BY 1, 2),
+         d AS (SELECT doc_id,
+                sum(cnt) AS n_words,
+                count(*) AS n_distinct_words,
+                max(cnt) AS top_word_cnt,
+                sum(cnt * wlen) AS n_word_chars,
+                sum(CASE WHEN word IN (${TextOps.GopherStopwords.map("'" + _ + "'").mkString(", ")})
+                    THEN cnt ELSE 0 END) AS n_stopwords
+               FROM dw GROUP BY 1),
+         f AS (SELECT *,
+                n_word_chars * 100 // n_words AS mean_wordlen_x100,
+                top_word_cnt * 10000 // n_words AS top_word_x10000,
+                CASE WHEN n_words BETWEEN ${TextOps.GopherMinWords} AND ${TextOps.GopherMaxWords}
+                     THEN 1 ELSE 0 END AS flag_words,
+                CASE WHEN n_stopwords >= ${TextOps.GopherMinStopwords} THEN 1 ELSE 0 END AS flag_stopwords
+               FROM d),
+         f2 AS (SELECT *,
+                CASE WHEN mean_wordlen_x100 BETWEEN ${TextOps.GopherMinMeanLenX100} AND ${TextOps.GopherMaxMeanLenX100}
+                     THEN 1 ELSE 0 END AS flag_wordlen,
+                CASE WHEN top_word_x10000 <= ${TextOps.GopherMaxTopWordX10000} THEN 1 ELSE 0 END AS flag_topword
+               FROM f)
+         SELECT doc_id,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+                CAST(mean_wordlen_x100 AS BIGINT) AS mean_wordlen_x100,
+                CAST(n_stopwords AS BIGINT) AS n_stopwords,
+                CAST(top_word_x10000 AS BIGINT) AS top_word_x10000,
+                CAST(flag_words AS BIGINT) AS flag_words,
+                CAST(flag_wordlen AS BIGINT) AS flag_wordlen,
+                CAST(flag_stopwords AS BIGINT) AS flag_stopwords,
+                CAST(flag_topword AS BIGINT) AS flag_topword,
+                CAST(flag_words * flag_wordlen * flag_stopwords * flag_topword AS BIGINT) AS pass
+         FROM f2"""
   )
 }

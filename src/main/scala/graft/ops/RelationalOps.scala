@@ -578,4 +578,34 @@ object RelationalOps {
       .withColumn(
         "class_name",
         regexp_replace(initcap(regexp_replace(col("doc_type"), "_", " ")), " ", ""))
+
+  /** q130: weekly cohort retention over the event stream — the standard
+    * usage-analytics matrix (cohort week × week offset → distinct users
+    * still active), in exact integers: day = epoch-µs floor-div 86400e6,
+    * week = day div 7, so every engine agrees on the bucket without
+    * timezone/date-function semantics in the loop. Three aggregations,
+    * all user-keyed or smaller: the cohort map is one groupBy(user) over
+    * events; activity distinct-ifies (user, week) — the only event-sized
+    * exchange; the cohort join is user-keyed against a users-sized frame
+    * (AQE broadcasts it when small); the final rollup is cohort×offset,
+    * a constant-sized grid. Retention is fixed-point x10000 against the
+    * cohort's size.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = table(spark, dir, "events")
+      .select(col("user_id"),
+        expr("(unix_micros(cast(ts as timestamp)) div 86400000000L) div 7").as("week"))
+    val cohorts = weeks
+      .groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val cohortSizes = cohorts
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSizes, "cohort_week")
+      .withColumn("retention_x10000", expr("n_active * 10000L div cohort_size"))
+  }
 }

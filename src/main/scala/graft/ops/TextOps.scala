@@ -556,4 +556,60 @@ object TextOps {
       .orderBy(col("n_matches").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Gopher-rule bounds (Rae et al. 2021 §A1.1.2 shape, bounds tuned to
+    * this corpus's single-line word-soup): word-count window, mean word
+    * length 3-10 chars, ≥2 stopword occurrences, most-frequent word ≤20%
+    * of tokens. Line-based rules (bullet/ellipsis fractions) are omitted
+    * because the corpus is newline-free — documented, not forgotten.
+    */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLenX100 = 300L
+  val GopherMaxMeanLenX100 = 1000L
+  val GopherMinStopwords = 2L
+  val GopherMaxTopWordX10000 = 2000L
+  val GopherStopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in")
+
+  /** q131: Gopher-style document quality gate — per-document rule flags
+    * (0/1 longs, so the oracle hashes exact integers) plus the composed
+    * `pass` gate. All rules derive from ONE (doc_id, word) aggregation
+    * chain: explode → groupBy(doc_id, word) → groupBy(doc_id), carrying
+    * counts and summed lengths only — two map-side-combinable exchanges
+    * whose second reuses nothing wider than (doc_id, small ints); text
+    * never crosses a shuffle. Every ratio is exact fixed-point, so the
+    * gate is bit-identical at any parallelism.
+    */
+  def gopherGate(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"), max(length(col("word"))).cast("long").as("wlen"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("cnt")).as("top_word_cnt"),
+        sum(col("cnt") * col("wlen")).as("n_word_chars"),
+        sum(when(col("word").isin(GopherStopwords: _*), col("cnt")).otherwise(0L))
+          .as("n_stopwords"))
+      .withColumn("mean_wordlen_x100", expr("n_word_chars * 100L div n_words"))
+      .withColumn("top_word_x10000", expr("top_word_cnt * 10000L div n_words"))
+      .withColumn("flag_words",
+        when(col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords, 1L)
+          .otherwise(0L))
+      .withColumn("flag_wordlen",
+        when(col("mean_wordlen_x100") >= GopherMinMeanLenX100
+          && col("mean_wordlen_x100") <= GopherMaxMeanLenX100, 1L).otherwise(0L))
+      .withColumn("flag_stopwords",
+        when(col("n_stopwords") >= GopherMinStopwords, 1L).otherwise(0L))
+      .withColumn("flag_topword",
+        when(col("top_word_x10000") <= GopherMaxTopWordX10000, 1L).otherwise(0L))
+      .withColumn("pass",
+        col("flag_words") * col("flag_wordlen") * col("flag_stopwords") * col("flag_topword"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("mean_wordlen_x100"), col("n_stopwords"), col("top_word_x10000"),
+        col("flag_words"), col("flag_wordlen"), col("flag_stopwords"),
+        col("flag_topword"), col("pass"))
 }

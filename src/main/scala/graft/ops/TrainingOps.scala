@@ -747,4 +747,39 @@ object TrainingOps {
           .otherwise(lit(0L)).as("ctx_tokens"),
         sha2(array_join(transform(col("kept"), x => x("txt")), "\n"), 256).as("ctx_sha"))
   }
+
+  /** ~13 docs per bin at the corpus's ~300-char mean: big enough that
+    * bins have real fill variance, small enough that every source packs
+    * several bins even at the smallest verify scale (25 docs/source).
+    */
+  val CompactionTargetChars = 4000L
+
+  /** q129: compaction plan — group each source's documents into
+    * target-size bins by running-offset next-fit, the planner half of the
+    * small-file compaction every long-lived 100 TB table needs (the write
+    * half is `shardLayout`). A doc's bin is `cumulative_chars_before div
+    * targetChars` under the stable (source, doc_id) order, so the plan is
+    * a pure function of the table — any executor, any parallelism, same
+    * bins — and an oracle can recompute it from scratch. One exchange: the
+    * source-keyed window whose hash partitioning the (source, bin) rollup
+    * reuses. Per-source sequential packing is inherently ordered, so the
+    * parallelism unit is the source (fine: compaction runs per partition
+    * of a partitioned table; a single monster source would instead be
+    * range-sharded by `shardLayout` itself).
+    */
+  def compactionPlan(spark: SparkSession, dir: String,
+      targetChars: Long = CompactionTargetChars): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("pre", coalesce(
+        sum(col("n_chars")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"pre div ${targetChars}L"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
 }

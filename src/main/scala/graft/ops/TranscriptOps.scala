@@ -258,6 +258,83 @@ object TranscriptOps {
           .as("n_convs_ending_err"))
   }
 
+  /** q127: exact edit-distance verification of the near-dup candidate
+    * pairs — the stage AFTER q116's candidate generation, quantifying HOW
+    * the retry twin differs from its base run. For each candidate pair the
+    * turns are aligned on `turn_idx` and compared by Levenshtein distance
+    * over a bounded prefix (`prefixLen`): the cap makes the per-turn cost
+    * a constant (O(prefixLen²) worst case) instead of O(len²) on an
+    * unbounded payload, which is the difference between "bounded CPU per
+    * pair" and "one 1 MB turn stalls an executor core" at 10^12 turns. The
+    * corpus never fans out: the turn table is filtered to candidate
+    * conversations by two conv-keyed joins against the (df-capped, hence
+    * bounded) pair list, so only candidate-pair turns carry text prefixes
+    * across an exchange. Distances are exact integers; `n_identical` /
+    * `n_perturbed` split the aligned turns, and unaligned turns (a twin
+    * that DROPPED a turn) surface as `n_a`/`n_b` minus `n_aligned` via
+    * q116's sizes — here as the conservative inner-join count.
+    */
+  def retryEditStats(turns: Dataset[Turn], dfCap: Int = 4,
+      minJaccardX10000: Long = 5000L, prefixLen: Int = 256): DataFrame = {
+    val pairs = convNearDup(turns, dfCap, minJaccardX10000)
+      .select(col("conv_a"), col("conv_b"))
+    val t = turns.select(col("conv_id"), col("turn_idx"),
+      substring(col("text"), 1, prefixLen).as("txt"))
+    pairs
+      .join(t.select(col("conv_id").as("conv_a"), col("turn_idx"),
+        col("txt").as("txt_a")), Seq("conv_a"))
+      .join(t.select(col("conv_id").as("conv_b"), col("turn_idx"),
+        col("txt").as("txt_b")), Seq("conv_b", "turn_idx"))
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")).cast("long"))
+      .groupBy(col("conv_a"), col("conv_b"))
+      .agg(
+        count(lit(1)).as("n_aligned"),
+        sum(when(col("dist") === 0L, 1L).otherwise(0L)).as("n_identical"),
+        sum(when(col("dist") > 0L, 1L).otherwise(0L)).as("n_perturbed"),
+        sum(col("dist")).as("total_edit"),
+        max(col("dist")).as("max_edit"))
+  }
+
+  /** q128: per-day first-seen n-gram novelty — how much of each day's
+    * text is NEW versus replayed from earlier days. Over the retry corpus
+    * this is the corpus-freshness counter that catches the planted retry
+    * wave: twins replay a day later, so day N+1's novelty collapses. Each
+    * turn's word 3-grams are hashed to sha256 immediately, so every
+    * exchange moves 32-byte digests, never gram text; `groupBy(day, sha)`
+    * then `groupBy(sha)` are the only corpus-sized shuffles and both are
+    * map-side combinable. Novelty is exact fixed-point x10000.
+    */
+  def gramNovelty(turns: Dataset[Turn], n: Int = 3): DataFrame = {
+    val grams = turns
+      .select(
+        expr("unix_micros(ts) div 86400000000L").as("day"),
+        filter(split(trim(col("text")), "\\s+"), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("day"), explode(
+        expr(s"transform(sequence(0, size(w) - $n), " +
+          s"i -> concat_ws(' ', ${(0 until n).map(j => s"w[i + $j]").mkString(", ")}))"))
+        .as("gram"))
+      .select(col("day"), sha2(col("gram"), 256).as("sha"))
+    val perDayGram = grams
+      .groupBy(col("day"), col("sha"))
+      .agg(count(lit(1)).as("occ"))
+    val perDay = perDayGram
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(col("occ")).as("n_gram_occurrences"))
+    val firstSeen = perDayGram
+      .groupBy(col("sha"))
+      .agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day"))
+      .agg(count(lit(1)).as("n_new_grams"))
+    perDay
+      .join(firstSeen, perDay("day") === firstSeen("first_day"), "left")
+      .select(col("day"), col("n_gram_occurrences"), col("n_distinct_grams"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"))
+      .withColumn("novelty_x10000",
+        expr("n_new_grams * 10000L div n_distinct_grams"))
+  }
+
   /** q115: role-alternation audit per conversation. One window pass
     * computes, per turn, the previous role, the previous NON-tool role
     * (last-ignore-nulls over the preceding frame), and the previous

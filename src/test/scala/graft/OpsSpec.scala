@@ -1009,4 +1009,85 @@ class OpsSpec extends AnyFunSuite {
       assert(b == bucket(ex), s"$lang p$pct: exact $ex not in estimate bucket $b")
     }
   }
+
+  test("compactionPlan equals a sequential next-fit recompute; bins respect doc order") {
+    import spark.implicits._
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+    val target = TrainingOps.CompactionTargetChars
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var pre = 0L
+      rows.sortBy(_._2).toSeq.map { case (_, id, n) =>
+        val bin = pre / target; pre += n; (src, bin, id, n)
+      }
+    }.groupBy(r => (r._1, r._2)).map { case ((src, bin), rs) =>
+      (src, bin) -> ((rs.size.toLong, rs.map(_._4).sum, rs.map(_._3).min, rs.map(_._3).max))
+    }
+    val got = TrainingOps.compactionPlan(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == want)
+    assert(got.keys.groupBy(_._1).values.exists(_.size >= 2),
+      "at least one source must span multiple bins")
+    // bins are doc-id ranges: within a source, a later bin starts after
+    // the previous bin's max doc id (next-fit never reorders)
+    got.keys.groupBy(_._1).foreach { case (src, ks) =>
+      val ordered = ks.toSeq.sortBy(_._2).map(k => got(k))
+      ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+        assert(a._4 < b._3, s"$src: bin ranges must be disjoint and ordered")
+      }
+    }
+  }
+
+  test("retention equals a driver cohort recompute; matrix has multiple offsets") {
+    import spark.implicits._
+    val ev = RelationalOps.table(spark, dir, "events")
+      .select($"user_id", unix_micros($"ts".cast("timestamp")))
+      .as[(Long, Long)].collect()
+    val weeks = ev.map { case (u, us) => (u, us / 86400000000L / 7L) }
+    val cohorts = weeks.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val sizes = cohorts.values.groupBy(identity).map { case (c, o) => c -> o.size.toLong }
+    val want = weeks.distinct.map { case (u, w) => (cohorts(u), w - cohorts(u)) }
+      .groupBy(identity).map { case ((c, off), o) =>
+        (c, off) -> ((o.size.toLong, sizes(c), o.size.toLong * 10000L / sizes(c)))
+      }
+    val got = RelationalOps.retention(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == want)
+    assert(got.keys.map(_._2).size >= 2, "events span several weeks of offsets")
+    assert(got.filter(_._1._2 == 0L).values.forall(v => v._1 == v._2),
+      "offset 0 retains the whole cohort by definition")
+  }
+
+  test("gopherGate equals a driver recompute; every rule fails somewhere") {
+    import spark.implicits._
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.map { case (id, text) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      val n = ws.length.toLong
+      val meanX100 = ws.map(_.length.toLong).sum * 100L / n
+      val nStop = ws.count(TextOps.GopherStopwords.contains).toLong
+      val topX10000 = ws.groupBy(identity).values.map(_.size).max.toLong * 10000L / n
+      def b(x: Boolean) = if (x) 1L else 0L
+      val flags = (
+        b(n >= TextOps.GopherMinWords && n <= TextOps.GopherMaxWords),
+        b(meanX100 >= TextOps.GopherMinMeanLenX100 && meanX100 <= TextOps.GopherMaxMeanLenX100),
+        b(nStop >= TextOps.GopherMinStopwords),
+        b(topX10000 <= TextOps.GopherMaxTopWordX10000))
+      id -> ((n, ws.distinct.length.toLong, meanX100, nStop, topX10000,
+        flags._1, flags._2, flags._3, flags._4,
+        flags._1 * flags._2 * flags._3 * flags._4))
+    }.toMap
+    val got = TextOps.gopherGate(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._10 == 1L), "some documents must pass the gate")
+    assert(got.values.exists(_._10 == 0L), "some documents must fail the gate")
+    assert(got.values.exists(_._6 == 0L), "word-count rule must fire")
+    assert(got.values.exists(_._9 == 0L), "top-word rule must fire")
+  }
 }

@@ -714,4 +714,58 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"unexpected join:\n$p")
   }
+
+  test("retry edit stats: candidate filter joins stay equi-keyed, no cartesian") {
+    val turns = graft.synth.RetryCorpus.turns(spark, 24)
+    val p = plan(graft.ops.TranscriptOps.retryEditStats(turns))
+    // the Levenshtein verify stage must only ever align turns of
+    // CANDIDATE pairs via (conv, turn_idx) equi-joins — an all-pairs
+    // fallback here would be quadratic in conversations
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit verification must never go all-pairs:\n$p")
+    assert(p.contains("levenshtein"), s"distance must be the codegen'd builtin:\n$p")
+  }
+
+  test("gram novelty: grams hash to sha before any exchange; aggs stay two-phase") {
+    val turns = graft.synth.RetryCorpus.turns(spark, 24)
+    val p = plan(graft.ops.TranscriptOps.gramNovelty(turns))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty must stay key-joined:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    // day-gram partials, per-day rollup, first-seen, new-per-day, final
+    // join — bounded exchange budget, none carrying gram text
+    assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 5,
+      s"novelty grew extra shuffles:\n$p")
+  }
+
+  test("compaction plan: one source-keyed exchange; rollup reuses the window partitioning") {
+    val p = plan(graft.ops.TrainingOps.compactionPlan(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected a single shuffle:\n$p")
+    val specs = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_ == "windowspecdefinition(source"),
+      s"running offsets must partition by source, got $specs:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>")
+      || p.contains("ReadSchema: struct<doc_id:bigint") && !p.contains("text:string"),
+      s"scan must prune the payload column:\n$p")
+  }
+
+  test("retention: user/cohort joins stay equi-keyed; no event text, no cartesian") {
+    val p = plan(graft.ops.RelationalOps.retention(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort matrix must stay key-joined:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"cohort map must aggregate map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+      s"scan must prune events to (ts, user_id):\n$p")
+  }
+
+  test("gopher gate: two map-side-combinable exchanges, no join, pruned scan") {
+    val p = plan(graft.ops.TextOps.gopherGate(spark, dir))
+    assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"expected (doc_id, word) then doc_id exchanges only:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+  }
 }

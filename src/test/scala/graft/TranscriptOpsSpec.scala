@@ -245,6 +245,78 @@ class TranscriptOpsSpec extends AnyFunSuite {
       "only the loop tool errors in this corpus")
   }
 
+  test("retryEditStats equals a driver recompute with exact prefix Levenshtein") {
+    import spark.implicits._
+    // q116's candidate pairs, re-derived brute force (same as above)
+    val shaSets = retryCorpus.groupBy(_.conv_id)
+      .map { case (c, ts) => c -> ts.map(t => sha256hex(t.text)).toSet }
+    val df = shaSets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val rareSets = shaSets.map { case (c, s) => c -> s.filter(df(_) <= 4) }
+    val convs = rareSets.keys.toSeq.sorted
+    val cand = for {
+      ai <- convs.indices; bi <- (ai + 1) until convs.length
+      a = convs(ai); b = convs(bi)
+      inter = (rareSets(a) & rareSets(b)).size.toLong if inter > 0
+      union = rareSets(a).size + rareSets(b).size - inter
+      if inter * 10000L / union >= 5000L
+    } yield (a, b)
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val cur = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(b.length).toLong
+    }
+    val byConv = retryCorpus.groupBy(_.conv_id)
+      .map { case (c, ts) => c -> ts.map(t => t.turn_idx -> t.text.take(256)).toMap }
+    val want = cand.map { case (a, b) =>
+      val (ta, tb) = (byConv(a), byConv(b))
+      val dists = ta.keys.toSeq.filter(tb.contains).map(i => lev(ta(i), tb(i)))
+      (a, b) -> ((dists.size.toLong, dists.count(_ == 0L).toLong,
+        dists.count(_ > 0L).toLong, dists.sum, dists.max))
+    }.toMap
+    val got = TranscriptOps.retryEditStats(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._3 > 0L), "planted perturbations must register edits")
+    assert(got.values.forall(v => v._2 + v._3 == v._1), "identical+perturbed == aligned")
+    assert(got.values.exists(v => v._2 > 0L && v._3 > 0L),
+      "twins mix replayed and perturbed turns")
+  }
+
+  test("gramNovelty equals a driver recompute; the retry wave collapses novelty") {
+    import spark.implicits._
+    val grams = retryCorpus.flatMap { t =>
+      val ws = t.text.trim.split("\\s+").filter(_.nonEmpty)
+      val day = t.ts.getTime / 86400000L
+      ws.sliding(3).filter(_.length == 3).map(g => (day, g.mkString(" ")))
+    }
+    val perDayGram = grams.groupBy(identity).map { case ((d, g), o) => (d, g, o.size.toLong) }
+    val perDay = perDayGram.groupBy(_._1)
+      .map { case (d, rs) => d -> ((rs.size.toLong, rs.map(_._3).sum)) }
+    val firstSeen = perDayGram.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._1).min }
+    val newPerDay = firstSeen.values.groupBy(identity).map { case (d, o) => d -> o.size.toLong }
+    val want = perDay.map { case (d, (nd, no)) =>
+      val nn = newPerDay.getOrElse(d, 0L)
+      d -> ((no, nd, nn, nn * 10000L / nd))
+    }
+    val got = TranscriptOps.gramNovelty(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == want)
+    assert(got.size >= 2, "corpus must span several days")
+    val ordered = got.toSeq.sortBy(_._1).map(_._2._4)
+    assert(ordered.last < ordered.head,
+      "replayed retry twins must collapse later-day novelty below day 0's")
+  }
+
   test("boilerplateTurns surfaces exactly the shared system preambles") {
     import spark.implicits._
     val got = TranscriptOps.boilerplateTurns(RetryCorpus.turns(spark, NBase.toLong))
