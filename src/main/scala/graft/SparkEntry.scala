@@ -40,6 +40,12 @@ object SparkEntry {
   /** Base conversations in the planted retry/loop corpus (q116-q118). */
   val VerifyRetryConvs = 240L
 
+  /** Docs in the planted domain-mixture corpus (q132 DSIR selection). */
+  val VerifyDomainDocs = 400L
+
+  /** Docs in the planted HTML-table corpus (q133 table extraction). */
+  val VerifyTableDocs = 200L
+
   /** Flagship: full extraction pipeline over the synthetic transcript
     * corpus — per-conversation failure rollup (SURVEY.md §7.2 minimum
     * slice). Driver smoke-checks rows > 0 on sf0.001.
@@ -511,7 +517,27 @@ object SparkEntry {
     "q130_retention" -> ((s, d) => RelationalOps.retention(s, d)),
     // Gopher-style quality gate: per-rule 0/1 flags + composed pass from
     // ONE (doc_id, word) aggregation chain; text never crosses a shuffle
-    "q131_gopher_gate" -> ((s, d) => TextOps.gopherGate(s, d))
+    "q131_gopher_gate" -> ((s, d) => TextOps.gopherGate(s, d)),
+    // DSIR-shaped importance selection over the planted domain-mixture
+    // corpus: two token-count LMs, a vocab-capped broadcast λ map in exact
+    // quarter-bits, per-doc fold — the corpus never crosses an exchange
+    "q132_dsir_select" -> ((s, _) =>
+      TextOps.dsirSelect(graft.synth.DomainDocs.docs(s, VerifyDomainDocs))),
+    // streaming HTML TABLE extraction (structured records from markup):
+    // per-cell rows vs the generator's by-construction goldens — the
+    // q28/q121 trust model applied to the table surface
+    "q133_html_tables" -> ((s, _) => {
+      import s.implicits._
+      graft.synth.TableDocs.docs(s, VerifyTableDocs)
+        .as[(Long, String)]
+        .flatMap { case (id, html) =>
+          graft.extract.HtmlTableExtractor.extract(html).map(c =>
+            (id, c.tableIdx.toLong, c.rowIdx.toLong, c.colIdx.toLong,
+              c.header, c.text))
+        }
+        .toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header",
+          "cell_text")
+    })
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2621,6 +2647,47 @@ object SparkEntry {
                 CAST(flag_stopwords AS BIGINT) AS flag_stopwords,
                 CAST(flag_topword AS BIGINT) AS flag_topword,
                 CAST(flag_words * flag_wordlen * flag_stopwords * flag_topword AS BIGINT) AS pass
-         FROM f2"""
+         FROM f2""",
+    // q132: DuckDB retrains both unigram LMs from the materialized corpus
+    // and re-evaluates the SAME exact quarter-bit log recipe (15-bit
+    // mantissa truncate, then bitlen(xr^4)-1+4s) — the `qin`/`qb` CTEs
+    // stage the four qb() operands so the recipe is written once
+    "q132_dsir_select" ->
+      s"""WITH docs AS (SELECT * FROM read_parquet('__SYNTH__/domain_docs.parquet/*.parquet')),
+         w AS (SELECT doc_id, domain,
+                 list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS words
+               FROM docs),
+         tok AS (SELECT doc_id, domain, unnest(words) AS token FROM w),
+         cr AS (SELECT token, count(*) AS cnt_r FROM tok GROUP BY 1),
+         ct AS (SELECT token, count(*) AS cnt_t FROM tok WHERE domain = 'target' GROUP BY 1),
+         totr AS (SELECT CAST(coalesce(sum(cnt_r), 0) AS BIGINT) AS n_r FROM cr),
+         tott AS (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) AS n_t FROM ct),
+         v AS (SELECT token, cnt_r FROM cr ORDER BY cnt_r DESC, token ASC LIMIT ${ops.TextOps.DsirVocabSize}),
+         qin AS (SELECT v.token, 'ct' AS which, CAST(coalesce(ct.cnt_t, 0) + 1 AS BIGINT) AS x
+                 FROM v LEFT JOIN ct USING (token)
+           UNION ALL SELECT token, 'cr', CAST(cnt_r AS BIGINT) FROM v
+           UNION ALL SELECT token, 'nr', n_r FROM v, totr
+           UNION ALL SELECT token, 'nt', n_t FROM v, tott),
+         qb AS (SELECT token, which, length(bin(xr*xr*xr*xr)) - 1 + 4*s AS q
+                FROM (SELECT token, which, x >> s AS xr, s
+                      FROM (SELECT token, which, x,
+                              greatest(length(bin(x)) - 15, 0) AS s FROM qin))),
+         lam AS (SELECT token,
+                   CAST(sum(CASE WHEN which IN ('ct', 'nr') THEN q ELSE -q END) AS BIGINT) AS lam
+                 FROM qb GROUP BY 1),
+         sc AS (SELECT t.doc_id, CAST(sum(coalesce(lam.lam, 0)) AS BIGINT) AS dsir_qbits
+                FROM tok t LEFT JOIN lam USING (token) GROUP BY 1)
+         SELECT w.doc_id, w.domain, CAST(len(words) AS BIGINT) AS n_tokens,
+                CAST(coalesce(sc.dsir_qbits, 0) AS BIGINT) AS dsir_qbits,
+                coalesce(sc.dsir_qbits, 0) > 0 AS selected
+         FROM w LEFT JOIN sc USING (doc_id)""",
+    // q133: generator-materialized by-construction cells (the q28/q121
+    // trust model — the extractor recomputes them from raw HTML, the
+    // oracle never runs the extractor)
+    "q133_html_tables" ->
+      """SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+                CAST(row_idx AS BIGINT) AS row_idx,
+                CAST(col_idx AS BIGINT) AS col_idx, is_header, cell_text
+         FROM read_parquet('__SYNTH__/golden_cells.parquet/*.parquet')"""
   )
 }

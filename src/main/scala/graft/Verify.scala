@@ -75,6 +75,16 @@ object Verify {
           .toDF().coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/retry_turns.parquet")
       }
+      synthWrite("domain_docs", "q132 DSIR-selection oracle") {
+        synth.DomainDocs.docs(spark, SparkEntry.VerifyDomainDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/domain_docs.parquet")
+      }
+      synthWrite("golden_cells", "q133 table-extraction oracle (generator's by-construction cells)") {
+        synth.TableDocs.goldenCells(spark, SparkEntry.VerifyTableDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_cells.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

@@ -612,4 +612,77 @@ object TextOps {
         col("mean_wordlen_x100"), col("n_stopwords"), col("top_word_x10000"),
         col("flag_words"), col("flag_wordlen"), col("flag_stopwords"),
         col("flag_topword"), col("pass"))
+
+  /** Importance-weight vocabulary cap (q132). The planted corpus has 32
+    * distinct tokens, so 64 keeps the map total; at 100 TB the cap is the
+    * scale contract — the broadcast λ map is vocab-sized, never data.
+    */
+  val DsirVocabSize = 64
+
+  /** floor(4·log2 x) in EXACT integer arithmetic at any magnitude
+    * ("quarter-bits"): truncate x to a 15-bit mantissa (s = max(bitlen-15,
+    * 0), xr = x >> s — exact for x < 2^15), then bitlen(xr^4) - 1 + 4s.
+    * xr^4 < 2^60 always fits a BIGINT, so both engines evaluate the same
+    * recipe without floats; floor-log2 alone (the q75 `bits`) is too
+    * coarse for likelihood RATIOS, where sub-1-bit differences carry the
+    * signal. Recipe mirrored verbatim by the q132 DuckDB oracle and pinned
+    * bit-exact against a driver recompute in FunctionsSpec.
+    */
+  def qbits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def bitlen(x: org.apache.spark.sql.Column) =
+      length(conv(x, 10, 2)).cast("long")
+    val s = greatest(bitlen(c) - 15L, lit(0L))
+    val xr = call_function("shiftright", c.cast("long"), s.cast("int"))
+    val m = xr * xr * xr * xr
+    bitlen(m) - 1L + lit(4L) * s
+  }
+
+  /** q132: DSIR-shaped importance selection (Xie et al. 2023 shape, exact
+    * integers): score every doc by the summed log-likelihood ratio of its
+    * tokens under a target-domain unigram LM vs the raw-corpus unigram LM,
+    * λ(w) = qb(c_t(w)+1) - qb(c_r(w)) + qb(n_r) - qb(n_t) quarter-bits
+    * (add-one smoothing on the target side only — a vocab token absent
+    * from the target corpus must still score, and the raw side has
+    * c_r ≥ 1 for every vocab token by construction). `selected` =
+    * positive total: the doc looks more target-like than the raw average.
+    *
+    * Scale shape (the q75 lmSurprise contract): both LMs are token-count
+    * aggregations (map-side combinable, shuffling (token, count) pairs
+    * only); the λ map is vocab-capped and broadcast as ONE map row; the
+    * scorer is a per-doc fold — the corpus never crosses an exchange, and
+    * out-of-vocabulary tokens score 0 (λ unknown ⇒ neutral), keeping the
+    * broadcast bounded regardless of tail vocabulary. No division
+    * anywhere: `dsir_qbits` may be negative, and `div` semantics differ
+    * across engines on negatives, so the output carries the raw sum.
+    */
+  def dsirSelect(docs: DataFrame, vocabSize: Int = DsirVocabSize): DataFrame = {
+    val words = docs.select(col("doc_id"), col("domain"),
+      filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("words"))
+    val tok = words.select(col("domain"), explode(col("words")).as("token"))
+    val cr = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt_r"))
+    val ct = tok.filter(col("domain") === "target")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt_t"))
+    val nr = cr.agg(coalesce(sum(col("cnt_r")), lit(0L)).as("n_r"))
+    val nt = ct.agg(coalesce(sum(col("cnt_t")), lit(0L)).as("n_t"))
+    val lmap = cr
+      .orderBy(col("cnt_r").desc, col("token").asc)
+      .limit(vocabSize)
+      .join(ct, Seq("token"), "left")
+      .crossJoin(broadcast(nr))
+      .crossJoin(broadcast(nt))
+      .select(col("token"),
+        (qbits(coalesce(col("cnt_t"), lit(0L)) + 1L) - qbits(col("cnt_r"))
+          + qbits(col("n_r")) - qbits(col("n_t"))).as("lam"))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("lam"))))
+        .as("lmap"))
+    words
+      .crossJoin(broadcast(lmap))
+      .select(
+        col("doc_id"), col("domain"),
+        size(col("words")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("words"), w => coalesce(element_at(col("lmap"), w), lit(0L))),
+          lit(0L), (a, x) => a + x).as("dsir_qbits"))
+      .withColumn("selected", col("dsir_qbits") > 0L)
+  }
 }

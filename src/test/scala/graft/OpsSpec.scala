@@ -1061,6 +1061,67 @@ class OpsSpec extends AnyFunSuite {
       "offset 0 retains the whole cohort by definition")
   }
 
+  test("qbits equals the documented recipe bit-for-bit; exact on powers of two") {
+    import spark.implicits._
+    def qbitsLocal(x: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      val s = math.max(b - 15, 0)
+      val xr = x >> s
+      val m = xr * xr * xr * xr
+      (64 - java.lang.Long.numberOfLeadingZeros(m)) - 1 + 4L * s
+    }
+    val sample = ((1L to 600L) ++ (0 to 62).map(1L << _) ++
+      (0 to 62).flatMap(k => Seq((1L << k) - 1, (1L << k) + 1)) ++
+      Seq(999L, 27939L, 123456789L, 987654321987L, Long.MaxValue)).filter(_ >= 1L).distinct
+    val got = sample.toDF("x").select(col("x"), TextOps.qbits(col("x")).as("q"))
+      .as[(Long, Long)].collect().toMap
+    sample.foreach { x =>
+      assert(got(x) == qbitsLocal(x), s"qbits($x)")
+    }
+    (0 to 60).foreach(k => assert(got(1L << k) == 4L * k, s"qbits(2^$k) must be exactly 4k"))
+  }
+
+  test("dsirSelect equals a driver LM recompute; selection splits the crawl pool") {
+    import spark.implicits._
+    val n = SparkEntry.VerifyDomainDocs
+    def qb(x: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      val s = math.max(b - 15, 0); val xr = x >> s
+      (64 - java.lang.Long.numberOfLeadingZeros(xr * xr * xr * xr)) - 1 + 4L * s
+    }
+    val docs = (0L until n).map(id =>
+      (id, graft.synth.DomainDocs.domain(id), graft.synth.DomainDocs.text(id)))
+    val toks = docs.map { case (id, dom, t) =>
+      (id, dom, t.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    }
+    val cr = toks.flatMap(_._3).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val ct = toks.filter(_._2 == "target").flatMap(_._3)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val nR = cr.values.sum; val nT = ct.values.sum
+    val vocab = cr.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextOps.DsirVocabSize).map(_._1).toSet
+    val lam = vocab.map(w =>
+      w -> (qb(ct.getOrElse(w, 0L) + 1) - qb(cr(w)) + qb(nR) - qb(nT))).toMap
+    val want = toks.map { case (id, dom, ws) =>
+      val bits = ws.map(w => lam.getOrElse(w, 0L)).sum
+      id -> ((dom, ws.size.toLong, bits, bits > 0L))
+    }.toMap
+    val got = TextOps.dsirSelect(graft.synth.DomainDocs.docs(spark, n))
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == want)
+    val crawl = got.values.filter(_._1 == "crawl").toSeq
+    assert(crawl.exists(_._4) && crawl.exists(!_._4),
+      "importance selection must split the crawl pool both ways")
+    // discrimination is real: labeled-target docs average strictly higher
+    def meanBits(dom: String) = {
+      val xs = got.values.filter(_._1 == dom).map(_._3).toSeq
+      xs.sum.toDouble / xs.size
+    }
+    assert(meanBits("target") > meanBits("crawl") + 1.0,
+      "target-domain docs must score clearly above the crawl pool")
+  }
+
   test("gopherGate equals a driver recompute; every rule fails somewhere") {
     import spark.implicits._
     val docs = RelationalOps.table(spark, dir, "documents")

@@ -759,6 +759,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan must prune events to (ts, user_id):\n$p")
   }
 
+  test("DSIR selection: λ map broadcast as one row, corpus never shuffles") {
+    val p = plan(graft.ops.TextOps.dsirSelect(
+      graft.synth.DomainDocs.docs(spark, 100L)))
+    // LM training shuffles (token, count) pairs; the scorer must consume
+    // the vocab-capped λ map via broadcast — a doc-keyed exchange here
+    // would mean the corpus itself is shuffling to meet the map
+    assert(p.contains("BroadcastNestedLoopJoin"), s"λ map not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scoring fell back to SMJ:\n$p")
+    val corpusExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(corpusExchanges == 0, s"dsirSelect shuffles the corpus:\n$p")
+  }
+
+  test("HTML table extraction: a narrow per-doc flatMap — zero exchanges, zero joins") {
+    val p = plan(graft.SparkEntry.queries("q133_html_tables")(spark, "/unused"))
+    assert(!p.contains("Exchange"), s"table extraction must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"table extraction must not join:\n$p")
+  }
+
   test("gopher gate: two map-side-combinable exchanges, no join, pruned scan") {
     val p = plan(graft.ops.TextOps.gopherGate(spark, dir))
     assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 2,
