@@ -526,18 +526,12 @@ object SparkEntry {
     // streaming HTML TABLE extraction (structured records from markup):
     // per-cell rows vs the generator's by-construction goldens — the
     // q28/q121 trust model applied to the table surface
-    "q133_html_tables" -> ((s, _) => {
-      import s.implicits._
-      graft.synth.TableDocs.docs(s, VerifyTableDocs)
-        .as[(Long, String)]
-        .flatMap { case (id, html) =>
-          graft.extract.HtmlTableExtractor.extract(html).map(c =>
-            (id, c.tableIdx.toLong, c.rowIdx.toLong, c.colIdx.toLong,
-              c.header, c.text))
-        }
-        .toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header",
-          "cell_text")
-    })
+    "q133_html_tables" -> ((s, _) => TableOps.cells(s, VerifyTableDocs)),
+    // header-keyed table records: the q133 cells normalized into
+    // (doc, table, row, col_name, value) rows via a 3-key equi-join
+    // against the header subset — documents in, relational rows out
+    "q134_table_records" -> ((s, _) =>
+      TableOps.tableRecords(TableOps.cells(s, VerifyTableDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2688,6 +2682,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
                 CAST(row_idx AS BIGINT) AS row_idx,
                 CAST(col_idx AS BIGINT) AS col_idx, is_header, cell_text
-         FROM read_parquet('__SYNTH__/golden_cells.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/golden_cells.parquet/*.parquet')""",
+    // q134: DuckDB derives the header-keyed records from the GOLDEN cells
+    // (independent of both the engine's extractor and its join), so a
+    // mismatch in either shows up as a row diff
+    "q134_table_records" ->
+      """WITH c AS (SELECT * FROM read_parquet('__SYNTH__/golden_cells.parquet/*.parquet')),
+         h AS (SELECT doc_id, table_idx, col_idx, cell_text AS col_name
+               FROM c WHERE is_header AND row_idx = 0),
+         d AS (SELECT * FROM c WHERE NOT is_header)
+         SELECT d.doc_id, CAST(d.table_idx AS BIGINT) AS table_idx,
+                CAST(d.row_idx AS BIGINT) AS row_idx,
+                h.col_name, d.cell_text AS value
+         FROM d JOIN h USING (doc_id, table_idx, col_idx)"""
   )
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML-table structured extraction as a DataFrame surface: the per-cell
+  * frame (q133) and its normalization into header-keyed records (q134) —
+  * the table analogue of `ShredOps`' record shredding (the reference's
+  * core move: documents in, relational rows out, ref:
+  * src/processing.py:55-148).
+  */
+object TableOps {
+
+  /** Extracted per-cell frame over the planted table corpus: a narrow
+    * per-doc flatMap of the streaming `HtmlTableExtractor` — zero
+    * exchanges, zero joins (plan-asserted), linear scale-out.
+    */
+  def cells(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    graft.synth.TableDocs.docs(spark, nDocs)
+      .as[(Long, String)]
+      .flatMap { case (id, html) =>
+        graft.extract.HtmlTableExtractor.extract(html).map(c =>
+          (id, c.tableIdx.toLong, c.rowIdx.toLong, c.colIdx.toLong,
+            c.header, c.text))
+      }
+      .toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header",
+        "cell_text")
+  }
+
+  /** q134: normalize extracted cells into header-keyed records —
+    * (doc_id, table_idx, row_idx, col_name, value), one row per data
+    * cell of every table WITH a header row (headerless tables drop out
+    * of the inner join by construction; they stay reachable as raw cells
+    * via q133). The join is a plain 3-key equi-join whose build side is
+    * the header subset — one header row per table column, a small
+    * fraction of the cell volume — so at 100 TB it shuffles (doc, table,
+    * col) keys and short strings only, no fan-out beyond the data cells
+    * themselves.
+    */
+  def tableRecords(cells: DataFrame): DataFrame = {
+    val headers = cells
+      .filter(col("is_header") && col("row_idx") === 0L)
+      .select(col("doc_id"), col("table_idx"), col("col_idx"),
+        col("cell_text").as("col_name"))
+    cells
+      .filter(!col("is_header"))
+      .join(headers, Seq("doc_id", "table_idx", "col_idx"))
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        col("col_name"), col("cell_text").as("value"))
+  }
+}

@@ -91,6 +91,28 @@ class HtmlTableSpec extends AnyFunSuite {
       "planted corpus must exercise unclosed/nested/entity/inline/post-nested-index shapes")
   }
 
+  test("tableRecords equals a driver pivot of the golden cells; headerless tables drop out") {
+    import spark.implicits._
+    val n = SparkEntry.VerifyTableDocs
+    val golden = (0L until n).flatMap(id => TableDocs.build(id)._2)
+    val headers = golden.filter(c => c.is_header && c.row_idx == 0)
+      .map(c => (c.doc_id, c.table_idx, c.col_idx) -> c.cell_text).toMap
+    val want = golden.filter(!_.is_header).flatMap { c =>
+      headers.get((c.doc_id, c.table_idx, c.col_idx)).map(name =>
+        (c.doc_id, c.table_idx.toLong, c.row_idx.toLong, name, c.cell_text))
+    }.sorted
+    val got = graft.ops.TableOps.tableRecords(
+      graft.ops.TableOps.cells(spark, n))
+      .as[(Long, Long, Long, String, String)].collect().sorted.toSeq
+    assert(got == want)
+    // only table 0 carries a header row, so records never reference the
+    // nested or trailing tables — and every data cell of table 0 pivots
+    assert(got.forall(_._2 == 0L), "headerless tables must drop out")
+    val table0Data = golden.count(c => !c.is_header && c.table_idx == 0)
+    assert(got.size == table0Data, "every headered data cell must pivot")
+    assert(got.exists(_._5 == "pre post"), "nested-outer cell must survive the pivot")
+  }
+
   test("q133 Spark path equals the distributed golden cells") {
     import spark.implicits._
     val got = SparkEntry.queries("q133_html_tables")(spark, "/unused")

@@ -778,6 +778,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"table extraction must not join:\n$p")
   }
 
+  test("table records: a single 3-key equi-join, never a cartesian") {
+    val p = plan(graft.ops.TableOps.tableRecords(
+      graft.ops.TableOps.cells(spark, 50L)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"header pivot must stay equi-keyed:\n$p")
+    assert(p.contains("doc_id") && p.contains("table_idx") && p.contains("col_idx"),
+      s"join must key on (doc_id, table_idx, col_idx):\n$p")
+    assert("Join".r.findAllIn(p).size <= 2, s"one logical join expected:\n$p")
+  }
+
   test("gopher gate: two map-side-combinable exchanges, no join, pruned scan") {
     val p = plan(graft.ops.TextOps.gopherGate(spark, dir))
     assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 2,
