@@ -46,6 +46,9 @@ object SparkEntry {
   /** Docs in the planted HTML-table corpus (q133 table extraction). */
   val VerifyTableDocs = 200L
 
+  /** Docs in the planted markdown pipe-table corpus (q135). */
+  val VerifyMdTableDocs = 200L
+
   /** Flagship: full extraction pipeline over the synthetic transcript
     * corpus — per-conversation failure rollup (SURVEY.md §7.2 minimum
     * slice). Driver smoke-checks rows > 0 on sf0.001.
@@ -531,7 +534,11 @@ object SparkEntry {
     // (doc, table, row, col_name, value) rows via a 3-key equi-join
     // against the header subset — documents in, relational rows out
     "q134_table_records" -> ((s, _) =>
-      TableOps.tableRecords(TableOps.cells(s, VerifyTableDocs)))
+      TableOps.tableRecords(TableOps.cells(s, VerifyTableDocs))),
+    // markdown pipe-table extraction (the GFM twin of q133): fenced code
+    // blocks skipped, escaped pipes/emphasis handled — same cell schema,
+    // so tableRecords composes over both markup families
+    "q135_md_tables" -> ((s, _) => TableOps.mdCells(s, VerifyMdTableDocs))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2694,6 +2701,13 @@ object SparkEntry {
          SELECT d.doc_id, CAST(d.table_idx AS BIGINT) AS table_idx,
                 CAST(d.row_idx AS BIGINT) AS row_idx,
                 h.col_name, d.cell_text AS value
-         FROM d JOIN h USING (doc_id, table_idx, col_idx)"""
+         FROM d JOIN h USING (doc_id, table_idx, col_idx)""",
+    // q135: generator-materialized by-construction markdown cells (same
+    // trust model as q133)
+    "q135_md_tables" ->
+      """SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+                CAST(row_idx AS BIGINT) AS row_idx,
+                CAST(col_idx AS BIGINT) AS col_idx, is_header, cell_text
+         FROM read_parquet('__SYNTH__/md_golden_cells.parquet/*.parquet')"""
   )
 }

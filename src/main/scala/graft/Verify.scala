@@ -85,6 +85,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/golden_cells.parquet")
       }
+      synthWrite("md_golden_cells", "q135 markdown-table oracle (generator's by-construction cells)") {
+        synth.MdTableDocs.goldenCells(spark, SparkEntry.VerifyMdTableDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/md_golden_cells.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

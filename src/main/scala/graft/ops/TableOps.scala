@@ -28,6 +28,23 @@ object TableOps {
         "cell_text")
   }
 
+  /** Extracted per-cell frame over the planted MARKDOWN pipe-table corpus
+    * (q135): same narrow flatMap shape and same output schema as `cells`,
+    * so both markup families feed `tableRecords` unchanged.
+    */
+  def mdCells(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    graft.synth.MdTableDocs.docs(spark, nDocs)
+      .as[(Long, String)]
+      .flatMap { case (id, md) =>
+        graft.extract.MdTableExtractor.extract(md).map(c =>
+          (id, c.tableIdx.toLong, c.rowIdx.toLong, c.colIdx.toLong,
+            c.header, c.text))
+      }
+      .toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header",
+        "cell_text")
+  }
+
   /** q134: normalize extracted cells into header-keyed records —
     * (doc_id, table_idx, row_idx, col_name, value), one row per data
     * cell of every table WITH a header row (headerless tables drop out
