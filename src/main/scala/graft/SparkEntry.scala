@@ -538,7 +538,11 @@ object SparkEntry {
     // markdown pipe-table extraction (the GFM twin of q133): fenced code
     // blocks skipped, escaped pipes/emphasis handled — same cell schema,
     // so tableRecords composes over both markup families
-    "q135_md_tables" -> ((s, _) => TableOps.mdCells(s, VerifyMdTableDocs))
+    "q135_md_tables" -> ((s, _) => TableOps.mdCells(s, VerifyMdTableDocs)),
+    // HTML link/anchor-text extraction (the outlink surface): attribute
+    // parsing with quoted/unquoted hrefs, entity decode in values,
+    // browser-style auto-close — per-doc flatMap, zero exchanges
+    "q136_html_links" -> ((s, _) => TableOps.links(s, VerifyTableDocs))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2708,6 +2712,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
                 CAST(row_idx AS BIGINT) AS row_idx,
                 CAST(col_idx AS BIGINT) AS col_idx, is_header, cell_text
-         FROM read_parquet('__SYNTH__/md_golden_cells.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/md_golden_cells.parquet/*.parquet')""",
+    // q136: generator-materialized by-construction links (same trust
+    // model as q133/q135)
+    "q136_html_links" ->
+      """SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
+         FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')"""
   )
 }

@@ -85,6 +85,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/golden_cells.parquet")
       }
+      synthWrite("golden_links", "q136 link-extraction oracle (generator's by-construction links)") {
+        synth.TableDocs.goldenLinks(spark, SparkEntry.VerifyTableDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_links.parquet")
+      }
       synthWrite("md_golden_cells", "q135 markdown-table oracle (generator's by-construction cells)") {
         synth.MdTableDocs.goldenCells(spark, SparkEntry.VerifyMdTableDocs)
           .coalesce(1).write.mode("overwrite")

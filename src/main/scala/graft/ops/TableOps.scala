@@ -45,6 +45,23 @@ object TableOps {
         "cell_text")
   }
 
+  /** Extracted per-link frame over the planted corpus (q136): (doc_id,
+    * link_idx, href, anchor) in document order from the streaming
+    * `HtmlLinkExtractor` — the outlink/anchor-text surface the host-graph
+    * ops (q62/q85/q110/q113) consume once hrefs are host-normalized.
+    * Same narrow flatMap shape: zero exchanges, zero joins.
+    */
+  def links(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    graft.synth.TableDocs.docs(spark, nDocs)
+      .as[(Long, String)]
+      .flatMap { case (id, html) =>
+        graft.extract.HtmlLinkExtractor.extract(html).map(l =>
+          (id, l.linkIdx.toLong, l.href, l.anchor))
+      }
+      .toDF("doc_id", "link_idx", "href", "anchor")
+  }
+
   /** q134: normalize extracted cells into header-keyed records —
     * (doc_id, table_idx, row_idx, col_name, value), one row per data
     * cell of every table WITH a header row (headerless tables drop out

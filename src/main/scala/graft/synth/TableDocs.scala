@@ -31,6 +31,9 @@ object TableDocs {
       doc_id: Long, table_idx: Int, row_idx: Int, col_idx: Int,
       is_header: Boolean, cell_text: String)
 
+  final case class GoldenLink(
+      doc_id: Long, link_idx: Int, href: String, anchor: String)
+
   private val vocab = Array(
     "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
     "eta", "theta", "iota", "kappa", "lambda", "sigma")
@@ -40,14 +43,33 @@ object TableDocs {
 
   private def word(id: Long, tag: Long): String = vocab(draw(id, tag, vocab.length))
 
-  /** Pure builder: (html, expected cells) from the same draws. */
-  def build(id: Long): (String, Seq[GoldenCell]) = {
+  /** Pure builder: (html, expected cells, expected links) from the same
+    * draws. The link surface (q136) is planted in the boilerplate AROUND
+    * the tables, so the cell goldens are untouched by it: varied hosts,
+    * an entity-bearing query string, an unquoted href every 3rd doc, an
+    * href-less `<a name=…>` every 4th (not a link), and an unterminated
+    * `<a>` at document end every 5th (flushes at EOF).
+    */
+  def build(id: Long): (String, Seq[GoldenCell], Seq[GoldenLink]) = {
     val cells = scala.collection.mutable.ArrayBuffer.empty[GoldenCell]
+    val links = scala.collection.mutable.ArrayBuffer.empty[GoldenLink]
+    def link(href: String, anchor: String): Unit =
+      links += GoldenLink(id, links.length, href, anchor)
     val sb = new StringBuilder
     sb ++= "<html><head><script>var t = \"<table><tr><td>fake</td></tr></table>\";</script>"
     sb ++= "<style>td { color: red; }</style></head><body>"
     sb ++= "<nav><ul><li><a href=\"/home\">home</a></li><li><a href=\"/x\">x</a></li></ul></nav>"
+    link("/home", "home")
+    link("/x", "x")
     sb ++= s"<p>intro ${word(id, 0x01)} ${word(id, 0x02)} paragraph</p>"
+    val lw1 = word(id, 0x05); val lw2 = word(id, 0x06)
+    sb ++= s"""<a href="https://Site${id % 7}.example/p/$id?a=1&amp;b=2">$lw1 <b>$lw2</b></a>"""
+    link(s"https://Site${id % 7}.example/p/$id?a=1&b=2", s"$lw1 $lw2")
+    if (id % 3 == 0) {
+      sb ++= s"<a href=/rel/$id>rel $lw1</a>"
+      link(s"/rel/$id", s"rel $lw1")
+    }
+    if (id % 4 == 0) sb ++= "<a name=\"top\">not a link</a>"
 
     val nested = id % 4 == 1
     val unclosed = id % 3 == 0
@@ -107,8 +129,12 @@ object TableDocs {
       }
       sb ++= "</table>"
     }
+    if (id % 5 == 0) {
+      sb ++= "<a href=\"/dangling\">fin"
+      link("/dangling", "fin")
+    }
     sb ++= "</body></html>"
-    (sb.toString, cells.toSeq)
+    (sb.toString, cells.toSeq, links.toSeq)
   }
 
   /** Distributed raw table: (doc_id, html). */
@@ -121,5 +147,11 @@ object TableDocs {
   def goldenCells(spark: SparkSession, nDocs: Long): DataFrame = {
     import spark.implicits._
     spark.range(nDocs).flatMap(id => build(id)._2).toDF()
+  }
+
+  /** Distributed golden links (for the Verify materialization). */
+  def goldenLinks(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).flatMap(id => build(id)._3).toDF()
   }
 }

@@ -77,7 +77,7 @@ class HtmlTableSpec extends AnyFunSuite {
     var sawUnclosed = false; var sawNested = false; var sawEntity = false
     var sawInline = false; var sawThird = false
     (0L until n).foreach { id =>
-      val (html, golden) = TableDocs.build(id)
+      val (html, golden, _) = TableDocs.build(id)
       val got = HtmlTableExtractor.extract(html).map(c =>
         TableDocs.GoldenCell(id, c.tableIdx, c.rowIdx, c.colIdx, c.header, c.text))
       assert(got.sortBy(c => (c.table_idx, c.row_idx, c.col_idx)) ==

@@ -785,6 +785,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"md table extraction must not join:\n$p")
   }
 
+  test("link extraction: a narrow per-doc flatMap — zero exchanges, zero joins") {
+    val p = plan(graft.ops.TableOps.links(spark, 50L))
+    assert(!p.contains("Exchange"), s"link extraction must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"link extraction must not join:\n$p")
+  }
+
   test("table records: a single 3-key equi-join, never a cartesian") {
     val p = plan(graft.ops.TableOps.tableRecords(
       graft.ops.TableOps.cells(spark, 50L)))
