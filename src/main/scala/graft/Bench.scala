@@ -194,10 +194,21 @@ object Bench {
     }
     val totalQuerySec = queryResults.collect { case (_, t, true) => t }.sum
     val failed = queryResults.collect { case (n, _, false) => "\"" + n + "\"" }
-    val qs = queryResults
+    val qsFull = queryResults
       .map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val failedJson = failed.mkString("[", ",", "]")
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that window (BENCH_r03.json came back
+    // `parsed: null` once the per-query map outgrew it). So: stdout gets
+    // a COMPACT line — headline metric + scaling + the slowest queries —
+    // guaranteed to fit, and the full per-query map goes to
+    // BENCH_DETAIL.json in the repo root (the driver's round-end commit
+    // picks it up; `tools/bench_compare.py` reads either form).
+    val topSlow = queryResults.filter(_._3).sortBy(-_._2).take(12)
+    val qs = topSlow
+      .map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val failedJson = failed.take(20).mkString("[", ",", "]")
 
     val scalingJson = low match {
       case Some((_, tLow, stealLow)) =>
@@ -206,8 +217,20 @@ object Bench {
         f""","scaling":{"low_cpus":$lowCpus,"high_cpus":$highCpus,"n_turns":$nTurns,"low_sec":$tLow%.3f,"high_sec":$tHigh%.3f,"low_turns_per_sec":$rateLow%.1f,"high_turns_per_sec":$rateHigh%.1f,"efficiency":$eff%.3f,"steal_pct_low_pass":$stealLow%.1f,"steal_pct_high_pass":$stealHigh%.1f}"""
       case None => ""
     }
+    val nQueriesRun = queryResults.count(_._3)
+    val detailLine =
+      f"""{"metric":"turns_per_sec_extraction","value":$rateHigh%.1f,"unit":"turns/sec","n_turns":$nTurns,"extract_sec":$tHigh%.3f,"queries":$qsFull,"failed_queries":$failedJson,"total_query_sec":$totalQuerySec%.3f,"sf":"$sfDir"$scalingJson}"""
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
+      java.nio.file.Files.write(p,
+        (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query detail: $p")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+      System.err.println(detailLine) // keep the full map recoverable from logs
+    }
     println(
-      f"""{"metric":"turns_per_sec_extraction","value":$rateHigh%.1f,"unit":"turns/sec","n_turns":$nTurns,"extract_sec":$tHigh%.3f,"queries":$qs,"failed_queries":$failedJson,"total_query_sec":$totalQuerySec%.3f,"sf":"$sfDir"$scalingJson}""")
+      f"""{"metric":"turns_per_sec_extraction","value":$rateHigh%.1f,"unit":"turns/sec","n_turns":$nTurns,"extract_sec":$tHigh%.3f,"n_queries_run":$nQueriesRun,"queries":$qs,"queries_note":"top-12 slowest; full map in BENCH_DETAIL.json","failed_queries":$failedJson,"total_query_sec":$totalQuerySec%.3f,"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }
