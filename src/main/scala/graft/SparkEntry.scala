@@ -49,6 +49,9 @@ object SparkEntry {
   /** Docs in the planted markdown pipe-table corpus (q135). */
   val VerifyMdTableDocs = 200L
 
+  /** Docs in the planted heading-outline corpus (q137/q138). */
+  val VerifyOutlineDocs = 240L
+
   /** Flagship: full extraction pipeline over the synthetic transcript
     * corpus — per-conversation failure rollup (SURVEY.md §7.2 minimum
     * slice). Driver smoke-checks rows > 0 on sf0.001.
@@ -542,7 +545,18 @@ object SparkEntry {
     // HTML link/anchor-text extraction (the outlink surface): attribute
     // parsing with quoted/unquoted hrefs, entity decode in values,
     // browser-style auto-close — per-doc flatMap, zero exchanges
-    "q136_html_links" -> ((s, _) => TableOps.links(s, VerifyTableDocs))
+    "q136_html_links" -> ((s, _) => TableOps.links(s, VerifyTableDocs)),
+    // document-outline extraction over the planted heading corpus: raw
+    // sections (q137) and breadcrumb paths (q138) — the oracle re-derives
+    // the ancestor chain from golden (level, title) order via a recursive
+    // CTE, independent of both the generator's literal paths and the
+    // engine's stack
+    "q137_outline_sections" -> ((s, _) =>
+      TableOps.sections(s, VerifyOutlineDocs)
+        .select(col("doc_id"), col("section_idx"), col("level"), col("title"))),
+    "q138_outline_paths" -> ((s, _) =>
+      TableOps.sections(s, VerifyOutlineDocs)
+        .select(col("doc_id"), col("section_idx"), col("path")))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2717,6 +2731,33 @@ object SparkEntry {
     // model as q133/q135)
     "q136_html_links" ->
       """SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
-         FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')""",
+    // q137: generator-materialized by-construction sections (the
+    // q133/q135/q136 trust model)
+    "q137_outline_sections" ->
+      """SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx,
+                CAST(level AS BIGINT) AS level, title
+         FROM read_parquet('__SYNTH__/golden_sections.parquet/*.parquet')""",
+    // q138: DuckDB re-derives each section's breadcrumb from the golden
+    // (level, title) ORDER alone — parent = latest earlier section with a
+    // smaller level (exactly the level-stack invariant), chain closed by
+    // a recursive CTE. Independent of the generator's literal paths AND
+    // the engine's stack.
+    "q138_outline_paths" ->
+      """WITH RECURSIVE
+         g AS (SELECT * FROM read_parquet('__SYNTH__/golden_sections.parquet/*.parquet')),
+         anc AS (SELECT s.doc_id, s.section_idx, s.title,
+                   (SELECT max(p.section_idx) FROM g p
+                    WHERE p.doc_id = s.doc_id AND p.section_idx < s.section_idx
+                      AND p.level < s.level) AS parent_idx
+                 FROM g s),
+         chain AS (
+           SELECT doc_id, section_idx, parent_idx, title AS path FROM anc
+           UNION ALL
+           SELECT c.doc_id, c.section_idx, a.parent_idx, a.title || ' > ' || c.path
+           FROM chain c JOIN anc a
+             ON a.doc_id = c.doc_id AND a.section_idx = c.parent_idx)
+         SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx, path
+         FROM chain WHERE parent_idx IS NULL"""
   )
 }

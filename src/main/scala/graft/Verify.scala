@@ -90,6 +90,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/golden_links.parquet")
       }
+      synthWrite("golden_sections", "q137/q138 outline oracle (generator's by-construction sections)") {
+        synth.OutlineDocs.goldenSections(spark, SparkEntry.VerifyOutlineDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_sections.parquet")
+      }
       synthWrite("md_golden_cells", "q135 markdown-table oracle (generator's by-construction cells)") {
         synth.MdTableDocs.goldenCells(spark, SparkEntry.VerifyMdTableDocs)
           .coalesce(1).write.mode("overwrite")

@@ -165,7 +165,7 @@ object HtmlLinkExtractor {
     sb.toString
   }
 
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+  private[extract] def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
     val n = s.length; val m = needle.length
     var i = math.max(from, 0)
     while (i + m <= n) {
@@ -177,7 +177,7 @@ object HtmlLinkExtractor {
     -1
   }
 
-  private def decodeEntity(html: String, i: Int): (String, Int) = {
+  private[extract] def decodeEntity(html: String, i: Int): (String, Int) = {
     val n = html.length
     val semi = html.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 10) return ("&", i + 1)

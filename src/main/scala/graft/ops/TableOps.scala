@@ -62,6 +62,24 @@ object TableOps {
       .toDF("doc_id", "link_idx", "href", "anchor")
   }
 
+  /** Extracted outline frame over the planted heading corpus (q137/q138):
+    * (doc_id, section_idx, level, title, path) in document order from the
+    * streaming `OutlineExtractor` — HTML h1-h6 and markdown ATX dispatched
+    * per doc kind, breadcrumb paths from the per-doc level stack. Same
+    * narrow flatMap shape: zero exchanges, zero joins; at 100 TB the
+    * outline is recomputed per doc with no cross-doc state.
+    */
+  def sections(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    graft.synth.OutlineDocs.docs(spark, nDocs)
+      .as[(Long, String, String)]
+      .flatMap { case (id, kind, text) =>
+        graft.extract.OutlineExtractor.extract(kind, text).map(s =>
+          (id, s.sectionIdx.toLong, s.level.toLong, s.title, s.path))
+      }
+      .toDF("doc_id", "section_idx", "level", "title", "path")
+  }
+
   /** q134: normalize extracted cells into header-keyed records —
     * (doc_id, table_idx, row_idx, col_name, value), one row per data
     * cell of every table WITH a header row (headerless tables drop out
