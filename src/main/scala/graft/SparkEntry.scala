@@ -556,7 +556,11 @@ object SparkEntry {
         .select(col("doc_id"), col("section_idx"), col("level"), col("title"))),
     "q138_outline_paths" -> ((s, _) =>
       TableOps.sections(s, VerifyOutlineDocs)
-        .select(col("doc_id"), col("section_idx"), col("path")))
+        .select(col("doc_id"), col("section_idx"), col("path"))),
+    // anchor-text aggregation per target host: the web-search signal
+    // composed from the q136 link frame
+    "q139_anchor_terms" -> ((s, _) =>
+      WebOps.anchorTerms(TableOps.links(s, VerifyTableDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2758,6 +2762,19 @@ object SparkEntry {
            FROM chain c JOIN anc a
              ON a.doc_id = c.doc_id AND a.section_idx = c.parent_idx)
          SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx, path
-         FROM chain WHERE parent_idx IS NULL"""
+         FROM chain WHERE parent_idx IS NULL""",
+    // q139: DuckDB re-derives the per-host anchor-term rollup from the
+    // GOLDEN links with the same host normalization and tokenization
+    "q139_anchor_terms" ->
+      s"""WITH l AS (SELECT * FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')),
+         h AS (SELECT doc_id,
+                 regexp_replace(lower(regexp_extract(href, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host,
+                 anchor FROM l),
+         t AS (SELECT host, doc_id,
+                 unnest(string_split_regex(lower(anchor), '\\s+')) AS term
+               FROM h WHERE host <> '')
+         SELECT host, term, count(*) AS n_mentions,
+                count(DISTINCT doc_id) AS n_source_docs
+         FROM t WHERE term <> '' GROUP BY 1, 2"""
   )
 }

@@ -249,6 +249,30 @@ object WebOps {
         sha2(array_join(col("kept"), " "), 256).as("cleaned_sha"))
   }
 
+  /** Anchor-text term aggregation per TARGET host (q139): the classic
+    * web-search relevance signal — what the web calls a page is the text
+    * of the links pointing at it. Consumes the q136 link frame: absolute
+    * hrefs host-normalize exactly like [[urlHosts]] (lowercase, strip a
+    * leading `www.`); relative links (no host) carry no cross-site signal
+    * and drop; anchors lowercase and split on whitespace. The only
+    * shuffle is the (host, term) aggregation with map-side partials —
+    * terms explode map-side and collapse to |hosts|x|vocab| keys per
+    * partition, so at 100 TB the exchange carries aggregated short pairs,
+    * never the link list.
+    */
+  def anchorTerms(links: DataFrame): DataFrame =
+    links
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("href"), HostRe, 1)), "^www\\.", ""))
+      .filter(col("host") =!= "")
+      .select(col("host"), col("doc_id"),
+        explode(split(lower(col("anchor")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("host"), col("term"))
+      .agg(
+        count(lit(1)).as("n_mentions"),
+        countDistinct(col("doc_id")).as("n_source_docs"))
+
   /** URL extraction + host normalization + host-level rollup: lowercase
     * host, strip a leading `www.`, then count URLs and distinct docs per
     * host. The only shuffle is the (host) aggregation — map-side partial

@@ -799,6 +799,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"outline extraction must not join:\n$p")
   }
 
+  test("anchor terms: one (host, term) exchange with map-side partials, no join") {
+    val p = plan(graft.ops.WebOps.anchorTerms(graft.ops.TableOps.links(spark, 50L)))
+    assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"expected the (host, term) agg exchanges only:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"anchor rollup must not join:\n$p")
+  }
+
   test("table records: a single 3-key equi-join, never a cartesian") {
     val p = plan(graft.ops.TableOps.tableRecords(
       graft.ops.TableOps.cells(spark, 50L)))

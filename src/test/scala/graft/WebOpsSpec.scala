@@ -194,6 +194,43 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got == Map("foo.com" -> ((3L, 2L)), "bar.org" -> ((1L, 1L))))
   }
 
+  test("anchorTerms: host-normalized term rollup; relative links and empty terms drop") {
+    val links = Seq(
+      (1L, 0L, "https://WWW.Foo.COM/a", "Fast Parquet reader"),
+      (1L, 1L, "/relative/path", "no signal"),
+      (2L, 0L, "http://foo.com/b", "parquet  reader"),
+      (2L, 1L, "https://Bar.org/", "Reader")).toDF("doc_id", "link_idx", "href", "anchor")
+    val got = WebOps.anchorTerms(links).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("foo.com", "fast") -> ((1L, 1L)),
+      ("foo.com", "parquet") -> ((2L, 2L)),
+      ("foo.com", "reader") -> ((2L, 2L)),
+      ("bar.org", "reader") -> ((1L, 1L))))
+  }
+
+  test("anchorTerms matches a driver recompute over the planted link corpus") {
+    val n = 120L
+    val want = collection.mutable.Map.empty[(String, String), (Long, collection.mutable.Set[Long])]
+    val hostRe = WebOps.HostRe.r
+    (0L until n).foreach { id =>
+      graft.synth.TableDocs.build(id)._3.foreach { l =>
+        val host = hostRe.findFirstMatchIn(l.href)
+          .map(m => m.group(1).toLowerCase.replaceFirst("^www\\.", "")).getOrElse("")
+        if (host.nonEmpty)
+          l.anchor.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { term =>
+            val (c, d) = want.getOrElseUpdate((host, term), (0L, collection.mutable.Set.empty[Long]))
+            want((host, term)) = (c + 1, d += id)
+          }
+      }
+    }
+    val got = WebOps.anchorTerms(graft.ops.TableOps.links(spark, n)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want.map { case (k, (c, d)) => k -> ((c, d.size.toLong)) }.toMap)
+    assert(got.nonEmpty && got.keys.map(_._1).toSet.size > 1,
+      "corpus must exercise multiple hosts")
+  }
+
   test("UrlRe stops at ALL whitespace: newline/tab-terminated URLs do not absorb following text") {
     val docs = Seq((1L, "pre https://a.com/x\nnext line http://b.org/y\tend"))
       .toDF("doc_id", "text")
