@@ -560,7 +560,10 @@ object SparkEntry {
     // anchor-text aggregation per target host: the web-search signal
     // composed from the q136 link frame
     "q139_anchor_terms" -> ((s, _) =>
-      WebOps.anchorTerms(TableOps.links(s, VerifyTableDocs)))
+      WebOps.anchorTerms(TableOps.links(s, VerifyTableDocs))),
+    // conversation-flow transition matrix (role / tool:<name> states)
+    "q140_transitions" -> ((s, _) =>
+      TranscriptOps.transitionMatrix(SynthDataset.turns(s, VerifyConvs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2775,6 +2778,20 @@ object SparkEntry {
                FROM h WHERE host <> '')
          SELECT host, term, count(*) AS n_mentions,
                 count(DISTINCT doc_id) AS n_source_docs
-         FROM t WHERE term <> '' GROUP BY 1, 2"""
+         FROM t WHERE term <> '' GROUP BY 1, 2""",
+    // q140: DuckDB re-derives the transition matrix with the same lead
+    // window and the same exact integer probability arithmetic
+    "q140_transitions" ->
+      """WITH t AS (SELECT conv_id, turn_idx,
+                 CASE WHEN role = 'tool' THEN 'tool:' || tool ELSE role END AS state
+               FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
+         s AS (SELECT conv_id, state,
+                 lead(state) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_state
+               FROM t),
+         m AS (SELECT state AS from_state, next_state AS to_state, count(*) AS n
+               FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2)
+         SELECT from_state, to_state, n,
+                (n * 10000) // sum(n) OVER (PARTITION BY from_state) AS p_x10000
+         FROM m"""
   )
 }

@@ -370,4 +370,33 @@ object TranscriptOps {
         min_by(col("role"), col("turn_idx")).as("first_role"),
         max_by(col("role"), col("turn_idx")).as("last_role"))
   }
+
+  /** q140: conversation-flow transition matrix — counts and exact
+    * fixed-point probabilities of each (state → next state) step, where a
+    * turn's state is its role, refined to `tool:<name>` for tool turns.
+    * The agent-protocol analogue of a Markov flow audit: which tool
+    * follows which, how often the assistant yields to the user, where
+    * conversations stall.
+    *
+    * Scale shape: ONE conv-keyed window (lead) — the same single
+    * conv-partitioned Exchange as `roleAudit` — then a (from, to) groupBy
+    * with map-side partials. The probability normalization windows over
+    * the AGGREGATED matrix (|states|² rows, a constant), never the turn
+    * table, so 10^12 turns cross exactly two data-sized exchanges.
+    */
+  def transitionMatrix(turns: Dataset[Turn]): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wFrom = Window.partitionBy(col("from_state"))
+    turns
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("role") === "tool", concat(lit("tool:"), col("tool")))
+          .otherwise(col("role")).as("state"))
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col("state").as("from_state"), col("next_state").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(wFrom))
+      .withColumn("p_x10000", expr("(n * 10000) div from_total"))
+      .drop("from_total")
+  }
 }

@@ -808,6 +808,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anchor rollup must not join:\n$p")
   }
 
+  test("transition matrix: conv window + (from,to) agg — the normalization windows the bounded matrix, no join") {
+    val p = plan(graft.ops.TranscriptOps.transitionMatrix(
+      graft.synth.SynthDataset.turns(spark, 40L)))
+    assert("(?<!Broadcast)Exchange hashpartitioning\\(conv_id".r.findAllIn(p).size == 1,
+      s"expected exactly one conv-keyed exchange:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"transition matrix must not join:\n$p")
+  }
+
   test("table records: a single 3-key equi-join, never a cartesian") {
     val p = plan(graft.ops.TableOps.tableRecords(
       graft.ops.TableOps.cells(spark, 50L)))

@@ -35,6 +35,31 @@ class TranscriptOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum > 0, "corpus must contain unclosed tool frames")
   }
 
+  test("transitionMatrix matches a driver recompute; probabilities row-normalize") {
+    import spark.implicits._
+    def state(t: graft.model.Turn): String =
+      if (t.role == "tool") s"tool:${t.tool}" else t.role
+    val trans = corpus.groupBy(_.conv_id).toSeq.flatMap { case (_, ts) =>
+      val s = ts.sortBy(_.turn_idx).map(state)
+      s.zip(s.drop(1))
+    }
+    val want = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = TranscriptOps.transitionMatrix(SynthDataset.turns(spark, NConvs.toLong))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+    got.foreach { case ((from, _), (n, p)) =>
+      assert(p == n * 10000L / fromTotals(from), s"$from p_x10000")
+    }
+    // every from-state's probabilities must sum to ~1 (floor rounding)
+    got.keys.map(_._1).toSet.foreach { f: String =>
+      val s = got.collect { case ((`f`, _), (_, p)) => p }.sum
+      assert(s > 10000L - got.size && s <= 10000L, s"$f row sum $s")
+    }
+    assert(got.keys.exists(_._1.startsWith("tool:")), "tool states must appear")
+  }
+
   test("roleAudit matches a driver-side recompute and exercises every anomaly counter") {
     import spark.implicits._
     val want = corpus.groupBy(_.conv_id).map { case (conv, ts) =>
