@@ -563,7 +563,10 @@ object SparkEntry {
       WebOps.anchorTerms(TableOps.links(s, VerifyTableDocs))),
     // conversation-flow transition matrix (role / tool:<name> states)
     "q140_transitions" -> ((s, _) =>
-      TranscriptOps.transitionMatrix(SynthDataset.turns(s, VerifyConvs)))
+      TranscriptOps.transitionMatrix(SynthDataset.turns(s, VerifyConvs))),
+    // cross-source quality calibration: per-source percentile of the
+    // exact integer quality logit
+    "q141_quality_calibrated" -> ((s, d) => TextOps.qualityCalibrated(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -627,7 +630,7 @@ object SparkEntry {
     * an s-string inserts it verbatim.
     */
   private val qualityFeatureSql =
-    """SELECT doc_id,
+    """SELECT doc_id, source,
          length(text) AS n_chars_m,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
@@ -2792,6 +2795,20 @@ object SparkEntry {
                FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2)
          SELECT from_state, to_state, n,
                 (n * 10000) // sum(n) OVER (PARTITION BY from_state) AS p_x10000
-         FROM m"""
+         FROM m""",
+    // q141: DuckDB recomputes the logit from the shared feature fragment
+    // and re-derives the per-source percentile with the same rank/count
+    // windows and integer arithmetic
+    "q141_quality_calibrated" -> {
+      val Seq(wTok, wLen, wStop, wPunct) = ops.TextOps.QualityLogitWeights
+      s"""WITH d AS (SELECT doc_id, source,
+                  n_tokens * $wTok + mean_wordlen_x100 * $wLen
+                    + stopword_x1000 * $wStop + n_punct * $wPunct AS logit
+                FROM ($qualityFeatureSql) t)
+         SELECT doc_id, source, logit,
+                ((rank() OVER (PARTITION BY source ORDER BY logit) - 1) * 10000)
+                  // greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS pct_x10000
+         FROM d"""
+    }
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.text.TextAlgos
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -88,6 +89,39 @@ object TextOps {
         col("doc_id"), col("n_tokens"), col("mean_wordlen_x100"),
         col("stopword_x1000"), col("n_punct"), col("logit"),
         (col("logit") >= QualityLogitThreshold).as("model_pass"))
+  }
+
+  /** q141: cross-source quality calibration — each document's quality
+    * logit converted to a per-SOURCE percentile, `pct_x10000 =
+    * (rank - 1) * 10000 div (n_source - 1)` (ties share a rank, so the
+    * result is order-independent and engine-exact). Mixing crawl +
+    * curated sources on RAW logits over-prunes whichever source runs
+    * low; per-source percentiles are the comparable currency
+    * source-mixture policies (q92/q126) act on.
+    *
+    * Scale shape: one source-keyed Exchange that BOTH window frames
+    * (rank sort, count) reuse. The in-window sort is per source — the
+    * exact-percentile cost at 10^12 docs; the sketch alternative (q107/
+    * q108 histogram read-off, ≤2x relative error) is the documented
+    * approximate path when a full per-source sort is too much.
+    */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(wTok, wLen, wStop, wPunct) = QualityLogitWeights
+    val wRank = Window.partitionBy(col("source")).orderBy(col("logit"))
+    val wCnt = Window.partitionBy(col("source"))
+    withQualityColumns(table(spark, dir, "documents"))
+      .withColumn(
+        "logit",
+        col("n_tokens") * wTok + col("mean_wordlen_x100") * wLen +
+          col("stopword_x1000") * wStop + col("n_punct") * wPunct)
+      .select(col("doc_id"), col("source"), col("logit"))
+      .withColumn("rk", rank().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      // bigint before the multiply: int rank * 10000 wraps past ~214k
+      // docs per source (the q86 lesson)
+      .withColumn("pct_x10000",
+        expr("((cast(rk as bigint) - 1) * 10000) div greatest(cnt - 1, 1)"))
+      .drop("rk", "cnt")
   }
 
   /** LM vocabulary size for the surprise filter — deliberately below the

@@ -808,6 +808,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anchor rollup must not join:\n$p")
   }
 
+  test("quality calibration: both window frames reuse ONE source-keyed exchange, no join") {
+    val p = plan(graft.ops.TextOps.qualityCalibrated(spark, dir))
+    assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"rank and count windows must share the source exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"calibration must not join:\n$p")
+  }
+
   test("transition matrix: conv window + (from,to) agg — the normalization windows the bounded matrix, no join") {
     val p = plan(graft.ops.TranscriptOps.transitionMatrix(
       graft.synth.SynthDataset.turns(spark, 40L)))

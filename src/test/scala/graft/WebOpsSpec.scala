@@ -258,6 +258,28 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
   }
 
+  test("qualityCalibrated: per-source percentile matches a driver rank recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.TextOps.qualityCalibrated(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).distinct.length > 1, "corpus must span multiple sources")
+    rows.groupBy(_._2).foreach { case (source, g) =>
+      val logits = g.map(_._3).sorted
+      val n = logits.length.toLong
+      g.foreach { case (id, _, logit, pct) =>
+        val rank = logits.indexWhere(_ == logit) + 1L // ties share min rank
+        val want = (rank - 1) * 10000L / math.max(n - 1, 1L)
+        assert(pct == want, s"doc $id in $source")
+      }
+      // endpoints: some doc sits at 0; the max logit sits at 10000 (n>1)
+      if (n > 1) {
+        assert(g.exists(_._4 == 0L), s"$source has no percentile-0 doc")
+        assert(g.filter(_._3 == logits.last).forall(_._4 == 10000L),
+          s"$source max-logit doc not at 10000")
+      }
+    }
+  }
+
   test("qualityLogit is the exact integer dot product of the q15 features") {
     val dir = "/root/testdata/sf0.001"
     val feats = graft.ops.TextOps.qualityScore(spark, dir).collect()
