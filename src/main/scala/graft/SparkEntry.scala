@@ -52,6 +52,9 @@ object SparkEntry {
   /** Docs in the planted heading-outline corpus (q137/q138). */
   val VerifyOutlineDocs = 240L
 
+  /** Docs in the planted encoding-damage corpus (q142). */
+  val VerifyNoisyDocs = 210L
+
   /** Flagship: full extraction pipeline over the synthetic transcript
     * corpus — per-conversation failure rollup (SURVEY.md §7.2 minimum
     * slice). Driver smoke-checks rows > 0 on sf0.001.
@@ -566,7 +569,10 @@ object SparkEntry {
       TranscriptOps.transitionMatrix(SynthDataset.turns(s, VerifyConvs))),
     // cross-source quality calibration: per-source percentile of the
     // exact integer quality logit
-    "q141_quality_calibrated" -> ((s, d) => TextOps.qualityCalibrated(s, d))
+    "q141_quality_calibrated" -> ((s, d) => TextOps.qualityCalibrated(s, d)),
+    // encoding-quality audit over the planted noisy corpus
+    "q142_encoding_audit" -> ((s, _) =>
+      TextOps.encodingAudit(graft.synth.NoisyDocs.docs(s, VerifyNoisyDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2809,6 +2815,19 @@ object SparkEntry {
                 ((rank() OVER (PARTITION BY source ORDER BY logit) - 1) * 10000)
                   // greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS pct_x10000
          FROM d"""
-    }
+    },
+    // q142: DuckDB recounts every character class with its own regex
+    // engine (RE2) over the materialized noisy corpus — plain
+    // triple-quoted on purpose: the \x escapes must reach DuckDB verbatim
+    "q142_encoding_audit" ->
+      """SELECT doc_id, length(text) AS n_chars,
+                length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_control,
+                length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g')) AS n_replacement,
+                length(text) - length(regexp_replace(text, '[\x{00A0}\x{200B}-\x{200D}\x{FEFF}]', '', 'g')) AS n_invisible,
+                length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_non_ascii,
+                (length(text) = length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+                 AND length(text) = length(regexp_replace(text, '\x{FFFD}', '', 'g'))
+                 AND length(text) = length(regexp_replace(text, '[\x{00A0}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'))) AS clean
+         FROM read_parquet('__SYNTH__/noisy_docs.parquet/*.parquet')"""
   )
 }

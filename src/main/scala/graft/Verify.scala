@@ -100,6 +100,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/md_golden_cells.parquet")
       }
+      synthWrite("noisy_docs", "q142 encoding-audit oracle (planted encoding damage)") {
+        synth.NoisyDocs.docs(spark, SparkEntry.VerifyNoisyDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/noisy_docs.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

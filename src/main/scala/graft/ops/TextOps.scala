@@ -124,6 +124,31 @@ object TextOps {
       .drop("rk", "cnt")
   }
 
+  /** q142: encoding-quality audit — the crawl-hygiene gate that catches
+    * double-decode damage (U+FFFD replacement chars), stray C0
+    * control/DEL bytes, and invisible copy-paste junk (NBSP, zero-width
+    * space/joiners, BOM) BEFORE a corpus trains a tokenizer on them.
+    * Counts are codepoint-exact (all audited classes are BMP, so UTF-16
+    * vs UTF-8 length semantics agree); `n_non_ascii` is the informational
+    * superset (accented letters are non-ASCII but CLEAN — the flag only
+    * fires on the damage classes). Pure narrow projection: codegen'd
+    * regexp counts, zero exchanges at any scale.
+    */
+  def encodingAudit(docs: DataFrame): DataFrame = {
+    def classCount(re: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), re, ""))).cast("long")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      classCount("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").as("n_control"),
+      classCount("\\x{FFFD}").as("n_replacement"),
+      classCount("[\\x{00A0}\\x{200B}-\\x{200D}\\x{FEFF}]").as("n_invisible"),
+      classCount("[^\\x00-\\x7F]").as("n_non_ascii"))
+      .withColumn("clean",
+        col("n_control") === 0L && col("n_replacement") === 0L &&
+          col("n_invisible") === 0L)
+  }
+
   /** LM vocabulary size for the surprise filter — deliberately below the
     * verify corpus' 31-token vocabulary so OOV tokens genuinely occur
     * (same reasoning as `TrainingOps.EncodeVocabSize`); top-20 covers

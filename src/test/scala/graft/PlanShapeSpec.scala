@@ -808,6 +808,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anchor rollup must not join:\n$p")
   }
 
+  test("encoding audit: pure narrow projection — zero exchanges, zero joins") {
+    val p = plan(graft.ops.TextOps.encodingAudit(graft.synth.NoisyDocs.docs(spark, 50L)))
+    assert(!p.contains("Exchange"), s"audit must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"audit must not join:\n$p")
+  }
+
   test("quality calibration: both window frames reuse ONE source-keyed exchange, no join") {
     val p = plan(graft.ops.TextOps.qualityCalibrated(spark, dir))
     assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size == 1,

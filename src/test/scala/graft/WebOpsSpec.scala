@@ -258,6 +258,38 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
   }
 
+  test("encodingAudit matches a char-level driver recompute; accents stay clean") {
+    val n = 210L
+    def classify(c: Char): (Int, Int, Int, Int) = {
+      val cp = c.toInt
+      (
+        if (cp <= 0x08 || cp == 0x0B || cp == 0x0C ||
+          (cp >= 0x0E && cp <= 0x1F) || cp == 0x7F) 1 else 0,
+        if (cp == 0xFFFD) 1 else 0,
+        if (cp == 0xA0 || (cp >= 0x200B && cp <= 0x200D) || cp == 0xFEFF) 1 else 0,
+        if (cp > 0x7F) 1 else 0)
+    }
+    val got = graft.ops.TextOps.encodingAudit(graft.synth.NoisyDocs.docs(spark, n))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    var sawAccentOnlyClean = false
+    (0L until n).foreach { id =>
+      val t = graft.synth.NoisyDocs.text(id)
+      val cs = t.map(classify)
+      val want = (t.length.toLong, cs.map(_._1).sum.toLong, cs.map(_._2).sum.toLong,
+        cs.map(_._3).sum.toLong, cs.map(_._4).sum.toLong,
+        cs.map(_._1).sum + cs.map(_._2).sum + cs.map(_._3).sum == 0)
+      assert(got(id) == want, s"doc $id")
+      if (id % 7 == 3 && id % 3 != 0 && id % 4 != 1 && id % 5 != 2) {
+        assert(got(id)._6 && got(id)._5 > 0, s"doc $id: accent-only must be clean non-ascii")
+        sawAccentOnlyClean = true
+      }
+    }
+    assert(sawAccentOnlyClean, "corpus must contain an accent-only clean doc")
+    assert(got.values.exists(v => v._2 > 0) && got.values.exists(v => v._3 > 0) &&
+      got.values.exists(v => v._4 > 0), "every damage class must occur")
+  }
+
   test("qualityCalibrated: per-source percentile matches a driver rank recompute") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ops.TextOps.qualityCalibrated(spark, dir).collect()
