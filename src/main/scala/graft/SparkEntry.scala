@@ -572,7 +572,9 @@ object SparkEntry {
     "q141_quality_calibrated" -> ((s, d) => TextOps.qualityCalibrated(s, d)),
     // encoding-quality audit over the planted noisy corpus
     "q142_encoding_audit" -> ((s, _) =>
-      TextOps.encodingAudit(graft.synth.NoisyDocs.docs(s, VerifyNoisyDocs)))
+      TextOps.encodingAudit(graft.synth.NoisyDocs.docs(s, VerifyNoisyDocs))),
+    // tokenizer-fertility audit from the trained BPE (bytes/token per lang)
+    "q143_bpe_fertility" -> ((s, d) => BpeOps.fertility(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2828,6 +2830,33 @@ object SparkEntry {
                 (length(text) = length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
                  AND length(text) = length(regexp_replace(text, '\x{FFFD}', '', 'g'))
                  AND length(text) = length(regexp_replace(text, '[\x{00A0}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'))) AS clean
-         FROM read_parquet('__SYNTH__/noisy_docs.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/noisy_docs.parquet/*.parquet')""",
+    // q143: DuckDB independently RETRAINS the tokenizer (the q80/q81 CTE
+    // chain) and re-derives the per-language fertility with the same
+    // integer arithmetic
+    "q143_bpe_fertility" -> {
+      val n = BpeOps.DefaultMerges
+      s"""WITH ${BpeOps.duckdbTrainCtes(n)},
+         enc AS (SELECT word, trim(packed) AS e FROM w$n),
+         docw AS (SELECT doc_id, lang,
+                         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
+                  FROM documents),
+         ex AS (SELECT doc_id, lang, unnest(ws) AS word FROM docw),
+         j AS (SELECT ex.lang, strlen(ex.word) AS b,
+                      len(str_split(enc.e, '  ')) AS t
+               FROM ex JOIN enc USING (word)),
+         a1 AS (SELECT lang, count(*) AS n_docs FROM docw GROUP BY 1),
+         a2 AS (SELECT lang, count(*) AS n_words,
+                       CAST(sum(b) AS BIGINT) AS n_bytes,
+                       CAST(sum(t) AS BIGINT) AS n_tokens
+                FROM j GROUP BY 1)
+         SELECT a1.lang, a1.n_docs,
+                coalesce(a2.n_words, 0) AS n_words,
+                coalesce(a2.n_bytes, 0) AS n_bytes,
+                coalesce(a2.n_tokens, 0) AS n_tokens,
+                (coalesce(a2.n_bytes, 0) * 100) // greatest(coalesce(a2.n_tokens, 0), 1) AS bytes_per_token_x100,
+                (coalesce(a2.n_tokens, 0) * 100) // greatest(coalesce(a2.n_words, 0), 1) AS tokens_per_word_x100
+         FROM a1 LEFT JOIN a2 USING (lang)"""
+    }
   )
 }

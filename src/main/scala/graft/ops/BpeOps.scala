@@ -232,6 +232,45 @@ object BpeOps {
         sha2(array_join(transform(col("ws"), w => element_at(m, w)), " | "), 256).as("enc_sha"))
   }
 
+  /** q143: tokenizer-fertility audit — per-language bytes/token and
+    * tokens/word of the trained BPE, the efficiency signal that decides
+    * whether a tokenizer is fit for a corpus (a vocabulary trained on one
+    * register fragments another: fertility spikes). Exact integers:
+    * UTF-8 bytes via octet_length, token counts from the memoized merge
+    * map, x100 fixed-point ratios with `div`.
+    *
+    * Scale shape: the vocab-sized encode map rides as ONE literal map
+    * column (the q81 contract — no join, nothing collected of the data);
+    * per-doc byte/token sums fold inside the row; the only exchange is
+    * the |langs|-keyed aggregation with map-side partials.
+    */
+  def fertility(spark: SparkSession, dir: String, nMerges: Int = DefaultMerges): DataFrame = {
+    val docs = RelationalOps.table(spark, dir, "documents")
+    val (_, mapping) = trainCached(spark, dir, nMerges)
+    val m = typedLit(mapping.toMap)
+    docs
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .select(
+        col("lang"),
+        size(col("ws")).cast("long").as("d_words"),
+        aggregate(
+          transform(col("ws"), w => octet_length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d_bytes"),
+        aggregate(
+          transform(col("ws"), w => size(split(element_at(m, w), "  ")).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("d_words")).as("n_words"),
+        sum(col("d_bytes")).as("n_bytes"),
+        sum(col("d_tokens")).as("n_tokens"))
+      .withColumn("bytes_per_token_x100",
+        expr("(n_bytes * 100) div greatest(n_tokens, 1)"))
+      .withColumn("tokens_per_word_x100",
+        expr("(n_tokens * 100) div greatest(n_words, 1)"))
+  }
+
   /** DuckDB CTE chain replicating `train` exactly: w0 is the packed
     * histogram; each round r computes pair counts (p_r), the argmax merge
     * (m_r, same tie-break), and the merged histogram (w_r) via the same

@@ -115,6 +115,38 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(mapping.toMap == Map("ab" -> "ab", "a" -> "a"))
   }
 
+  test("fertility matches the reference per-lang byte/token rollup") {
+    import spark.implicits._
+    val n = BpeOps.DefaultMerges
+    val (_, refSyms) = refBpe(localHist, n)
+    val docWords = Map(
+      0L -> Seq("aaaaa", "abab", "ababab", "banana"),
+      1L -> Seq("banana", "bandana", "banana", "scan", "scanner"),
+      2L -> Seq("aaaa", "aa", "a", "scan", "plan", "planner"),
+      3L -> Seq("window", "window", "windowing", "sort", "sorted", "sort"),
+      4L -> Seq("abab", "aaab", "baaa", "banana", "plan"))
+    val langOf = Map(0L -> "en", 1L -> "en", 2L -> "de", 3L -> "de", 4L -> "fr")
+    val want = langOf.groupBy(_._2).map { case (lang, m) =>
+      val ids = m.keys.toSeq
+      val ws = ids.flatMap(docWords)
+      val words = ws.size.toLong
+      val bytes = ws.map(_.getBytes("UTF-8").length.toLong).sum
+      val toks = ws.map(w => refSyms(w).size.toLong).sum
+      lang -> ((ids.size.toLong, words, bytes, toks,
+        bytes * 100 / math.max(toks, 1), toks * 100 / math.max(words, 1)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-fert").toString
+    corpus.withColumn("lang",
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.typedLit(langOf), $"doc_id"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = BpeOps.fertility(spark, dir, n)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == want)
+    assert(got.keySet == Set("en", "de", "fr"))
+  }
+
   test("encode matches the reference symbol counts and bytes; pair counts match") {
     import spark.implicits._
     val n = BpeOps.DefaultMerges

@@ -808,6 +808,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anchor rollup must not join:\n$p")
   }
 
+  test("bpe fertility: vocab rides as a literal map — one lang agg exchange, no join") {
+    val p = plan(graft.ops.BpeOps.fertility(spark, dir))
+    assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected only the lang aggregation exchange:\n$p")
+    assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"fertility must not join (vocab is a literal):\n$p")
+  }
+
   test("encoding audit: pure narrow projection — zero exchanges, zero joins") {
     val p = plan(graft.ops.TextOps.encodingAudit(graft.synth.NoisyDocs.docs(spark, 50L)))
     assert(!p.contains("Exchange"), s"audit must not shuffle:\n$p")
