@@ -574,7 +574,10 @@ object SparkEntry {
     "q142_encoding_audit" -> ((s, _) =>
       TextOps.encodingAudit(graft.synth.NoisyDocs.docs(s, VerifyNoisyDocs))),
     // tokenizer-fertility audit from the trained BPE (bytes/token per lang)
-    "q143_bpe_fertility" -> ((s, d) => BpeOps.fertility(s, d))
+    "q143_bpe_fertility" -> ((s, d) => BpeOps.fertility(s, d)),
+    // crawl-budget apportionment over host PageRank (largest remainder)
+    "q144_crawl_budget" -> ((s, _) =>
+      WebOps.crawlBudget(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2857,6 +2860,24 @@ object SparkEntry {
                 (coalesce(a2.n_bytes, 0) * 100) // greatest(coalesce(a2.n_tokens, 0), 1) AS bytes_per_token_x100,
                 (coalesce(a2.n_tokens, 0) * 100) // greatest(coalesce(a2.n_words, 0), 1) AS tokens_per_word_x100
          FROM a1 LEFT JOIN a2 USING (lang)"""
+    },
+    // q144: DuckDB re-runs the full PageRank CTE chain (q85) and then the
+    // same Hamilton apportionment — base, remainders, leftover seats by
+    // (rem DESC, host) — in BIGINT throughout
+    "q144_crawl_budget" -> {
+      val b = ops.WebOps.CrawlBudget
+      s"""WITH ${ops.WebOps.duckdbRankCtes(ops.WebOps.RankIters, "__SYNTH__/web_docs.parquet/*.parquet")},
+         ranks AS (SELECT host, CAST(rank AS BIGINT) AS rank_x1e12 FROM r${ops.WebOps.RankIters}),
+         tot AS (SELECT CAST(sum(rank_x1e12) AS BIGINT) AS total FROM ranks),
+         bs AS (SELECT host, rank_x1e12,
+                  CAST(($b * rank_x1e12) // tot.total AS BIGINT) AS base,
+                  CAST(($b * rank_x1e12) % tot.total AS BIGINT) AS rem
+                FROM ranks, tot),
+         l AS (SELECT CAST($b - sum(base) AS BIGINT) AS leftover FROM bs)
+         SELECT host, rank_x1e12, base,
+                base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host) <= l.leftover
+                            THEN 1 ELSE 0 END AS alloc
+         FROM bs, l"""
     }
   )
 }

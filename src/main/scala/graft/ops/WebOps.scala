@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Web-corpus curation operators a 100 TB training-data pipeline needs on
@@ -357,6 +358,37 @@ object WebOps {
       edges.unpersist()
       nodes.unpersist()
     }
+  }
+
+  /** Total page budget for [[crawlBudget]]. */
+  val CrawlBudget = 100000L
+
+  /** q144: crawl-budget apportionment — a fixed page budget split across
+    * hosts PROPORTIONAL to PageRank by the largest-remainder (Hamilton)
+    * method, all in exact integers: `base = budget·rank div total`, the
+    * `budget − Σ base` leftover seats going to the largest remainders
+    * (host asc on ties). Σ alloc == budget EXACTLY — the frontier
+    * scheduler can bank on it. budget·rank ≤ 10⁵·10¹² stays in BIGINT.
+    *
+    * Scale shape: ranks stay a host-keyed frame; the two scalars (rank
+    * total, leftover) ride as broadcast 1-row crossJoins (the q110
+    * discipline — no driver collect). The remainder ranking is ONE
+    * global window over the |hosts|-bounded rank table — bounded by the
+    * same argument as q140's matrix normalization, never by the corpus.
+    */
+  def crawlBudget(docs: DataFrame, budget: Long = CrawlBudget): DataFrame = {
+    val ranks = hostRank(docs)
+    val tot = ranks.agg(sum(col("rank_x1e12")).as("total_rank"))
+    val based = ranks.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * rank_x1e12) div total_rank"))
+      .withColumn("rem", expr(s"($budget * rank_x1e12) % total_rank"))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("rem").desc, col("host").asc)))
+      .withColumn("alloc",
+        col("base") + when(col("pos") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("host"), col("rank_x1e12"), col("base"), col("alloc"))
   }
 
   /** HITS iterations / fixed-point scale for [[hostHits]]. The scale is

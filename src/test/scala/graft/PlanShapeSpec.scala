@@ -808,6 +808,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anchor rollup must not join:\n$p")
   }
 
+  test("crawl budget: scalars ride as broadcast 1-row crossJoins, never a driver collect") {
+    val p = plan(graft.ops.WebOps.crawlBudget(graft.synth.WebDocs.docs(spark, 40L)))
+    assert(!p.contains("CartesianProduct"),
+      s"scalar attach must be broadcast, not cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast 1-row scalar attach:\n$p")
+  }
+
   test("bpe fertility: vocab rides as a literal map — one lang agg exchange, no join") {
     val p = plan(graft.ops.BpeOps.fertility(spark, dir))
     assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 1,

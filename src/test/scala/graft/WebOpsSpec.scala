@@ -258,6 +258,28 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
   }
 
+  test("crawlBudget: exact Hamilton apportionment — driver recompute, sum == budget") {
+    val n = 60L
+    val budget = WebOps.CrawlBudget
+    val ranks = WebOps.hostRank(WebDocs.docs(spark, n)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.size > 2, "corpus must span several hosts")
+    val total = ranks.values.sum
+    val base = ranks.map { case (h, r) => h -> budget * r / total }
+    val rem = ranks.map { case (h, r) => h -> budget * r % total }
+    val leftover = budget - base.values.sum
+    val extras = ranks.keys.toSeq
+      .sortBy(h => (-rem(h), h)).take(leftover.toInt).toSet
+    val want = ranks.keys.map { h =>
+      h -> ((ranks(h), base(h), base(h) + (if (extras(h)) 1L else 0L)))
+    }.toMap
+    val got = WebOps.crawlBudget(WebDocs.docs(spark, n)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got.values.map(_._3).sum == budget, "allocations must sum to the budget")
+    assert(leftover > 0, "planted ranks must leave remainder seats (non-vacuous)")
+  }
+
   test("encodingAudit matches a char-level driver recompute; accents stay clean") {
     val n = 210L
     def classify(c: Char): (Int, Int, Int, Int) = {
