@@ -55,6 +55,9 @@ object SparkEntry {
   /** Docs in the planted encoding-damage corpus (q142). */
   val VerifyNoisyDocs = 210L
 
+  /** Docs in the planted positioned-run grid corpus (q145). */
+  val VerifyPdfGridDocs = 180L
+
   /** Flagship: full extraction pipeline over the synthetic transcript
     * corpus — per-conversation failure rollup (SURVEY.md §7.2 minimum
     * slice). Driver smoke-checks rows > 0 on sf0.001.
@@ -577,7 +580,10 @@ object SparkEntry {
     "q143_bpe_fertility" -> ((s, d) => BpeOps.fertility(s, d)),
     // crawl-budget apportionment over host PageRank (largest remainder)
     "q144_crawl_budget" -> ((s, _) =>
-      WebOps.crawlBudget(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
+      WebOps.crawlBudget(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // pdfir layout table detection: grids recovered from positioned runs
+    "q145_pdf_grids" -> ((s, _) =>
+      TableOps.pdfGrids(s, VerifyPdfGridDocs))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2878,6 +2884,14 @@ object SparkEntry {
                 base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host) <= l.leftover
                             THEN 1 ELSE 0 END AS alloc
          FROM bs, l"""
-    }
+    },
+    // q145: generator-materialized by-construction grid cells (the
+    // q133/q135/q136/q137 trust model)
+    "q145_pdf_grids" ->
+      """SELECT doc_id, CAST(page AS BIGINT) AS page,
+                CAST(table_idx AS BIGINT) AS table_idx,
+                CAST(row_idx AS BIGINT) AS row_idx,
+                CAST(col_idx AS BIGINT) AS col_idx, cell_text
+         FROM read_parquet('__SYNTH__/golden_grid_cells.parquet/*.parquet')"""
   )
 }

@@ -100,6 +100,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/md_golden_cells.parquet")
       }
+      synthWrite("golden_grid_cells", "q145 pdfir grid oracle (generator's by-construction cells)") {
+        synth.PdfGridDocs.goldenCells(spark, SparkEntry.VerifyPdfGridDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_grid_cells.parquet")
+      }
       synthWrite("noisy_docs", "q142 encoding-audit oracle (planted encoding damage)") {
         synth.NoisyDocs.docs(spark, SparkEntry.VerifyNoisyDocs)
           .coalesce(1).write.mode("overwrite")

@@ -1,0 +1,78 @@
+package graft.extract
+
+import scala.collection.mutable
+
+/** Table/grid detection over the positioned PDF-IR word stream — the
+  * layout-analysis move of a Document-AI system: OCR gives words with
+  * coordinates; rows of words sharing the SAME column x-positions across
+  * consecutive lines are a table (ref: src/processing.py:55-84 reads the
+  * positioned word stream; the reference flattens it — grid recovery is
+  * the structured upgrade, the pdfir twin of q133's HTML cells).
+  *
+  * Input is the `p<page> <x> <y> "<text>"` run format `PdfIrExtractor`
+  * reads. Contract (each clause pinned by PdfGridSpec):
+  *  - Runs group by (page, y) into candidate rows; a row's SIGNATURE is
+  *    its sorted distinct x-vector. Maximal blocks of CONSECUTIVE ys (in
+  *    the page's sorted y order) with an IDENTICAL signature of ≥ 2
+  *    columns and ≥ 2 rows are tables.
+  *  - A prose line between table rows breaks consecutiveness: each
+  *    fragment must re-qualify (≥ 2 rows) on its own. Two adjacent grids
+  *    with different x-signatures are separate tables.
+  *  - Tables index per doc in (page, first y) order; rows by y, columns
+  *    by x. Cell text strips ` (Confidence: d.dd)` annotations; the
+  *    first run wins a duplicated (y, x).
+  *  - Malformed run lines are SKIPPED (detection is lenient where
+  *    whole-turn extraction fails the turn — a layout pass on a noisy
+  *    stream must keep what it can). Never throws.
+  */
+object PdfGridExtractor {
+
+  final case class GridCell(
+      page: Int, tableIdx: Int, rowIdx: Int, colIdx: Int, text: String)
+
+  def extract(input: String): Seq[GridCell] = {
+    val runs = mutable.ArrayBuffer.empty[PdfIrExtractor.Run]
+    input.split('\n').foreach { line =>
+      if (line.nonEmpty) PdfIrExtractor.parseRun(line).foreach(runs += _)
+    }
+    if (runs.isEmpty) return Seq.empty
+
+    val out = mutable.ArrayBuffer.empty[GridCell]
+    var tableIdx = 0
+    // rows per (page, y): first run wins a duplicated (y, x)
+    val byPage = runs.groupBy(_.page).toSeq.sortBy(_._1)
+    byPage.foreach { case (page, pageRuns) =>
+      val rows: Seq[(Int, Map[Int, String])] = pageRuns.groupBy(_.y).toSeq
+        .map { case (y, rs) =>
+          val cells = mutable.LinkedHashMap.empty[Int, String]
+          rs.sortBy(r => (r.x, r.text)).foreach(r =>
+            if (!cells.contains(r.x)) cells(r.x) = r.text)
+          (y, cells.toMap)
+        }
+        .sortBy(_._1)
+      // walk sorted ys, slicing maximal equal-signature blocks
+      var i = 0
+      while (i < rows.length) {
+        val sig = rows(i)._2.keys.toSeq.sorted
+        var j = i + 1
+        while (j < rows.length && rows(j)._2.keys.toSeq.sorted == sig) j += 1
+        if (sig.length >= 2 && j - i >= 2) {
+          var r = 0
+          while (i + r < j) {
+            val (_, cells) = rows(i + r)
+            var c = 0
+            while (c < sig.length) {
+              out += GridCell(page, tableIdx, r, c,
+                PdfIrExtractor.stripConfidence(cells(sig(c))))
+              c += 1
+            }
+            r += 1
+          }
+          tableIdx += 1
+        }
+        i = j
+      }
+    }
+    out.toSeq
+  }
+}

@@ -21,7 +21,7 @@ import scala.collection.mutable
   */
 object PdfIrExtractor {
 
-  private final case class Run(page: Int, x: Int, y: Int, text: String)
+  private[extract] final case class Run(page: Int, x: Int, y: Int, text: String)
 
   /** Minimum horizontal gap between x-clusters to declare two columns. */
   val ColumnGap = 200
@@ -32,7 +32,7 @@ object PdfIrExtractor {
     * then digit '.' digit digit ')'.
     */
   private val ConfPrefix = " (Confidence: "
-  private def stripConfidence(s: String): String = {
+  private[extract] def stripConfidence(s: String): String = {
     var from = s.indexOf(ConfPrefix)
     if (from < 0) return s
     // java.lang.StringBuilder: the scala one has no (CharSequence, from,
@@ -126,7 +126,7 @@ object PdfIrExtractor {
   }
 
   /** Parse `p<page> <x> <y> "<text>"`; None on any malformation. */
-  private def parseRun(line: String): Option[Run] = {
+  private[extract] def parseRun(line: String): Option[Run] = {
     if (line.length < 8 || line.charAt(0) != 'p') return None
     var i = 1
     def readInt(): Int = {

@@ -80,6 +80,24 @@ object TableOps {
       .toDF("doc_id", "section_idx", "level", "title", "path")
   }
 
+  /** Detected grid cells over the planted positioned-run corpus (q145):
+    * the pdfir layout twin of `cells` — OCR word runs with coordinates in,
+    * (page, table, row, col, text) out, via the streaming
+    * `PdfGridExtractor`. Same narrow flatMap shape: zero exchanges, zero
+    * joins, no cross-doc state.
+    */
+  def pdfGrids(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    graft.synth.PdfGridDocs.docs(spark, nDocs)
+      .as[(Long, String)]
+      .flatMap { case (id, ir) =>
+        graft.extract.PdfGridExtractor.extract(ir).map(c =>
+          (id, c.page.toLong, c.tableIdx.toLong, c.rowIdx.toLong,
+            c.colIdx.toLong, c.text))
+      }
+      .toDF("doc_id", "page", "table_idx", "row_idx", "col_idx", "cell_text")
+  }
+
   /** q134: normalize extracted cells into header-keyed records —
     * (doc_id, table_idx, row_idx, col_name, value), one row per data
     * cell of every table WITH a header row (headerless tables drop out

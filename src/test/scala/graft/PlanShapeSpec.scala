@@ -792,6 +792,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("pdfir grid detection: a narrow per-doc flatMap — zero exchanges, zero joins") {
+    val p = plan(graft.ops.TableOps.pdfGrids(spark, 50L))
+    assert(!p.contains("Exchange"), s"grid detection must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"grid detection must not join:\n$p")
+  }
+
   test("outline extraction: a narrow per-doc flatMap — zero exchanges, zero joins") {
     val p = plan(graft.ops.TableOps.sections(spark, 50L))
     assert(!p.contains("Exchange"), s"outline extraction must not shuffle:\n$p")
