@@ -583,7 +583,10 @@ object SparkEntry {
       WebOps.crawlBudget(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
     // pdfir layout table detection: grids recovered from positioned runs
     "q145_pdf_grids" -> ((s, _) =>
-      TableOps.pdfGrids(s, VerifyPdfGridDocs))
+      TableOps.pdfGrids(s, VerifyPdfGridDocs)),
+    // detected grids normalized into first-row-header records
+    "q146_grid_records" -> ((s, _) =>
+      TableOps.pdfGridRecords(TableOps.pdfGrids(s, VerifyPdfGridDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2892,6 +2895,18 @@ object SparkEntry {
                 CAST(table_idx AS BIGINT) AS table_idx,
                 CAST(row_idx AS BIGINT) AS row_idx,
                 CAST(col_idx AS BIGINT) AS col_idx, cell_text
-         FROM read_parquet('__SYNTH__/golden_grid_cells.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/golden_grid_cells.parquet/*.parquet')""",
+    // q146: DuckDB derives the first-row-header pivot from the GOLDEN
+    // cells — independent of the engine's extractor AND its join
+    "q146_grid_records" ->
+      """WITH c AS (SELECT * FROM read_parquet('__SYNTH__/golden_grid_cells.parquet/*.parquet')),
+         h AS (SELECT doc_id, page, table_idx, col_idx, cell_text AS col_name
+               FROM c WHERE row_idx = 0),
+         d AS (SELECT * FROM c WHERE row_idx > 0)
+         SELECT d.doc_id, CAST(d.page AS BIGINT) AS page,
+                CAST(d.table_idx AS BIGINT) AS table_idx,
+                CAST(d.row_idx AS BIGINT) AS row_idx,
+                h.col_name, d.cell_text AS value
+         FROM d JOIN h USING (doc_id, page, table_idx, col_idx)"""
   )
 }

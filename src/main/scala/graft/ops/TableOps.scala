@@ -98,6 +98,25 @@ object TableOps {
       .toDF("doc_id", "page", "table_idx", "row_idx", "col_idx", "cell_text")
   }
 
+  /** q146: normalize detected pdf grids into header-keyed records — the
+    * q134 move applied to the layout family: row 0 of every grid is its
+    * header (OCR tables carry no `<th>` marker; first-row-as-header is
+    * the layout convention), data rows join it on (doc, page, table,
+    * col). Same scale shape as `tableRecords`: a 4-key equi-join whose
+    * build side is one header row per grid column.
+    */
+  def pdfGridRecords(grids: DataFrame): DataFrame = {
+    val headers = grids
+      .filter(col("row_idx") === 0L)
+      .select(col("doc_id"), col("page"), col("table_idx"), col("col_idx"),
+        col("cell_text").as("col_name"))
+    grids
+      .filter(col("row_idx") > 0L)
+      .join(headers, Seq("doc_id", "page", "table_idx", "col_idx"))
+      .select(col("doc_id"), col("page"), col("table_idx"), col("row_idx"),
+        col("col_name"), col("cell_text").as("value"))
+  }
+
   /** q134: normalize extracted cells into header-keyed records —
     * (doc_id, table_idx, row_idx, col_name, value), one row per data
     * cell of every table WITH a header row (headerless tables drop out

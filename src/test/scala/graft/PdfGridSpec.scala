@@ -76,6 +76,24 @@ class PdfGridSpec extends AnyFunSuite {
     assert(sawSplit && sawAdjacent && sawOneRow)
   }
 
+  test("pdfGridRecords: first-row-header pivot matches a driver recompute") {
+    import spark.implicits._
+    val n = 60L
+    val want = (0L until n).flatMap { id =>
+      val cells = PdfGridDocs.build(id)._2
+      val headers = cells.filter(_.row_idx == 0)
+        .map(c => (c.page, c.table_idx, c.col_idx) -> c.cell_text).toMap
+      cells.filter(_.row_idx > 0).flatMap { c =>
+        headers.get((c.page, c.table_idx, c.col_idx)).map(h =>
+          (id, c.page.toLong, c.table_idx.toLong, c.row_idx.toLong, h, c.cell_text))
+      }
+    }.sorted
+    val got = graft.ops.TableOps.pdfGridRecords(graft.ops.TableOps.pdfGrids(spark, n))
+      .as[(Long, Long, Long, Long, String, String)].collect().sorted
+    assert(got.toSeq == want)
+    assert(want.nonEmpty)
+  }
+
   test("q145 Spark path equals the distributed golden cells") {
     import spark.implicits._
     val got = graft.ops.TableOps.pdfGrids(spark, SparkEntry.VerifyPdfGridDocs)

@@ -792,6 +792,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("grid records: a single 4-key equi-join, never a cartesian") {
+    val p = plan(graft.ops.TableOps.pdfGridRecords(
+      graft.ops.TableOps.pdfGrids(spark, 50L)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"header pivot must stay equi-keyed:\n$p")
+    assert("Join".r.findAllIn(p).size <= 2, s"one logical join expected:\n$p")
+  }
+
   test("pdfir grid detection: a narrow per-doc flatMap — zero exchanges, zero joins") {
     val p = plan(graft.ops.TableOps.pdfGrids(spark, 50L))
     assert(!p.contains("Exchange"), s"grid detection must not shuffle:\n$p")
