@@ -586,7 +586,10 @@ object SparkEntry {
       TableOps.pdfGrids(s, VerifyPdfGridDocs)),
     // detected grids normalized into first-row-header records
     "q146_grid_records" -> ((s, _) =>
-      TableOps.pdfGridRecords(TableOps.pdfGrids(s, VerifyPdfGridDocs)))
+      TableOps.pdfGridRecords(TableOps.pdfGrids(s, VerifyPdfGridDocs))),
+    // context-window pruning: first + last-K turns per conversation
+    "q147_context_prune" -> ((s, _) =>
+      TranscriptOps.contextPrune(SynthDataset.turns(s, VerifyConvs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2907,6 +2910,15 @@ object SparkEntry {
                 CAST(d.table_idx AS BIGINT) AS table_idx,
                 CAST(d.row_idx AS BIGINT) AS row_idx,
                 h.col_name, d.cell_text AS value
-         FROM d JOIN h USING (doc_id, page, table_idx, col_idx)"""
+         FROM d JOIN h USING (doc_id, page, table_idx, col_idx)""",
+    // q147: DuckDB re-derives the keep set with the same min/max windows
+    "q147_context_prune" ->
+      s"""WITH m AS (SELECT conv_id, turn_idx, role,
+                  max(turn_idx) OVER (PARTITION BY conv_id) AS mx,
+                  min(turn_idx) OVER (PARTITION BY conv_id) AS mn
+                FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet'))
+         SELECT conv_id, turn_idx, role,
+                CASE WHEN turn_idx = mn THEN 'first' ELSE 'tail' END AS keep_reason
+         FROM m WHERE turn_idx = mn OR turn_idx > mx - ${ops.TranscriptOps.ContextKeepTail}"""
   )
 }

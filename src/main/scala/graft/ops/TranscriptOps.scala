@@ -371,6 +371,34 @@ object TranscriptOps {
         max_by(col("role"), col("turn_idx")).as("last_role"))
   }
 
+  /** Tail turns kept by [[contextPrune]]. */
+  val ContextKeepTail = 8
+
+  /** q147: context-window pruning — the truncation policy every agent
+    * framework applies before a model call: keep each conversation's
+    * FIRST turn (the system/anchor message) and its last
+    * [[ContextKeepTail]] turns; everything between drops. Emits the kept
+    * turns tagged with why they survived ('first' wins when a turn is
+    * both). Small conversations pass through whole.
+    *
+    * Scale shape: one conv-keyed Exchange; both min/max ride the SAME
+    * whole-partition window frame (no sort needed), and the filter is
+    * evaluated per row — 10^12 turns cross exactly one shuffle and
+    * nothing is collected.
+    */
+  def contextPrune(turns: Dataset[Turn], keepTail: Int = ContextKeepTail): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"))
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("role"))
+      .withColumn("mx", max(col("turn_idx")).over(w))
+      .withColumn("mn", min(col("turn_idx")).over(w))
+      .filter(col("turn_idx") === col("mn") ||
+        col("turn_idx") > col("mx") - keepTail)
+      .withColumn("keep_reason",
+        when(col("turn_idx") === col("mn"), "first").otherwise("tail"))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("keep_reason"))
+  }
+
   /** q140: conversation-flow transition matrix — counts and exact
     * fixed-point probabilities of each (state → next state) step, where a
     * turn's state is its role, refined to `tool:<name>` for tool turns.

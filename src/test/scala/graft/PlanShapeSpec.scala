@@ -792,6 +792,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("context prune: one conv-keyed exchange, unsorted window frame, no join") {
+    val p = plan(graft.ops.TranscriptOps.contextPrune(
+      graft.synth.SynthDataset.turns(spark, 40L)))
+    assert("(?<!Broadcast)Exchange hashpartitioning\\(conv_id".r.findAllIn(p).size == 1,
+      s"expected exactly one conv-keyed exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"prune must not join:\n$p")
+  }
+
   test("grid records: a single 4-key equi-join, never a cartesian") {
     val p = plan(graft.ops.TableOps.pdfGridRecords(
       graft.ops.TableOps.pdfGrids(spark, 50L)))

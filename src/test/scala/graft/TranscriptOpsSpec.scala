@@ -60,6 +60,24 @@ class TranscriptOpsSpec extends AnyFunSuite {
     assert(got.keys.exists(_._1.startsWith("tool:")), "tool states must appear")
   }
 
+  test("contextPrune keeps first + last-K; long convs actually drop turns") {
+    import spark.implicits._
+    val k = TranscriptOps.ContextKeepTail
+    val want = corpus.groupBy(_.conv_id).toSeq.flatMap { case (cid, ts) =>
+      val mn = ts.map(_.turn_idx).min; val mx = ts.map(_.turn_idx).max
+      ts.filter(t => t.turn_idx == mn || t.turn_idx > mx - k)
+        .map(t => (cid, t.turn_idx, t.role,
+          if (t.turn_idx == mn) "first" else "tail"))
+    }.sorted
+    val got = TranscriptOps.contextPrune(SynthDataset.turns(spark, NConvs.toLong))
+      .as[(String, Int, String, String)].collect().sorted
+    assert(got.toSeq == want)
+    val dropped = corpus.size - got.length
+    assert(dropped > 0, "the Zipf corpus must contain convs longer than 1+K")
+    assert(corpus.groupBy(_.conv_id).exists(_._2.size <= k + 1),
+      "short convs must also occur (kept whole)")
+  }
+
   test("roleAudit matches a driver-side recompute and exercises every anomaly counter") {
     import spark.implicits._
     val want = corpus.groupBy(_.conv_id).map { case (conv, ts) =>
