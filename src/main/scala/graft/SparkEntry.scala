@@ -589,7 +589,10 @@ object SparkEntry {
       TableOps.pdfGridRecords(TableOps.pdfGrids(s, VerifyPdfGridDocs))),
     // context-window pruning: first + last-K turns per conversation
     "q147_context_prune" -> ((s, _) =>
-      TranscriptOps.contextPrune(SynthDataset.turns(s, VerifyConvs)))
+      TranscriptOps.contextPrune(SynthDataset.turns(s, VerifyConvs))),
+    // per-host anchor keywords: whole-bit TF-IDF over hosts-as-documents
+    "q148_anchor_keywords" -> ((s, _) =>
+      WebOps.anchorKeywords(TableOps.links(s, VerifyTableDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2817,7 +2820,7 @@ object SparkEntry {
          m AS (SELECT state AS from_state, next_state AS to_state, count(*) AS n
                FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2)
          SELECT from_state, to_state, n,
-                (n * 10000) // sum(n) OVER (PARTITION BY from_state) AS p_x10000
+                CAST((n * 10000) // sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS p_x10000
          FROM m""",
     // q141: DuckDB recomputes the logit from the shared feature fragment
     // and re-derives the per-source percentile with the same rank/count
@@ -2919,6 +2922,29 @@ object SparkEntry {
                 FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet'))
          SELECT conv_id, turn_idx, role,
                 CASE WHEN turn_idx = mn THEN 'first' ELSE 'tail' END AS keep_reason
-         FROM m WHERE turn_idx = mn OR turn_idx > mx - ${ops.TranscriptOps.ContextKeepTail}"""
+         FROM m WHERE turn_idx = mn OR turn_idx > mx - ${ops.TranscriptOps.ContextKeepTail}""",
+    // q148: DuckDB re-derives the q139 term rollup from GOLDEN links,
+    // then the same whole-bit idf (q86 recipe) and per-host top-K
+    "q148_anchor_keywords" ->
+      s"""WITH l AS (SELECT * FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')),
+         hh AS (SELECT doc_id,
+                 regexp_replace(lower(regexp_extract(href, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host,
+                 anchor FROM l),
+         tt AS (SELECT host, unnest(string_split_regex(lower(anchor), '\\s+')) AS term
+                FROM hh WHERE host <> ''),
+         terms AS (SELECT host, term, count(*) AS tf
+                   FROM tt WHERE term <> '' GROUP BY 1, 2),
+         nh AS (SELECT count(DISTINCT host) AS n_hosts FROM terms),
+         dft AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+         sc AS (SELECT terms.host, terms.term, terms.tf,
+                  CAST(length(bin((nh.n_hosts * 10000) // dft.df)) - 1 AS BIGINT) AS idf_bits
+                FROM terms JOIN dft USING (term), nh),
+         rk AS (SELECT host, term, tf, idf_bits,
+                  CAST(tf * idf_bits AS BIGINT) AS score,
+                  row_number() OVER (PARTITION BY host
+                    ORDER BY tf * idf_bits DESC, term) AS rn
+                FROM sc)
+         SELECT host, term, tf, idf_bits, score, rn
+         FROM rk WHERE rn <= ${ops.WebOps.AnchorTopK}"""
   )
 }

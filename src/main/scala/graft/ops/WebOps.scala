@@ -274,6 +274,40 @@ object WebOps {
         count(lit(1)).as("n_mentions"),
         countDistinct(col("doc_id")).as("n_source_docs"))
 
+  /** Keywords kept per host by [[anchorKeywords]]. */
+  val AnchorTopK = 5
+
+  /** q148: per-host anchor KEYWORDS — the q139 term rollup ranked by
+    * exact-integer TF-IDF where each HOST is the "document": idf_bits =
+    * floor(log2(n_hosts·10⁴ div df)) via unpadded binary length (the q86
+    * whole-bit recipe — no float log), score = tf · idf_bits, top-K per
+    * host by (score desc, term asc). "What the web calls this host",
+    * with navigation boilerplate ('home') idf-suppressed.
+    *
+    * Scale shape: everything past [[anchorTerms]]' aggregation operates
+    * on the BOUNDED (host, term) frame — df and the host count are
+    * broadcast back (one small join + a 1-row crossJoin, no driver
+    * collect), and the top-K window partitions that bounded frame only.
+    */
+  def anchorKeywords(links: DataFrame, topK: Int = AnchorTopK): DataFrame = {
+    val terms = anchorTerms(links)
+      .select(col("host"), col("term"), col("n_mentions").as("tf"))
+    val nHosts = terms.agg(countDistinct(col("host")).as("n_hosts"))
+    val dfTerm = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("score").desc, col("term").asc)
+    terms
+      .join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(nHosts))
+      .withColumn("idf_bits",
+        expr("cast(length(conv((n_hosts * 10000) div df, 10, 2)) - 1 as bigint)"))
+      .withColumn("score", expr("tf * idf_bits"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("host"), col("term"), col("tf"), col("idf_bits"),
+        col("score"), col("rn"))
+  }
+
   /** URL extraction + host normalization + host-level rollup: lowercase
     * host, strip a leading `www.`, then count URLs and distinct docs per
     * host. The only shuffle is the (host) aggregation — map-side partial

@@ -792,6 +792,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("anchor keywords: df and host count broadcast back onto the bounded term frame") {
+    val p = plan(graft.ops.WebOps.anchorKeywords(graft.ops.TableOps.links(spark, 50L)))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/host-count must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the bounded term frame must never sort-merge:\n$p")
+  }
+
   test("context prune: one conv-keyed exchange, unsorted window frame, no join") {
     val p = plan(graft.ops.TranscriptOps.contextPrune(
       graft.synth.SynthDataset.turns(spark, 40L)))

@@ -258,6 +258,40 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
   }
 
+  test("anchorKeywords: whole-bit TF-IDF top-K matches a driver recompute") {
+    val n = 120L
+    val hostRe = WebOps.HostRe.r
+    val tf = collection.mutable.Map.empty[(String, String), Long]
+    (0L until n).foreach { id =>
+      graft.synth.TableDocs.build(id)._3.foreach { l =>
+        val host = hostRe.findFirstMatchIn(l.href)
+          .map(m => m.group(1).toLowerCase.replaceFirst("^www\\.", "")).getOrElse("")
+        if (host.nonEmpty)
+          l.anchor.toLowerCase.split("\\s+").filter(_.nonEmpty)
+            .foreach(t => tf((host, t)) = tf.getOrElse((host, t), 0L) + 1)
+      }
+    }
+    val nHosts = tf.keys.map(_._1).toSet.size.toLong
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val want = tf.keys.groupBy(_._1).flatMap { case (host, ks) =>
+      ks.toSeq
+        .map { case (_, t) =>
+          val idf = bits(nHosts * 10000L / df(t))
+          (t, tf((host, t)), idf, tf((host, t)) * idf)
+        }
+        .sortBy { case (t, _, _, s) => (-s, t) }
+        .zipWithIndex.take(WebOps.AnchorTopK)
+        .map { case ((t, f, idf, s), i) => (host, t, f, idf, s, i + 1L) }
+    }.toSet
+    import spark.implicits._
+    val got = WebOps.anchorKeywords(graft.ops.TableOps.links(spark, n))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // boilerplate nav terms must be idf-suppressed below rank 1 somewhere
+    assert(got.exists { case (_, t, _, _, _, rn) => rn == 1L && t != "home" })
+  }
+
   test("crawlBudget: exact Hamilton apportionment — driver recompute, sum == budget") {
     val n = 60L
     val budget = WebOps.CrawlBudget
