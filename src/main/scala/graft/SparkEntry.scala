@@ -592,7 +592,9 @@ object SparkEntry {
       TranscriptOps.contextPrune(SynthDataset.turns(s, VerifyConvs))),
     // per-host anchor keywords: whole-bit TF-IDF over hosts-as-documents
     "q148_anchor_keywords" -> ((s, _) =>
-      WebOps.anchorKeywords(TableOps.links(s, VerifyTableDocs)))
+      WebOps.anchorKeywords(TableOps.links(s, VerifyTableDocs))),
+    // source-epoch scheduling from the temperature mixture vs a budget
+    "q149_epoch_schedule" -> ((s, d) => TrainingOps.epochSchedule(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2945,6 +2947,22 @@ object SparkEntry {
                     ORDER BY tf * idf_bits DESC, term) AS rn
                 FROM sc)
          SELECT host, term, tf, idf_bits, score, rn
-         FROM rk WHERE rn <= ${ops.WebOps.AnchorTopK}"""
+         FROM rk WHERE rn <= ${ops.WebOps.AnchorTopK}""",
+    // q149: DuckDB evaluates the SAME isqrt fragment and schedule
+    // arithmetic over its own per-source token sums
+    "q149_epoch_schedule" ->
+      s"""WITH per AS (
+           SELECT source,
+                  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT *, ${TrainingOps.isqrtSql("n_tokens")} AS weight FROM per),
+         t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot_w FROM w)
+         SELECT source, n_tokens, CAST(weight AS BIGINT) AS weight,
+                CAST((${TrainingOps.TrainTokenBudget} * weight) // tot_w AS BIGINT) AS target_tokens,
+                CAST(((${TrainingOps.TrainTokenBudget} * weight) // tot_w * 100)
+                     // greatest(n_tokens, 1) AS BIGINT) AS epochs_x100,
+                ((${TrainingOps.TrainTokenBudget} * weight) // tot_w * 100)
+                     // greatest(n_tokens, 1) > 100 AS oversampled
+         FROM w, t"""
   )
 }

@@ -422,6 +422,43 @@ object TrainingOps {
           .as("boost_x10000"))
   }
 
+  /** Target total training tokens for [[epochSchedule]] — corpus policy
+    * (a real run passes its budget); sized ≈2x the sf0.001 corpus so both
+    * schedule regimes occur at verify scale.
+    */
+  val TrainTokenBudget = 100000L
+
+  /** q149: source-epoch scheduling — the data-recipe step after the q126
+    * mixture: given a total token budget, each source's TARGET tokens are
+    * `budget·weight div Σweight` (the exact temperature share, not the
+    * rounded x10000 one) and its repeat factor is `epochs_x100 =
+    * target·100 div available`. `oversampled` marks sources the schedule
+    * must repeat (epochs > 1) — the LLaMA-style "small high-quality
+    * sources run multiple epochs" decision, exact-integer end to end.
+    *
+    * Scale shape: identical to [[temperatureMix]] — one bounded source
+    * aggregation, totals broadcast back as a 1-row crossJoin; the corpus
+    * never shuffles.
+    */
+  def epochSchedule(spark: SparkSession, dir: String,
+      budget: Long = TrainTokenBudget): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .select(col("source"),
+        size(filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("weight", expr(isqrtSql("n_tokens")))
+    val totals = per.agg(sum(col("weight")).as("tot_w"))
+    per
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        expr(s"(${budget}L * weight) div tot_w").as("target_tokens"))
+      .withColumn("epochs_x100",
+        expr("(target_tokens * 100) div greatest(n_tokens, 1)"))
+      .withColumn("oversampled", col("epochs_x100") > 100L)
+  }
+
   /** Per-cell document cap for [[clusterBalancedSample]]. */
   val DefaultCellCap = 40L
 

@@ -634,6 +634,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size > 1, "corpus must contain several sources")
   }
 
+  test("epochSchedule: exact targets and repeat factors; both regimes occur") {
+    import spark.implicits._
+    def isqrt(n: Long): Long = {
+      var x = math.max(0L, math.sqrt(n.toDouble).toLong)
+      while (x > 0 && x * x > n) x -= 1
+      while ((x + 1) <= 3037000499L && (x + 1) * (x + 1) <= n) x += 1
+      x
+    }
+    val docs = RelationalOps.table(spark, dir, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val per = docs.groupBy(_._1).view.mapValues(
+      _.map(_._2.trim.split("\\s+").count(_.nonEmpty).toLong).sum).toMap
+    val totW = per.values.map(isqrt).sum
+    val b = TrainingOps.TrainTokenBudget
+    val want = per.map { case (s, nt) =>
+      val w = isqrt(nt)
+      val target = b * w / totW
+      val ep = target * 100L / math.max(nt, 1L)
+      s -> ((nt, w, target, ep, ep > 100L))
+    }
+    val got = TrainingOps.epochSchedule(spark, dir)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == want)
+    // the sf corpus' sources are near-uniform (documented in q132), so
+    // the regime split is pinned on a SKEWED local corpus instead
+    val skewDir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    Seq(
+      (1L, "big", ("w " * 1000).trim),
+      (2L, "small", ("w " * 16).trim))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$skewDir/documents.parquet")
+    val skew = TrainingOps.epochSchedule(spark, skewDir, budget = 350L)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(skew == Map("big" -> false, "small" -> true),
+      "a tight budget must oversample only the small source")
+  }
+
   test("isqrtSql fragment is exact at perfect-square boundaries (Spark side)") {
     import spark.implicits._
     val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 99L, 100L, 101L,

@@ -354,6 +354,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("epoch schedule: totals broadcast; only the bounded source agg shuffles") {
+    val p = plan(graft.ops.TrainingOps.epochSchedule(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"schedule must stay broadcast-shaped:\n$p")
+  }
+
   test("cluster-balanced sample: vectors never shuffle; fractions broadcast") {
     val p = plan(graft.ops.TrainingOps.clusterBalancedSample(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"cell fractions must broadcast:\n$p")
