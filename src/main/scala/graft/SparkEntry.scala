@@ -594,7 +594,10 @@ object SparkEntry {
     "q148_anchor_keywords" -> ((s, _) =>
       WebOps.anchorKeywords(TableOps.links(s, VerifyTableDocs))),
     // source-epoch scheduling from the temperature mixture vs a budget
-    "q149_epoch_schedule" -> ((s, d) => TrainingOps.epochSchedule(s, d))
+    "q149_epoch_schedule" -> ((s, d) => TrainingOps.epochSchedule(s, d)),
+    // markdown section bodies with breadcrumb provenance
+    "q150_md_sections" -> ((s, _) =>
+      TableOps.mdSectionBodies(s, VerifyOutlineDocs))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2963,6 +2966,11 @@ object SparkEntry {
                      // greatest(n_tokens, 1) AS BIGINT) AS epochs_x100,
                 ((${TrainingOps.TrainTokenBudget} * weight) // tot_w * 100)
                      // greatest(n_tokens, 1) > 100 AS oversampled
-         FROM w, t"""
+         FROM w, t""",
+    // q150: generator-materialized by-construction section bodies (the
+    // q137 trust model, body edition)
+    "q150_md_sections" ->
+      """SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx, path, body
+         FROM read_parquet('__SYNTH__/golden_section_bodies.parquet/*.parquet')"""
   )
 }

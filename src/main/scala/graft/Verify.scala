@@ -100,6 +100,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/md_golden_cells.parquet")
       }
+      synthWrite("golden_section_bodies", "q150 markdown section-body oracle (generator's by-construction bodies)") {
+        synth.OutlineDocs.goldenBodies(spark, SparkEntry.VerifyOutlineDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_section_bodies.parquet")
+      }
       synthWrite("golden_grid_cells", "q145 pdfir grid oracle (generator's by-construction cells)") {
         synth.PdfGridDocs.goldenCells(spark, SparkEntry.VerifyPdfGridDocs)
           .coalesce(1).write.mode("overwrite")

@@ -152,12 +152,24 @@ object OutlineExtractor {
     ps.sections
   }
 
-  def extractMd(md: String): Seq[Section] = {
+  final case class SectionBody(
+      sectionIdx: Int, level: Int, title: String, path: String, body: String)
+
+  /** Markdown sections WITH their bodies (q150): every line that does not
+    * emit a section — prose, fence delimiters and their contents,
+    * rejected ATX shapes (no space, 7+ hashes, empty title) — is a body
+    * line of the OPEN section, joined with \n verbatim. Lines before the
+    * first heading belong to no section and drop. Single pass, O(depth)
+    * state; `extractMd` is this scan with the bodies discarded.
+    */
+  def extractMdBodies(md: String): Seq[SectionBody] = {
     val ps = new PathStack
+    val bodies = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[String]]
     var inFence = false
     var fenceMark = ""
     md.linesIterator.foreach { line =>
       val t = line.trim
+      var emitted = false
       if (inFence) {
         if (t.startsWith(fenceMark)) inFence = false
       } else if (t.startsWith("```") || t.startsWith("~~~")) {
@@ -177,10 +189,21 @@ object OutlineExtractor {
           // emphasis/code markers strip; whitespace collapses
           val title = rest.replace("*", "").replace("`", "")
             .trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
-          ps.emit(h, title)
+          if (title.nonEmpty) {
+            ps.emit(h, title)
+            bodies += mutable.ArrayBuffer.empty[String]
+            emitted = true
+          }
         }
       }
+      if (!emitted && bodies.nonEmpty) bodies.last += line
     }
-    ps.sections
+    ps.sections.zip(bodies).map { case (s, b) =>
+      SectionBody(s.sectionIdx, s.level, s.title, s.path, b.mkString("\n"))
+    }
   }
+
+  def extractMd(md: String): Seq[Section] =
+    extractMdBodies(md).map(sb =>
+      Section(sb.sectionIdx, sb.level, sb.title, sb.path))
 }

@@ -98,6 +98,25 @@ object TableOps {
       .toDF("doc_id", "page", "table_idx", "row_idx", "col_idx", "cell_text")
   }
 
+  /** Markdown section bodies with breadcrumb provenance (q150): the
+    * outline actually feeding section-scoped chunking — each markdown
+    * section carries its breadcrumb path AND the verbatim body lines
+    * under it (fence contents included, pre-first-heading preamble
+    * dropped). RAG chunks keyed this way retrieve with "where in the
+    * document" provenance for free. Same narrow flatMap: zero exchanges.
+    */
+  def mdSectionBodies(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    graft.synth.OutlineDocs.docs(spark, nDocs)
+      .as[(Long, String, String)]
+      .flatMap { case (id, kind, text) =>
+        if (kind != "markdown") Seq.empty
+        else graft.extract.OutlineExtractor.extractMdBodies(text).map(s =>
+          (id, s.sectionIdx.toLong, s.path, s.body))
+      }
+      .toDF("doc_id", "section_idx", "path", "body")
+  }
+
   /** q146: normalize detected pdf grids into header-keyed records — the
     * q134 move applied to the layout family: row 0 of every grid is its
     * header (OCR tables carry no `<th>` marker; first-row-as-header is

@@ -39,7 +39,8 @@ object OutlineDocs {
 
   /** Pure builder: (kind, text, expected sections). */
   def build(id: Long): (String, String, Seq[GoldenSection]) =
-    if (id % 2 == 0) buildHtml(id) else buildMd(id)
+    if (id % 2 == 0) buildHtml(id)
+    else { val (k, t, g, _) = buildMd(id); (k, t, g) }
 
   private def buildHtml(id: Long): (String, String, Seq[GoldenSection]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GoldenSection]
@@ -83,25 +84,38 @@ object OutlineDocs {
     ("html", sb.toString, out.toSeq)
   }
 
-  private def buildMd(id: Long): (String, String, Seq[GoldenSection]) = {
+  final case class GoldenSectionBody(
+      doc_id: Long, section_idx: Int, path: String, body: String)
+
+  private def buildMd(id: Long)
+      : (String, String, Seq[GoldenSection], Seq[GoldenSectionBody]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GoldenSection]
-    def sec(level: Int, title: String, path: String): Unit =
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sec(level: Int, title: String, path: String): Unit = {
       out += GoldenSection(id, out.length, level, title, path)
+      bodies += scala.collection.mutable.ArrayBuffer.empty[String]
+    }
+    // a non-heading line: part of the raw text AND of the open section's
+    // body (pre-first-heading lines belong to no section)
+    def body(l: String): Unit = {
+      lines += l
+      if (bodies.nonEmpty) bodies.last += l
+    }
     val t1 = word(id, 0x21); val t2 = word(id, 0x22)
     val t3 = word(id, 0x23); val t4 = word(id, 0x24)
     val t5 = word(id, 0x25); val t6 = word(id, 0x26)
-    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    lines += s"intro prose ${word(id, 0x31)} line"
+    body(s"intro prose ${word(id, 0x31)} line")
     val h1 = s"$t1 $t2"
     lines += s"# $t1 $t2"
     sec(1, h1, h1)
-    lines += "```"
-    lines += "## fake heading inside fence"
-    lines += "```"
+    body("```")
+    body("## fake heading inside fence")
+    body("```")
     val h2a = s"$t3 $t4"
     lines += s"## $t3 **$t4**"
     sec(2, h2a, s"$h1 > $h2a")
-    if (id % 6 == 1) lines += "#notaheading prose stays prose"
+    if (id % 6 == 1) body("#notaheading prose stays prose")
     if (id % 6 == 3) { // skipped level: #### directly under ##
       lines += s"#### $t5"
       sec(4, t5, s"$h1 > $h2a > $t5")
@@ -109,13 +123,20 @@ object OutlineDocs {
       lines += s"### $t5 ##" // trailing closing hashes strip
       sec(3, t5, s"$h1 > $h2a > $t5")
     }
-    if (id % 6 == 5) lines += "####### seven hashes is prose"
-    lines += s"body prose ${word(id, 0x32)}"
+    if (id % 6 == 5) body("####### seven hashes is prose")
+    body(s"body prose ${word(id, 0x32)}")
     lines += s"## $t6"
     sec(2, t6, s"$h1 > $t6")
-    lines += "tail prose"
-    ("markdown", lines.mkString("\n"), out.toSeq)
+    body("tail prose")
+    val goldenBodies = out.toSeq.zip(bodies).map { case (g, b) =>
+      GoldenSectionBody(id, g.section_idx, g.path, b.mkString("\n"))
+    }
+    ("markdown", lines.mkString("\n"), out.toSeq, goldenBodies)
   }
+
+  /** Markdown golden bodies by construction (empty for HTML docs). */
+  def buildBodies(id: Long): Seq[GoldenSectionBody] =
+    if (id % 2 == 0) Seq.empty else buildMd(id)._4
 
   /** Distributed raw table: (doc_id, kind, text). */
   def docs(spark: SparkSession, nDocs: Long): DataFrame = {
@@ -129,5 +150,11 @@ object OutlineDocs {
   def goldenSections(spark: SparkSession, nDocs: Long): DataFrame = {
     import spark.implicits._
     spark.range(nDocs).flatMap(id => build(id)._3).toDF()
+  }
+
+  /** Distributed golden markdown section bodies (q150 oracle). */
+  def goldenBodies(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).flatMap(id => buildBodies(id)).toDF()
   }
 }

@@ -87,6 +87,31 @@ class OutlineSpec extends AnyFunSuite {
       "planted corpus must exercise skip-level/unclosed/EOF/prose shapes")
   }
 
+  test("extractMdBodies: bodies attach verbatim; preamble drops; rejected ATX is body") {
+    val got = OutlineExtractor.extractMdBodies(
+      "preamble line\n# a\nbody 1\n```\n## fenced\n```\n##\n## b\n#notahead\ntail")
+    assert(got.map(s => (s.title, s.body)) == Seq(
+      ("a", "body 1\n```\n## fenced\n```\n##"),
+      ("b", "#notahead\ntail")))
+    assert(got.map(_.path) == Seq("a", "a > b"))
+    assert(OutlineExtractor.extractMdBodies("no headings at all") == Seq())
+  }
+
+  test("extractMdBodies equals the generator's by-construction bodies on the full corpus") {
+    var sawNonEmpty = false
+    (0L until 240L).foreach { id =>
+      val (kind, text, _) = OutlineDocs.build(id)
+      val wantBodies = OutlineDocs.buildBodies(id)
+      if (kind == "markdown") {
+        val got = OutlineExtractor.extractMdBodies(text).map(s =>
+          OutlineDocs.GoldenSectionBody(id, s.sectionIdx, s.path, s.body))
+        assert(got == wantBodies, s"doc $id")
+        if (got.exists(_.body.nonEmpty)) sawNonEmpty = true
+      } else assert(wantBodies.isEmpty)
+    }
+    assert(sawNonEmpty)
+  }
+
   test("q137/q138 Spark path equals the distributed golden sections") {
     import spark.implicits._
     val got = graft.ops.TableOps.sections(spark, SparkEntry.VerifyOutlineDocs)

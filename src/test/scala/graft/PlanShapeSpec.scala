@@ -838,6 +838,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"outline extraction must not shuffle:\n$p")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"outline extraction must not join:\n$p")
+    val pb = plan(graft.ops.TableOps.mdSectionBodies(spark, 50L))
+    assert(!pb.contains("Exchange") && !pb.contains("Join"),
+      s"section bodies must not shuffle or join:\n$pb")
   }
 
   test("anchor terms: one (host, term) exchange with map-side partials, no join") {
