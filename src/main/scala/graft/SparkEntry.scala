@@ -597,7 +597,9 @@ object SparkEntry {
     "q149_epoch_schedule" -> ((s, d) => TrainingOps.epochSchedule(s, d)),
     // markdown section bodies with breadcrumb provenance
     "q150_md_sections" -> ((s, _) =>
-      TableOps.mdSectionBodies(s, VerifyOutlineDocs))
+      TableOps.mdSectionBodies(s, VerifyOutlineDocs)),
+    // markdown inline-link extraction (the md twin of q136)
+    "q151_md_links" -> ((s, _) => TableOps.mdLinks(s, VerifyOutlineDocs))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2971,6 +2973,10 @@ object SparkEntry {
     // q137 trust model, body edition)
     "q150_md_sections" ->
       """SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx, path, body
-         FROM read_parquet('__SYNTH__/golden_section_bodies.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/golden_section_bodies.parquet/*.parquet')""",
+    // q151: generator-materialized by-construction markdown links
+    "q151_md_links" ->
+      """SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
+         FROM read_parquet('__SYNTH__/golden_md_links.parquet/*.parquet')"""
   )
 }

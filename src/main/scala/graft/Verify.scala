@@ -100,6 +100,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/md_golden_cells.parquet")
       }
+      synthWrite("golden_md_links", "q151 markdown-link oracle (generator's by-construction links)") {
+        synth.OutlineDocs.goldenMdLinks(spark, SparkEntry.VerifyOutlineDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_md_links.parquet")
+      }
       synthWrite("golden_section_bodies", "q150 markdown section-body oracle (generator's by-construction bodies)") {
         synth.OutlineDocs.goldenBodies(spark, SparkEntry.VerifyOutlineDocs)
           .coalesce(1).write.mode("overwrite")

@@ -117,6 +117,23 @@ object TableOps {
       .toDF("doc_id", "section_idx", "path", "body")
   }
 
+  /** Extracted markdown links over the planted outline corpus (q151):
+    * same (doc_id, link_idx, href, anchor) shape as `links`, so the
+    * anchor-signal family (q139/q148) consumes both markup families
+    * unchanged. Zero exchanges, zero joins.
+    */
+  def mdLinks(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    graft.synth.OutlineDocs.docs(spark, nDocs)
+      .as[(Long, String, String)]
+      .flatMap { case (id, kind, text) =>
+        if (kind != "markdown") Seq.empty
+        else graft.extract.MdLinkExtractor.extract(text).map(l =>
+          (id, l.linkIdx.toLong, l.href, l.anchor))
+      }
+      .toDF("doc_id", "link_idx", "href", "anchor")
+  }
+
   /** q146: normalize detected pdf grids into header-keyed records — the
     * q134 move applied to the layout family: row 0 of every grid is its
     * header (OCR tables carry no `<th>` marker; first-row-as-header is

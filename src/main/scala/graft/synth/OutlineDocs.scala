@@ -87,6 +87,9 @@ object OutlineDocs {
   final case class GoldenSectionBody(
       doc_id: Long, section_idx: Int, path: String, body: String)
 
+  final case class GoldenMdLink(
+      doc_id: Long, link_idx: Int, href: String, anchor: String)
+
   private def buildMd(id: Long)
       : (String, String, Seq[GoldenSection], Seq[GoldenSectionBody]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GoldenSection]
@@ -105,29 +108,44 @@ object OutlineDocs {
     val t1 = word(id, 0x21); val t2 = word(id, 0x22)
     val t3 = word(id, 0x23); val t4 = word(id, 0x24)
     val t5 = word(id, 0x25); val t6 = word(id, 0x26)
+    val links = scala.collection.mutable.ArrayBuffer.empty[GoldenMdLink]
+    def link(href: String, anchor: String): Unit =
+      links += GoldenMdLink(id, links.length, href, anchor)
     body(s"intro prose ${word(id, 0x31)} line")
     val h1 = s"$t1 $t2"
     lines += s"# $t1 $t2"
     sec(1, h1, h1)
     body("```")
     body("## fake heading inside fence")
+    body("[fenced](https://fence.example/no) is not a link")
     body("```")
+    val lw = word(id, 0x33)
+    body(s"see [$lw docs](https://docs${id % 5}.example/page/$id) here")
+    link(s"https://docs${id % 5}.example/page/$id", s"$lw docs")
     val h2a = s"$t3 $t4"
     lines += s"## $t3 **$t4**"
     sec(2, h2a, s"$h1 > $h2a")
-    if (id % 6 == 1) body("#notaheading prose stays prose")
+    if (id % 6 == 1) {
+      body("#notaheading prose stays prose")
+      body("\\[escaped](https://esc.example/no) stays prose")
+    }
     if (id % 6 == 3) { // skipped level: #### directly under ##
       lines += s"#### $t5"
       sec(4, t5, s"$h1 > $h2a > $t5")
+      body(s"code `[no](https://skip.example)` then [ok $lw](https://ok.example/$id)")
+      link(s"https://ok.example/$id", s"ok $lw")
     } else {
       lines += s"### $t5 ##" // trailing closing hashes strip
       sec(3, t5, s"$h1 > $h2a > $t5")
     }
     if (id % 6 == 5) body("####### seven hashes is prose")
+    body(s"![diagram](/img/$id.png) and [**$t5** rel](/rel/$id)")
+    link(s"/rel/$id", s"$t5 rel")
     body(s"body prose ${word(id, 0x32)}")
     lines += s"## $t6"
     sec(2, t6, s"$h1 > $t6")
     body("tail prose")
+    mdLinkCache(id) = links.toSeq
     val goldenBodies = out.toSeq.zip(bodies).map { case (g, b) =>
       GoldenSectionBody(id, g.section_idx, g.path, b.mkString("\n"))
     }
@@ -137,6 +155,17 @@ object OutlineDocs {
   /** Markdown golden bodies by construction (empty for HTML docs). */
   def buildBodies(id: Long): Seq[GoldenSectionBody] =
     if (id % 2 == 0) Seq.empty else buildMd(id)._4
+
+  // links are recorded as a side product of the SAME buildMd pass (the
+  // golden order is the plant order); keyed per doc so builds stay pure
+  // from the caller's view
+  private val mdLinkCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Seq[GoldenMdLink]]
+
+  /** Markdown golden links by construction (empty for HTML docs). */
+  def buildLinks(id: Long): Seq[GoldenMdLink] =
+    if (id % 2 == 0) Seq.empty
+    else { buildMd(id); mdLinkCache(id) }
 
   /** Distributed raw table: (doc_id, kind, text). */
   def docs(spark: SparkSession, nDocs: Long): DataFrame = {
@@ -156,5 +185,11 @@ object OutlineDocs {
   def goldenBodies(spark: SparkSession, nDocs: Long): DataFrame = {
     import spark.implicits._
     spark.range(nDocs).flatMap(id => buildBodies(id)).toDF()
+  }
+
+  /** Distributed golden markdown links (q151 oracle). */
+  def goldenMdLinks(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).flatMap(id => buildLinks(id)).toDF()
   }
 }
