@@ -599,7 +599,16 @@ object SparkEntry {
     "q150_md_sections" -> ((s, _) =>
       TableOps.mdSectionBodies(s, VerifyOutlineDocs)),
     // markdown inline-link extraction (the md twin of q136)
-    "q151_md_links" -> ((s, _) => TableOps.mdLinks(s, VerifyOutlineDocs))
+    "q151_md_links" -> ((s, _) => TableOps.mdLinks(s, VerifyOutlineDocs)),
+    // unified outlink census across both markup families
+    "q152_link_surface" -> ((s, _) =>
+      WebOps.linkSurface(
+        TableOps.links(s, VerifyTableDocs),
+        TableOps.mdLinks(s, VerifyOutlineDocs))),
+    // intra-conversation segmentation on inter-turn time gaps
+    "q153_conv_segments" -> ((s, _) =>
+      TranscriptOps.convSegments(
+        graft.synth.RetryCorpus.turns(s, VerifyRetryConvs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -2977,6 +2986,42 @@ object SparkEntry {
     // q151: generator-materialized by-construction markdown links
     "q151_md_links" ->
       """SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
-         FROM read_parquet('__SYNTH__/golden_md_links.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/golden_md_links.parquet/*.parquet')""",
+    // q152: DuckDB re-derives the census from the UNION of both golden
+    // link tables with the same normalization
+    "q152_link_surface" ->
+      s"""WITH u AS (
+           SELECT doc_id, href, 'html' AS family
+           FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')
+           UNION ALL
+           SELECT doc_id, href, 'markdown' AS family
+           FROM read_parquet('__SYNTH__/golden_md_links.parquet/*.parquet')),
+         h AS (SELECT doc_id, family,
+                 CASE WHEN regexp_extract(href, '${ops.WebOps.HostRe}', 1) = ''
+                      THEN '(relative)'
+                      ELSE regexp_replace(lower(regexp_extract(href, '${ops.WebOps.HostRe}', 1)), '^www\\.', '')
+                 END AS host
+               FROM u)
+         SELECT host, family, count(*) AS n_links,
+                count(DISTINCT doc_id) AS n_docs
+         FROM h GROUP BY 1, 2""",
+    // q153: DuckDB re-derives the gap-break running sum in exact µs
+    "q153_conv_segments" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, epoch_us(ts) AS us
+                FROM read_parquet('__SYNTH__/retry_turns.parquet/*.parquet')),
+         b AS (SELECT conv_id, turn_idx, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      > ${ops.TranscriptOps.SegmentGapUs} THEN 1 ELSE 0 END AS brk
+               FROM t),
+         s AS (SELECT conv_id, turn_idx, us,
+                 sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS segment
+               FROM b)
+         SELECT conv_id, CAST(segment AS BIGINT) AS segment,
+                count(*) AS n_turns,
+                CAST(min(turn_idx) AS INTEGER) AS first_turn,
+                CAST(max(turn_idx) AS INTEGER) AS last_turn,
+                CAST(max(us) - min(us) AS BIGINT) AS span_us
+         FROM s GROUP BY 1, 2"""
   )
 }

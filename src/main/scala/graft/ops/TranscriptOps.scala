@@ -371,6 +371,41 @@ object TranscriptOps {
         max_by(col("role"), col("turn_idx")).as("last_role"))
   }
 
+  /** Intra-conversation segment gap for [[convSegments]] (µs). The
+    * OPERATOR is the segmentation; the constant is corpus policy — set
+    * where the retry corpus' 1.5-16.5 s inter-turn gaps actually split
+    * (the quality-threshold precedent; production would pass 30 min).
+    */
+  val SegmentGapUs = 10000000L // 10 s
+
+  /** q153: conversation segmentation — the q82 sessionize move INSIDE a
+    * conversation: a gap of more than [[SegmentGapUs]] between
+    * consecutive turns starts a new segment (an agent picking work back
+    * up later is a new work episode; context assembly and
+    * redundancy mining both want episode boundaries, not raw convs).
+    * Output: one row per (conv, segment) with its bounds and exact-µs
+    * span.
+    *
+    * Scale shape: one conv-keyed window (lag + running sum of
+    * gap-break flags — the q82 recipe) whose hash partitioning the
+    * (conv, segment) rollup reuses: a single Exchange at 10^12 turns.
+    */
+  def convSegments(turns: Dataset[Turn], gapUs: Long = SegmentGapUs): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap_break",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("segment", sum(col("gap_break")).over(run))
+      .groupBy(col("conv_id"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        (max(col("us")) - min(col("us"))).as("span_us"))
+  }
+
   /** Tail turns kept by [[contextPrune]]. */
   val ContextKeepTail = 8
 

@@ -274,6 +274,25 @@ object WebOps {
         count(lit(1)).as("n_mentions"),
         countDistinct(col("doc_id")).as("n_source_docs"))
 
+  /** q152: unified outlink surface — the HTML (q136) and markdown (q151)
+    * link frames share one schema by design; union them under a family
+    * tag and roll up per (host, family), with relative links kept in an
+    * explicit `(relative)` bucket (q139 DROPS them — this is the census
+    * view, that is the signal view). One partial-agg exchange over the
+    * union; the two extractions stay narrow flatMaps.
+    */
+  def linkSurface(htmlLinks: DataFrame, mdLinks: DataFrame): DataFrame =
+    htmlLinks.withColumn("family", lit("html"))
+      .unionByName(mdLinks.withColumn("family", lit("markdown")))
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("href"), HostRe, 1)), "^www\\.", ""))
+      .withColumn("host",
+        when(col("host") === "", lit("(relative)")).otherwise(col("host")))
+      .groupBy(col("host"), col("family"))
+      .agg(
+        count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   /** Keywords kept per host by [[anchorKeywords]]. */
   val AnchorTopK = 5
 

@@ -800,6 +800,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("conv segments: the rollup reuses the single conv-keyed window exchange") {
+    val p = plan(graft.ops.TranscriptOps.convSegments(
+      graft.synth.RetryCorpus.turns(spark, 20L)))
+    assert("(?<!Broadcast)Exchange hashpartitioning\\(conv_id".r.findAllIn(p).size == 1,
+      s"expected exactly one conv-keyed exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"segmentation must not join:\n$p")
+  }
+
+  test("link surface: md link extraction and the census stay narrow + one agg exchange") {
+    val pm = plan(graft.ops.TableOps.mdLinks(spark, 50L))
+    assert(!pm.contains("Exchange") && !pm.contains("Join"),
+      s"md link extraction must not shuffle or join:\n$pm")
+    val p = plan(graft.ops.WebOps.linkSurface(
+      graft.ops.TableOps.links(spark, 50L), graft.ops.TableOps.mdLinks(spark, 50L)))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"census must not join:\n$p")
+    assert(p.contains("Union"), s"expected a union of both families:\n$p")
+  }
+
   test("anchor keywords: df and host count broadcast back onto the bounded term frame") {
     val p = plan(graft.ops.WebOps.anchorKeywords(graft.ops.TableOps.links(spark, 50L)))
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),

@@ -204,6 +204,32 @@ class TranscriptOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("convSegments matches a driver fold; the corpus genuinely splits") {
+    import spark.implicits._
+    val gap = TranscriptOps.SegmentGapUs
+    val want = retryCorpus.groupBy(_.conv_id).toSeq.flatMap { case (cid, ts) =>
+      val sorted = ts.sortBy(_.turn_idx)
+      var seg = 0L
+      var prevUs = Long.MinValue
+      val tagged = sorted.map { t =>
+        val us = t.ts.getTime * 1000L
+        if (prevUs != Long.MinValue && us - prevUs > gap) seg += 1
+        prevUs = us
+        (seg, t.turn_idx, us)
+      }
+      tagged.groupBy(_._1).map { case (s, g) =>
+        (cid, s, g.size.toLong, g.map(_._2).min, g.map(_._2).max,
+          g.map(_._3).max - g.map(_._3).min)
+      }
+    }.sorted
+    val got = TranscriptOps.convSegments(RetryCorpus.turns(spark, NBase.toLong))
+      .as[(String, Long, Long, Int, Int, Long)].collect().sorted
+    assert(got.toSeq == want)
+    assert(want.exists(_._2 > 0L), "corpus must contain multi-segment convs")
+    assert(want.groupBy(_._1).exists(_._2.size == 1) ||
+      want.exists(_._2 == 0L), "segment 0 must exist")
+  }
+
   test("toolLatency equals a driver recompute with exact rank quantiles") {
     import spark.implicits._
     val lats = retryCorpus.groupBy(_.conv_id).toSeq.flatMap { case (_, ts) =>

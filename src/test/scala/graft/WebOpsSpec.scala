@@ -258,6 +258,20 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
   }
 
+  test("linkSurface: family-tagged census with an explicit relative bucket") {
+    val html = Seq((1L, 0L, "https://WWW.A.com/x", "a"), (1L, 1L, "/rel", "r"))
+      .toDF("doc_id", "link_idx", "href", "anchor")
+    val md = Seq((7L, 0L, "https://a.com/y", "b"), (7L, 1L, "/other", "s"))
+      .toDF("doc_id", "link_idx", "href", "anchor")
+    val got = WebOps.linkSurface(html, md).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a.com", "html") -> ((1L, 1L)),
+      ("(relative)", "html") -> ((1L, 1L)),
+      ("a.com", "markdown") -> ((1L, 1L)),
+      ("(relative)", "markdown") -> ((1L, 1L))))
+  }
+
   test("anchorKeywords: whole-bit TF-IDF top-K matches a driver recompute") {
     val n = 120L
     val hostRe = WebOps.HostRe.r
