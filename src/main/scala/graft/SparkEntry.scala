@@ -608,7 +608,9 @@ object SparkEntry {
     // intra-conversation segmentation on inter-turn time gaps
     "q153_conv_segments" -> ((s, _) =>
       TranscriptOps.convSegments(
-        graft.synth.RetryCorpus.turns(s, VerifyRetryConvs)))
+        graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
+    // symmetric int8 embedding quantization with exact audit columns
+    "q154_embed_quantize" -> ((s, d) => SimilarityOps.quantizeEmbeddings(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -3022,6 +3024,22 @@ object SparkEntry {
                 CAST(min(turn_idx) AS INTEGER) AS first_turn,
                 CAST(max(turn_idx) AS INTEGER) AS last_turn,
                 CAST(max(us) - min(us) AS BIGINT) AS span_us
-         FROM s GROUP BY 1, 2"""
+         FROM s GROUP BY 1, 2""",
+    // q154: DuckDB re-quantizes with the SAME fixed double-expression
+    // order (the q42 float-parity discipline) and re-derives every audit
+    "q154_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS amax
+               FROM e),
+         c AS (SELECT vec_id, v, amax,
+                 list_transform(v, x -> CAST(floor(x / amax * 127.0 + 0.5) AS INTEGER)) AS codes
+               FROM a)
+         SELECT vec_id, CAST(len(v) AS INTEGER) AS n_dims,
+                CAST(floor(amax * 1000000.0) AS BIGINT) AS amax_x1e6,
+                CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS l1_codes,
+                CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+                sha256(array_to_string(codes, ',')) AS codes_sha
+         FROM c"""
   )
 }

@@ -64,6 +64,33 @@ object SimilarityOps {
     * corpus scan, broadcast query set, per-query argmin via min_by with
     * a deterministic tiebreak.
     */
+  /** q154: symmetric int8 embedding quantization — the 4x vector
+    * compression every 100 TB ANN deployment runs before indexing:
+    * per-vector absmax scale, `code = floor(x/amax·127 + 0.5)` (IEEE
+    * double ops in a FIXED expression order, so engine and oracle agree
+    * bit-for-bit — the q42 float-parity discipline). The audit frame
+    * carries exact-integer checks (code L1 mass, saturation count, the
+    * sha of the full code vector) instead of hauling arrays through the
+    * compare. Pure narrow projection, zero exchanges.
+    */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("amax",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
+      .withColumn("codes",
+        transform(col("v"),
+          x => floor(x / col("amax") * lit(127.0) + lit(0.5)).cast("int")))
+      .select(
+        col("vec_id"),
+        size(col("v")).as("n_dims"),
+        floor(col("amax") * lit(1000000.0)).cast("long").as("amax_x1e6"),
+        aggregate(transform(col("codes"), c => abs(c).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("l1_codes"),
+        size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_saturated"),
+        sha2(array_join(transform(col("codes"), _.cast("string")), ","), 256)
+          .as("codes_sha"))
+
   def l2NearestAccept(spark: SparkSession, dir: String, thresholdX10000: Long = 11000L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))

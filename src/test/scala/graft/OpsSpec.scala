@@ -634,6 +634,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size > 1, "corpus must contain several sources")
   }
 
+  test("quantizeEmbeddings: codes round-trip a driver recompute; max code saturates") {
+    import spark.implicits._
+    val vecs = RelationalOps.table(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = vecs.map { case (id, v) =>
+      val amax = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-30)
+      val codes = v.map(x => math.floor(x.toDouble / amax * 127.0 + 0.5).toInt)
+      id -> ((v.length, math.floor(amax * 1000000.0).toLong,
+        codes.map(c => math.abs(c).toLong).sum,
+        codes.count(c => math.abs(c) == 127).toLong,
+        sha(codes.mkString(","))))
+    }.toMap
+    val got = graft.ops.SimilarityOps.quantizeEmbeddings(spark, dir)
+      .as[(Long, Int, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == want)
+    // absmax symmetric quantization always saturates at least one code
+    assert(got.values.forall(_._4 >= 1L))
+    // reconstruction error bound: |x - code*amax/127| <= amax/254 + eps
+    vecs.take(20).foreach { case (id, v) =>
+      val amax = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-30)
+      v.foreach { x =>
+        val c = math.floor(x.toDouble / amax * 127.0 + 0.5)
+        assert(math.abs(x.toDouble - c * amax / 127.0) <= amax / 254.0 * 1.0001, s"vec $id")
+      }
+    }
+  }
+
   test("epochSchedule: exact targets and repeat factors; both regimes occur") {
     import spark.implicits._
     def isqrt(n: Long): Long = {

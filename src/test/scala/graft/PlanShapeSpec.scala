@@ -800,6 +800,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("embedding quantization: pure narrow projection — zero exchanges, zero joins") {
+    val p = plan(graft.ops.SimilarityOps.quantizeEmbeddings(spark, dir))
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"quantization must not join:\n$p")
+  }
+
   test("conv segments: the rollup reuses the single conv-keyed window exchange") {
     val p = plan(graft.ops.TranscriptOps.convSegments(
       graft.synth.RetryCorpus.turns(spark, 20L)))
