@@ -610,7 +610,10 @@ object SparkEntry {
       TranscriptOps.convSegments(
         graft.synth.RetryCorpus.turns(s, VerifyRetryConvs))),
     // symmetric int8 embedding quantization with exact audit columns
-    "q154_embed_quantize" -> ((s, d) => SimilarityOps.quantizeEmbeddings(s, d))
+    "q154_embed_quantize" -> ((s, d) => SimilarityOps.quantizeEmbeddings(s, d)),
+    // jitter-tolerant grid detection over the OCR-noise corpus
+    "q155_pdf_grids_jitter" -> ((s, _) =>
+      TableOps.pdfGridsJitter(s, VerifyPdfGridDocs))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -3040,6 +3043,13 @@ object SparkEntry {
                 CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS l1_codes,
                 CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
                 sha256(array_to_string(codes, ',')) AS codes_sha
-         FROM c"""
+         FROM c""",
+    // q155: generator-materialized by-construction jittered cells
+    "q155_pdf_grids_jitter" ->
+      """SELECT doc_id, CAST(page AS BIGINT) AS page,
+                CAST(table_idx AS BIGINT) AS table_idx,
+                CAST(row_idx AS BIGINT) AS row_idx,
+                CAST(col_idx AS BIGINT) AS col_idx, cell_text
+         FROM read_parquet('__SYNTH__/golden_jitter_cells.parquet/*.parquet')"""
   )
 }

@@ -115,6 +115,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/golden_grid_cells.parquet")
       }
+      synthWrite("golden_jitter_cells", "q155 jittered-grid oracle (generator's by-construction cells)") {
+        synth.PdfGridDocs.goldenJitterCells(spark, SparkEntry.VerifyPdfGridDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/golden_jitter_cells.parquet")
+      }
       synthWrite("noisy_docs", "q142 encoding-audit oracle (planted encoding damage)") {
         synth.NoisyDocs.docs(spark, SparkEntry.VerifyNoisyDocs)
           .coalesce(1).write.mode("overwrite")

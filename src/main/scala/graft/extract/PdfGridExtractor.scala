@@ -30,7 +30,19 @@ object PdfGridExtractor {
   final case class GridCell(
       page: Int, tableIdx: Int, rowIdx: Int, colIdx: Int, text: String)
 
-  def extract(input: String): Seq[GridCell] = {
+  /** x-jitter tolerance for the OCR-noise path (q155): distinct x
+    * positions within `JitterTol` px cluster into one column band.
+    */
+  val JitterTol = 3
+
+  /** `tol` = 0 is the exact path (each distinct x is its own column);
+    * `tol` > 0 clusters a page's sorted distinct xs greedily — a gap
+    * > tol starts a new band — so ±1-2 px OCR jitter lands in one
+    * column. Banding is page-global: an adversarial run BETWEEN two
+    * columns (within tol of both) would bridge them — acceptable for
+    * layout detection, documented rather than hidden.
+    */
+  def extract(input: String, tol: Int = 0): Seq[GridCell] = {
     val runs = mutable.ArrayBuffer.empty[PdfIrExtractor.Run]
     input.split('\n').foreach { line =>
       if (line.nonEmpty) PdfIrExtractor.parseRun(line).foreach(runs += _)
@@ -39,14 +51,25 @@ object PdfGridExtractor {
 
     val out = mutable.ArrayBuffer.empty[GridCell]
     var tableIdx = 0
-    // rows per (page, y): first run wins a duplicated (y, x)
+    // rows per (page, y): first run wins a duplicated (y, x-band)
     val byPage = runs.groupBy(_.page).toSeq.sortBy(_._1)
     byPage.foreach { case (page, pageRuns) =>
+      // page-global x banding (identity when tol == 0)
+      val band = mutable.HashMap.empty[Int, Int]
+      var c = -1
+      var prev = Int.MinValue
+      pageRuns.map(_.x).distinct.sorted.foreach { x =>
+        if (c < 0 || x - prev > tol) c += 1
+        band(x) = c
+        prev = x
+      }
       val rows: Seq[(Int, Map[Int, String])] = pageRuns.groupBy(_.y).toSeq
         .map { case (y, rs) =>
           val cells = mutable.LinkedHashMap.empty[Int, String]
-          rs.sortBy(r => (r.x, r.text)).foreach(r =>
-            if (!cells.contains(r.x)) cells(r.x) = r.text)
+          rs.sortBy(r => (r.x, r.text)).foreach { r =>
+            val b = band(r.x)
+            if (!cells.contains(b)) cells(b) = r.text
+          }
           (y, cells.toMap)
         }
         .sortBy(_._1)

@@ -134,6 +134,24 @@ object TableOps {
       .toDF("doc_id", "link_idx", "href", "anchor")
   }
 
+  /** Jitter-tolerant grid detection (q155): the q145 operator on the
+    * OCR-noise corpus with x-banding at `PdfGridExtractor.JitterTol` —
+    * exact-x matching finds NO tables there (every jittered row is a
+    * distinct signature); the tolerance path must recover them all.
+    */
+  def pdfGridsJitter(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    graft.synth.PdfGridDocs.jitterDocs(spark, nDocs)
+      .as[(Long, String)]
+      .flatMap { case (id, ir) =>
+        graft.extract.PdfGridExtractor
+          .extract(ir, graft.extract.PdfGridExtractor.JitterTol).map(c =>
+            (id, c.page.toLong, c.tableIdx.toLong, c.rowIdx.toLong,
+              c.colIdx.toLong, c.text))
+      }
+      .toDF("doc_id", "page", "table_idx", "row_idx", "col_idx", "cell_text")
+  }
+
   /** q146: normalize detected pdf grids into header-keyed records — the
     * q134 move applied to the layout family: row 0 of every grid is its
     * header (OCR tables carry no `<th>` marker; first-row-as-header is

@@ -97,6 +97,58 @@ object PdfGridDocs {
     (lines.mkString("\n"), cells.toSeq)
   }
 
+  /** Pure builder for the JITTERED corpus (q155): same grid shapes with
+    * every table x perturbed ±1 px per row (deterministic draws), so
+    * exact-x matching would see every row as a distinct signature and
+    * find NO tables — the tolerance path must band them back together.
+    * Also plants two columns 5 px apart (> tol=3) that must NOT merge,
+    * and prose far from the bands (banding is page-global).
+    */
+  def buildJitter(id: Long): (String, Seq[GoldenGridCell]) = {
+    val cells = mutable()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var tableIdx = 0
+    def jit(tag: Long): Int = draw(id, tag, 3) - 1 // -1, 0, +1
+
+    lines += s"""p0 100 10 "prose ${word(id, 0x01)} text""""
+    val rows = 3 + draw(id, 0x10, 3) // 3..5
+    val xs = Seq(300, 520, 740)
+    for (r <- 0 until rows; c <- 0 until 3) {
+      val w = word(id, 0x100 + 31L * r + c)
+      lines += s"""p0 ${xs(c) + jit(0x500 + 31L * r + c)} ${400 + 60 * r} "$w""""
+      cells += GoldenGridCell(id, 0, tableIdx, r, c, w)
+    }
+    tableIdx += 1
+    if (id % 2 == 0) {
+      // page 1: two NARROW columns 5 px apart (gap > tol) + a third —
+      // jittered within each band, never across
+      val nxs = Seq(200, 205, 400)
+      for (r <- 0 until 2; c <- 0 until 3) {
+        val w = word(id, 0x200 + 17L * r + c)
+        // jitter only the wide column; the 5-px pair stays exact so the
+        // band gap (5 - 0 = 5 > 3) is unambiguous by construction
+        val j = if (c == 2) jit(0x600 + 17L * r + c) else 0
+        lines += s"""p1 ${nxs(c) + j} ${100 + 60 * r} "$w""""
+        cells += GoldenGridCell(id, 1, tableIdx, r, c, w)
+      }
+      tableIdx += 1
+    }
+    lines += s"""p0 90 900 "tail ${word(id, 0x02)} prose""""
+    (lines.mkString("\n"), cells.toSeq)
+  }
+
+  /** Distributed raw JITTERED table: (doc_id, pdfir). */
+  def jitterDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).map(id => (id, buildJitter(id)._1)).toDF("doc_id", "pdfir")
+  }
+
+  /** Distributed golden jittered cells (for the Verify materialization). */
+  def goldenJitterCells(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).flatMap(id => buildJitter(id)._2).toDF()
+  }
+
   private def mutable() =
     scala.collection.mutable.ArrayBuffer.empty[GoldenGridCell]
 

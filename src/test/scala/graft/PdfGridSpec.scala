@@ -76,6 +76,36 @@ class PdfGridSpec extends AnyFunSuite {
     assert(sawSplit && sawAdjacent && sawOneRow)
   }
 
+  test("jitter tolerance: bands recover noisy columns; exact matching finds nothing") {
+    val noisy =
+      "p0 299 10 \"a\"\np0 521 10 \"b\"\n" +
+        "p0 301 70 \"c\"\np0 519 70 \"d\"\n" +
+        "p0 300 130 \"e\"\np0 520 130 \"f\""
+    assert(PdfGridExtractor.extract(noisy) == Seq()) // tol=0: 6 signatures
+    val got = PdfGridExtractor.extract(noisy, tol = 3)
+    assert(got.map(c => (c.rowIdx, c.colIdx, c.text)) == Seq(
+      (0, 0, "a"), (0, 1, "b"), (1, 0, "c"), (1, 1, "d"), (2, 0, "e"), (2, 1, "f")))
+    // a 5-px gap exceeds tol=3: two separate columns, not one band
+    val narrow = "p0 200 10 \"l\"\np0 205 10 \"r\"\np0 200 70 \"l2\"\np0 205 70 \"r2\""
+    assert(PdfGridExtractor.extract(narrow, tol = 3).map(_.colIdx).distinct == Seq(0, 1))
+  }
+
+  test("jittered corpus: tolerant path equals goldens; exact path finds no tables") {
+    val n = 120L
+    (0L until n).foreach { id =>
+      val (ir, golden) = PdfGridDocs.buildJitter(id)
+      val got = PdfGridExtractor.extract(ir, PdfGridExtractor.JitterTol).map(c =>
+        PdfGridDocs.GoldenGridCell(id, c.page, c.tableIdx, c.rowIdx, c.colIdx, c.text))
+      assert(got == golden, s"doc $id")
+      // page-0 xs are genuinely jittered: exact matching loses the table
+      assert(!PdfGridExtractor.extract(ir).exists(_.page == 0) ||
+        PdfGridExtractor.extract(ir).count(_.page == 0) < golden.count(_.page == 0),
+        s"doc $id: jitter must defeat exact matching")
+      for (cut <- 0 to ir.length by 19)
+        PdfGridExtractor.extract(ir.take(cut), PdfGridExtractor.JitterTol)
+    }
+  }
+
   test("pdfGridRecords: first-row-header pivot matches a driver recompute") {
     import spark.implicits._
     val n = 60L
