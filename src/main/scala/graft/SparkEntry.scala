@@ -613,7 +613,9 @@ object SparkEntry {
     "q154_embed_quantize" -> ((s, d) => SimilarityOps.quantizeEmbeddings(s, d)),
     // jitter-tolerant grid detection over the OCR-noise corpus
     "q155_pdf_grids_jitter" -> ((s, _) =>
-      TableOps.pdfGridsJitter(s, VerifyPdfGridDocs))
+      TableOps.pdfGridsJitter(s, VerifyPdfGridDocs)),
+    // quantized-search recall vs the float brute baseline
+    "q156_quantized_recall" -> ((s, d) => SimilarityOps.quantizedRecall(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -3050,6 +3052,52 @@ object SparkEntry {
                 CAST(table_idx AS BIGINT) AS table_idx,
                 CAST(row_idx AS BIGINT) AS row_idx,
                 CAST(col_idx AS BIGINT) AS col_idx, cell_text
-         FROM read_parquet('__SYNTH__/golden_jitter_cells.parquet/*.parquet')"""
+         FROM read_parquet('__SYNTH__/golden_jitter_cells.parquet/*.parquet')""",
+    // q156: DuckDB re-quantizes (q154 chain), re-ranks by the same
+    // signed integer cos², re-derives the float top-k (q25 chain), and
+    // intersects — list_inner_product over int codes is exact (< 2^53)
+    "q156_quantized_recall" -> {
+      val n = ops.SimilarityOps.NQueries
+      val k = ops.SimilarityOps.DefaultK
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS amax
+               FROM e),
+         c AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x / amax * 127.0 + 0.5) AS INTEGER)) AS codes
+               FROM a),
+         qc AS (SELECT vec_id, codes,
+                  CAST(list_inner_product(codes, codes) AS BIGINT) AS n2 FROM c),
+         qq AS (SELECT vec_id AS qid, codes AS qcodes, n2 AS qn2
+                FROM qc WHERE vec_id < $n),
+         sd AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+                  CAST(list_inner_product(qcodes, codes) AS BIGINT) AS dot,
+                  qn2, n2
+                FROM qq, qc WHERE vec_id <> qid),
+         sc AS (SELECT query_id, neighbor_id,
+                  CASE WHEN dot < 0 THEN -((dot * dot * 10000) // (qn2 * n2))
+                       ELSE (dot * dot * 10000) // (qn2 * n2) END AS s2
+                FROM sd),
+         qt AS (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY s2 DESC, neighbor_id ASC) AS rn FROM sc) t
+                WHERE rn <= $k),
+         fq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id < $n),
+         fs AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+                  CAST(floor(list_cosine_similarity(qe, embedding) * 10000) AS BIGINT) AS cos
+                FROM fq, embeddings WHERE vec_id <> qid),
+         ft AS (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM fs) t
+                WHERE rn <= $k),
+         ov AS (SELECT query_id, count(*) AS n FROM (
+                  SELECT * FROM ft INTERSECT SELECT * FROM qt) t GROUP BY 1)
+         SELECT q.qid AS query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 10000 // $k AS BIGINT) AS recall_x10000
+         FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < $n) q
+         LEFT JOIN ov ON ov.query_id = q.qid"""
+    }
   )
 }

@@ -73,7 +73,10 @@ object SimilarityOps {
     * sha of the full code vector) instead of hauling arrays through the
     * compare. Pure narrow projection, zero exchanges.
     */
-  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  /** (vec_id, codes) int8-code frame shared by q154 and q156 — ONE
+    * definition of the quantizer.
+    */
+  private def codeFrame(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("amax",
@@ -81,6 +84,9 @@ object SimilarityOps {
       .withColumn("codes",
         transform(col("v"),
           x => floor(x / col("amax") * lit(127.0) + lit(0.5)).cast("int")))
+
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    codeFrame(spark, dir)
       .select(
         col("vec_id"),
         size(col("v")).as("n_dims"),
@@ -90,6 +96,55 @@ object SimilarityOps {
         size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_saturated"),
         sha2(array_join(transform(col("codes"), _.cast("string")), ","), 256)
           .as("codes_sha"))
+
+  /** q156: quantized-search recall — brute top-k over the int8 codes
+    * ranked by EXACT-integer signed cos² (`sign(dot)·dot²·10⁴ div
+    * (|q|²·|v|²)` — the per-vector amax scalars cancel in the cosine, so
+    * code-space ranking approximates float cosine ranking with zero
+    * float ops), measured against the float `bruteTopK` baseline as
+    * per-query overlap + recall_x10000. The acceptance instrument for
+    * shipping 4x-compressed vectors: if this recall holds, the ANN tier
+    * can run on codes.
+    *
+    * Scale shape: same broadcast-queries × corpus scan as q25 (the
+    * brute tier is the verify baseline; LSH/IVF are the scale paths),
+    * per-query top-k as a WindowGroupLimit; the recall join touches two
+    * k·|queries| frames.
+    */
+  def quantizedRecall(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val codes = codeFrame(spark, dir)
+      .select(col("vec_id"), col("codes"),
+        aggregate(transform(col("codes"), c => (c * c).cast("long")),
+          lit(0L), (a, x) => a + x).as("n2"))
+    val queries = codes
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"),
+        col("n2").as("qn2"))
+    val scored = codes
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => (a * b).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("s2", expr("""CASE WHEN dot < 0
+          THEN -((dot * dot * 10000) div (qn2 * n2))
+          ELSE (dot * dot * 10000) div (qn2 * n2) END"""))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s2").desc, col("vec_id").asc)
+    val quantTop = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val floatTop = bruteTopK(spark, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = floatTop.intersect(quantTop)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    floatTop.select(col("query_id")).distinct()
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_x10000", expr(s"(n_overlap * 10000) div $k"))
+  }
 
   def l2NearestAccept(spark: SparkSession, dir: String, thresholdX10000: Long = 11000L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -664,6 +664,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizedRecall: high overlap with the float top-k; local brute agreement") {
+    import spark.implicits._
+    val k = graft.ops.SimilarityOps.DefaultK
+    val got = graft.ops.SimilarityOps.quantizedRecall(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == graft.ops.SimilarityOps.NQueries)
+    got.foreach { case (q, (n, rec)) =>
+      assert(n >= 0L && n <= k, s"query $q overlap $n")
+      assert(rec == n * 10000L / k, s"query $q recall arithmetic")
+    }
+    // int8 over these dims preserves cosine ranking almost perfectly:
+    // mean recall must be high, else the quantizer is broken
+    val mean = got.values.map(_._2).sum / got.size
+    assert(mean >= 8000L, s"mean quantized recall_x10000 $mean too low")
+  }
+
   test("epochSchedule: exact targets and repeat factors; both regimes occur") {
     import spark.implicits._
     def isqrt(n: Long): Long = {

@@ -800,6 +800,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("quantized recall: both search tiers broadcast the query side, no cartesian blowup") {
+    val p = plan(graft.ops.SimilarityOps.quantizedRecall(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+  }
+
   test("embedding quantization: pure narrow projection — zero exchanges, zero joins") {
     val p = plan(graft.ops.SimilarityOps.quantizeEmbeddings(spark, dir))
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
