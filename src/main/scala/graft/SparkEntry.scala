@@ -615,7 +615,12 @@ object SparkEntry {
     "q155_pdf_grids_jitter" -> ((s, _) =>
       TableOps.pdfGridsJitter(s, VerifyPdfGridDocs)),
     // quantized-search recall vs the float brute baseline
-    "q156_quantized_recall" -> ((s, d) => SimilarityOps.quantizedRecall(s, d))
+    "q156_quantized_recall" -> ((s, d) => SimilarityOps.quantizedRecall(s, d)),
+    // domain-level quality: host reputation + the citation cascade
+    "q157_host_quality" -> ((s, _) =>
+      WebOps.hostQuality(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    "q158_reputation_filter" -> ((s, _) =>
+      WebOps.reputationFilter(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -3098,6 +3103,50 @@ object SparkEntry {
                 CAST(coalesce(ov.n, 0) * 10000 // $k AS BIGINT) AS recall_x10000
          FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < $n) q
          LEFT JOIN ov ON ov.query_id = q.qid"""
-    }
+    },
+    // q157/q158: DuckDB recomputes the quality logit over web_docs, the
+    // per-host attribution, and the citation cascade with the same
+    // integer arithmetic
+    "q157_host_quality" -> (hostQualityCtes +
+      s"""SELECT host, n_docs, mean_logit_x100,
+                mean_logit_x100 >= ${ops.WebOps.HostReputationThresholdX100} AS reputable
+         FROM g"""),
+    "q158_reputation_filter" -> (hostQualityCtes +
+      s""", bad AS (SELECT host FROM g
+                WHERE mean_logit_x100 < ${ops.WebOps.HostReputationThresholdX100}),
+         dh AS (SELECT DISTINCT doc_id, host FROM h),
+         pd AS (SELECT dh.doc_id, count(*) AS n_hosts,
+                  CAST(sum(CASE WHEN bad.host IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+                FROM dh LEFT JOIN bad ON bad.host = dh.host GROUP BY 1)
+         SELECT w.doc_id, CAST(coalesce(pd.n_hosts, 0) AS BIGINT) AS n_hosts,
+                coalesce(pd.n_bad, 0) AS n_bad,
+                coalesce(pd.n_bad, 0) = 0 AS keep
+         FROM w LEFT JOIN pd USING (doc_id)""")
   )
+
+  /** Shared q157/q158 oracle prefix: web_docs quality logit → per-host
+    * distinct attribution → host rollup (w, d, l, u, h, g CTEs).
+    */
+  private lazy val hostQualityCtes: String = {
+    val Seq(wTok, wLen, wStop, wPunct) = ops.TextOps.QualityLogitWeights
+    s"""WITH w AS (SELECT doc_id, text FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
+       d AS (SELECT doc_id, text,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+           CAST(floor(length(regexp_replace(text, '\\s', '', 'g')) * 100.0
+                      / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS mean_wordlen_x100,
+           CAST(floor(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|that|for)\\b')) * 1000.0
+                      / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS stopword_x1000
+         FROM w),
+       l AS (SELECT doc_id, text,
+               n_tokens * $wTok + mean_wordlen_x100 * $wLen
+                 + stopword_x1000 * $wStop + n_punct * $wPunct AS logit FROM d),
+       u AS (SELECT doc_id, logit, unnest(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS url FROM l),
+       h AS (SELECT DISTINCT doc_id, logit,
+               regexp_replace(lower(regexp_extract(url, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host FROM u),
+       g AS (SELECT host, count(*) AS n_docs,
+               CAST((sum(logit) * 100) // count(*) AS BIGINT) AS mean_logit_x100
+             FROM h GROUP BY 1)
+       """
+  }
 }

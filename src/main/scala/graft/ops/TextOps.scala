@@ -78,13 +78,21 @@ object TextOps {
     * (Monotone in the sigmoid, so thresholding the logit IS thresholding
     * the probability; skipping exp() keeps the oracle exact.)
     */
-  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+  /** Quality features + the integer logit on ANY text frame — the one
+    * definition q66, q141 and the host-reputation family (q157/q158)
+    * share.
+    */
+  def withLogit(df: DataFrame): DataFrame = {
     val Seq(wTok, wLen, wStop, wPunct) = QualityLogitWeights
-    withQualityColumns(table(spark, dir, "documents"))
+    withQualityColumns(df)
       .withColumn(
         "logit",
         col("n_tokens") * wTok + col("mean_wordlen_x100") * wLen +
           col("stopword_x1000") * wStop + col("n_punct") * wPunct)
+  }
+
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    withLogit(table(spark, dir, "documents"))
       .select(
         col("doc_id"), col("n_tokens"), col("mean_wordlen_x100"),
         col("stopword_x1000"), col("n_punct"), col("logit"),
@@ -106,14 +114,9 @@ object TextOps {
     * approximate path when a full per-source sort is too much.
     */
   def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(wTok, wLen, wStop, wPunct) = QualityLogitWeights
     val wRank = Window.partitionBy(col("source")).orderBy(col("logit"))
     val wCnt = Window.partitionBy(col("source"))
-    withQualityColumns(table(spark, dir, "documents"))
-      .withColumn(
-        "logit",
-        col("n_tokens") * wTok + col("mean_wordlen_x100") * wLen +
-          col("stopword_x1000") * wStop + col("n_punct") * wPunct)
+    withLogit(table(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), col("logit"))
       .withColumn("rk", rank().over(wRank))
       .withColumn("cnt", count(lit(1)).over(wCnt))

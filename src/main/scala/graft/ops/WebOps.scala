@@ -293,6 +293,66 @@ object WebOps {
         count(lit(1)).as("n_links"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Minimum mean quality logit (x100) for a reputable host — corpus
+    * policy set where the planted host-mean spectrum (188,990-218,114
+    * x100 at verify scale) actually splits; production would learn it.
+    */
+  val HostReputationThresholdX100 = 190000L
+
+  /** q157: host reputation — the RefinedWeb-style DOMAIN-level quality
+    * signal: every doc's exact integer quality logit attributed to each
+    * host it cites (distinct per doc), rolled to a per-host mean in
+    * exact fixed point. A host cited mostly by junk is a junk host, even
+    * before its own pages are fetched.
+    *
+    * Scale shape: URLs explode map-side; the per-doc distinct is the
+    * (doc, host) dedup BEFORE the host rollup, so the two exchanges
+    * carry (host, doc, logit) triples and |hosts| aggregates — text
+    * never shuffles.
+    */
+  def hostQuality(docs: DataFrame): DataFrame =
+    TextOps.withLogit(docs)
+      .select(col("doc_id"), col("logit"),
+        explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+      .select(col("doc_id"), col("logit"), col("host")).distinct()
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("logit")).as("sum_logit"))
+      .withColumn("mean_logit_x100", expr("(sum_logit * 100) div n_docs"))
+      .withColumn("reputable",
+        col("mean_logit_x100") >= HostReputationThresholdX100)
+      .drop("sum_logit")
+
+  /** q158: reputation filter — drop documents citing any DISREPUTABLE
+    * host (per [[hostQuality]]): the domain-level cascade RefinedWeb
+    * applies after page-level gates. Emits every doc with its citation
+    * counts and the keep verdict, so the oracle checks both regimes.
+    * The bad-host list is |hosts|-bounded and broadcast; the per-doc
+    * join carries (doc, host) pairs only.
+    */
+  def reputationFilter(docs: DataFrame): DataFrame = {
+    val bad = hostQuality(docs)
+      .filter(!col("reputable")).select(col("host"))
+    val docHosts = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+      .select(col("doc_id"), col("host")).distinct()
+    val perDoc = docHosts
+      .join(broadcast(bad.withColumn("is_bad", lit(1L))), Seq("host"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hosts"),
+        sum(coalesce(col("is_bad"), lit(0L))).as("n_bad"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hosts"), lit(0L)).as("n_hosts"),
+        coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+      .withColumn("keep", col("n_bad") === 0L)
+  }
+
   /** Keywords kept per host by [[anchorKeywords]]. */
   val AnchorTopK = 5
 

@@ -800,6 +800,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("reputation cascade: bad hosts broadcast; text never shuffles") {
+    val p = plan(graft.ops.WebOps.reputationFilter(graft.synth.WebDocs.docs(spark, 40L)))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bad-host list must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(p).isDefined,
+      s"text must never be a shuffle key:\n$p")
+  }
+
   test("quantized recall: both search tiers broadcast the query side, no cartesian blowup") {
     val p = plan(graft.ops.SimilarityOps.quantizedRecall(spark, dir))
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")

@@ -258,6 +258,53 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
   }
 
+  test("hostQuality + reputationFilter match a driver recompute; both regimes fire") {
+    val n = 60L
+    val hostRe = WebOps.HostRe.r
+    val urlRe = WebOps.UrlRe.r
+    // driver logit recompute (same integer features as the q66 test)
+    def logit(t: String): Long = {
+      val toks = t.trim.split("\\s+").length.toLong
+      val punct = t.count(".,;:!?".contains(_)).toLong
+      val letters = t.replaceAll("\\s", "").length.toLong
+      val mwl = math.floor(letters * 100.0 / toks).toLong
+      val sw = math.floor("\\b(the|and|of|to|in|is|that|for)\\b".r
+        .findAllIn(t).size * 1000.0 / toks).toLong
+      val Seq(wT, wL, wS, wP) = graft.ops.TextOps.QualityLogitWeights
+      toks * wT + mwl * wL + sw * wS + punct * wP
+    }
+    val perHost = collection.mutable.Map.empty[String, List[(Long, Long)]]
+    val docHosts = collection.mutable.Map.empty[Long, Set[String]]
+    (0L until n).foreach { id =>
+      val t = WebDocs.text(id)
+      val lg = logit(t)
+      val hosts = urlRe.findAllIn(t).flatMap(u =>
+        hostRe.findFirstMatchIn(u).map(_.group(1).toLowerCase.replaceFirst("^www\\.", ""))).toSet
+      docHosts(id) = hosts
+      hosts.foreach(h => perHost(h) = (id, lg) :: perHost.getOrElse(h, Nil))
+    }
+    val wantHost = perHost.map { case (h, ds) =>
+      val mean = ds.map(_._2).sum * 100 / ds.size
+      h -> ((ds.size.toLong, mean, mean >= WebOps.HostReputationThresholdX100))
+    }.toMap
+    val gotHost = WebOps.hostQuality(WebDocs.docs(spark, n)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(gotHost == wantHost)
+    assert(gotHost.values.exists(_._3) && gotHost.values.exists(!_._3),
+      "threshold must split the host spectrum")
+    val badHosts = wantHost.collect { case (h, (_, _, false)) => h }.toSet
+    val gotFilter = WebOps.reputationFilter(WebDocs.docs(spark, n)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(gotFilter.size == n)
+    (0L until n).foreach { id =>
+      val hosts = docHosts(id)
+      val bad = hosts.count(badHosts)
+      assert(gotFilter(id) == ((hosts.size.toLong, bad.toLong, bad == 0)), s"doc $id")
+    }
+    assert(gotFilter.values.exists(!_._3) && gotFilter.values.exists(_._3),
+      "cascade must drop some docs and keep some")
+  }
+
   test("linkSurface: family-tagged census with an explicit relative bucket") {
     val html = Seq((1L, 0L, "https://WWW.A.com/x", "a"), (1L, 1L, "/rel", "r"))
       .toDF("doc_id", "link_idx", "href", "anchor")
