@@ -620,7 +620,10 @@ object SparkEntry {
     "q157_host_quality" -> ((s, _) =>
       WebOps.hostQuality(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
     "q158_reputation_filter" -> ((s, _) =>
-      WebOps.reputationFilter(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
+      WebOps.reputationFilter(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // URL canonicalization over the extracted link frame
+    "q159_url_canon" -> ((s, _) =>
+      WebOps.canonicalUrls(TableOps.links(s, VerifyTableDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -3121,7 +3124,36 @@ object SparkEntry {
          SELECT w.doc_id, CAST(coalesce(pd.n_hosts, 0) AS BIGINT) AS n_hosts,
                 coalesce(pd.n_bad, 0) AS n_bad,
                 coalesce(pd.n_bad, 0) = 0 AS keep
-         FROM w LEFT JOIN pd USING (doc_id)""")
+         FROM w LEFT JOIN pd USING (doc_id)"""),
+    // q159: DuckDB runs the SAME canonicalization steps in its own SQL
+    // over the GOLDEN links
+    "q159_url_canon" ->
+      """WITH l AS (SELECT doc_id, link_idx, href
+               FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')),
+         p1 AS (SELECT doc_id, link_idx, href,
+                  split_part(href, '#', 1) AS nf FROM l),
+         p2 AS (SELECT *, split_part(nf, '?', 1) AS base,
+                  CASE WHEN position('?' IN nf) > 0
+                       THEN substr(nf, position('?' IN nf) + 1) ELSE '' END AS query
+                FROM p1),
+         p3 AS (SELECT *, regexp_extract(base, '^(https?://[^/]+)', 1) AS hostpart
+                FROM p2),
+         p4 AS (SELECT *, lower(hostpart) AS hostl,
+                  substr(base, length(hostpart) + 1) AS rest FROM p3),
+         p5 AS (SELECT *,
+                  CASE WHEN starts_with(hostl, 'https://')
+                       THEN regexp_replace(hostl, ':443$', '')
+                       ELSE regexp_replace(hostl, ':80$', '') END AS hostc,
+                  CASE WHEN length(rest) > 1 AND ends_with(rest, '/')
+                       THEN substr(rest, 1, length(rest) - 1) ELSE rest END AS pathc,
+                  list_sort(list_filter(string_split(query, '&'),
+                    p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
+                FROM p4)
+         SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href,
+                hostc || pathc ||
+                CASE WHEN len(params) > 0
+                     THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+         FROM p5"""
   )
 
   /** Shared q157/q158 oracle prefix: web_docs quality logit → per-host

@@ -293,6 +293,41 @@ object WebOps {
         count(lit(1)).as("n_links"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** q159: URL canonicalization — the crawl-frontier dedup move: drop
+    * the fragment, lowercase scheme+host, strip the scheme's default
+    * port (:443/:80), strip one trailing slash off a non-root path, drop
+    * `utm_*` tracking params and SORT the rest — so syntactic variants
+    * of one resource share a canonical key before frontier dedup.
+    * Relative hrefs (no scheme) keep their host part empty and get the
+    * same path/query treatment. Pure narrow projection over the link
+    * frame: structured string surgery in column expressions, zero
+    * exchanges; the oracle runs the SAME steps in DuckDB SQL.
+    */
+  def canonicalUrls(links: DataFrame): DataFrame = {
+    val noFrag = substring_index(col("href"), "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = when(instr(noFrag, "?") > 0,
+      expr("substring(substring_index(href, '#', 1), instr(substring_index(href, '#', 1), '?') + 1)"))
+      .otherwise(lit(""))
+    val hostPart = regexp_extract(base, "^(https?://[^/]+)", 1)
+    val rest = expr("substring(substring_index(substring_index(href, '#', 1), '?', 1), length(regexp_extract(substring_index(substring_index(href, '#', 1), '?', 1), '^(https?://[^/]+)', 1)) + 1)")
+    val hostL = lower(hostPart)
+    val hostCanon = when(hostL.startsWith("https://"), regexp_replace(hostL, ":443$", ""))
+      .otherwise(regexp_replace(hostL, ":80$", ""))
+    val pathCanon = when(length(rest) > 1 && rest.endsWith("/"),
+      expr("substring(rest_c, 1, length(rest_c) - 1)")).otherwise(col("rest_c"))
+    links
+      .withColumn("rest_c", rest)
+      .withColumn("params_c",
+        array_sort(filter(split(query, "&"),
+          p => p =!= "" && !p.startsWith("utm_"))))
+      .withColumn("canon_url",
+        concat(hostCanon, pathCanon,
+          when(size(col("params_c")) > 0,
+            concat(lit("?"), array_join(col("params_c"), "&"))).otherwise(lit(""))))
+      .select(col("doc_id"), col("link_idx"), col("href"), col("canon_url"))
+  }
+
   /** Minimum mean quality logit (x100) for a reputable host — corpus
     * policy set where the planted host-mean spectrum (188,990-218,114
     * x100 at verify scale) actually splits; production would learn it.

@@ -70,6 +70,24 @@ object TableDocs {
       link(s"/rel/$id", s"rel $lw1")
     }
     if (id % 4 == 0) sb ++= "<a name=\"top\">not a link</a>"
+    // URL-shape plants for the canonicalization operator (q159): tracking
+    // params out of order, a default port, a fragment, a trailing slash
+    if (id % 7 == 2) {
+      sb ++= s"""<a href="https://track${id % 3}.example/p?utm_source=feed&amp;b=2&amp;a=1">$lw1</a>"""
+      link(s"https://track${id % 3}.example/p?utm_source=feed&b=2&a=1", lw1)
+    }
+    if (id % 7 == 4) {
+      sb ++= s"""<a href="https://Port${id % 3}.example:443/x/$id">$lw2</a>"""
+      link(s"https://Port${id % 3}.example:443/x/$id", lw2)
+    }
+    if (id % 7 == 5) {
+      sb ++= s"""<a href="https://frag${id % 3}.example/y#sec-$id">$lw1 $lw2</a>"""
+      link(s"https://frag${id % 3}.example/y#sec-$id", s"$lw1 $lw2")
+    }
+    if (id % 7 == 6) {
+      sb ++= s"""<a href="https://slash${id % 3}.example/z/$id/">$lw2 $lw1</a>"""
+      link(s"https://slash${id % 3}.example/z/$id/", s"$lw2 $lw1")
+    }
 
     val nested = id % 4 == 1
     val unclosed = id % 3 == 0

@@ -800,6 +800,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("url canonicalization: pure narrow projection — zero exchanges, zero joins") {
+    val p = plan(graft.ops.WebOps.canonicalUrls(graft.ops.TableOps.links(spark, 50L)))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"canonicalization must stay narrow:\n$p")
+  }
+
   test("reputation cascade: bad hosts broadcast; text never shuffles") {
     val p = plan(graft.ops.WebOps.reputationFilter(graft.synth.WebDocs.docs(spark, 40L)))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -258,6 +258,28 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
   }
 
+  test("canonicalUrls: fragment/port/slash/utm/sort rules, each pinned") {
+    val links = Seq(
+      (1L, 0L, "https://A.example/p?utm_source=x&b=2&a=1", "t"),
+      (1L, 1L, "https://b.Example:443/x/", "t"),
+      (1L, 2L, "http://c.example:80/y#frag", "t"),
+      (1L, 3L, "https://d.example:8443/z", "t"), // non-default port kept
+      (1L, 4L, "/rel/path/", "t"),
+      (1L, 5L, "https://e.example/", "t"), // root slash stays
+      (1L, 6L, "https://f.example/q?utm_a=1&utm_b=2", "t"))
+      .toDF("doc_id", "link_idx", "href", "anchor")
+    val got = WebOps.canonicalUrls(links).collect()
+      .map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(got == Map(
+      0L -> "https://a.example/p?a=1&b=2",
+      1L -> "https://b.example/x",
+      2L -> "http://c.example/y",
+      3L -> "https://d.example:8443/z",
+      4L -> "/rel/path",
+      5L -> "https://e.example/",
+      6L -> "https://f.example/q"))
+  }
+
   test("hostQuality + reputationFilter match a driver recompute; both regimes fire") {
     val n = 60L
     val hostRe = WebOps.HostRe.r
