@@ -623,7 +623,10 @@ object SparkEntry {
       WebOps.reputationFilter(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
     // URL canonicalization over the extracted link frame
     "q159_url_canon" -> ((s, _) =>
-      WebOps.canonicalUrls(TableOps.links(s, VerifyTableDocs)))
+      WebOps.canonicalUrls(TableOps.links(s, VerifyTableDocs))),
+    // canonical frontier groups: the dedup the canonicalization buys
+    "q160_canon_groups" -> ((s, _) =>
+      WebOps.canonGroups(TableOps.links(s, VerifyTableDocs)))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -3126,35 +3129,49 @@ object SparkEntry {
                 coalesce(pd.n_bad, 0) = 0 AS keep
          FROM w LEFT JOIN pd USING (doc_id)"""),
     // q159: DuckDB runs the SAME canonicalization steps in its own SQL
-    // over the GOLDEN links
-    "q159_url_canon" ->
-      """WITH l AS (SELECT doc_id, link_idx, href
-               FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')),
-         p1 AS (SELECT doc_id, link_idx, href,
-                  split_part(href, '#', 1) AS nf FROM l),
-         p2 AS (SELECT *, split_part(nf, '?', 1) AS base,
-                  CASE WHEN position('?' IN nf) > 0
-                       THEN substr(nf, position('?' IN nf) + 1) ELSE '' END AS query
-                FROM p1),
-         p3 AS (SELECT *, regexp_extract(base, '^(https?://[^/]+)', 1) AS hostpart
-                FROM p2),
-         p4 AS (SELECT *, lower(hostpart) AS hostl,
-                  substr(base, length(hostpart) + 1) AS rest FROM p3),
-         p5 AS (SELECT *,
-                  CASE WHEN starts_with(hostl, 'https://')
-                       THEN regexp_replace(hostl, ':443$', '')
-                       ELSE regexp_replace(hostl, ':80$', '') END AS hostc,
-                  CASE WHEN length(rest) > 1 AND ends_with(rest, '/')
-                       THEN substr(rest, 1, length(rest) - 1) ELSE rest END AS pathc,
-                  list_sort(list_filter(string_split(query, '&'),
-                    p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
-                FROM p4)
-         SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href,
-                hostc || pathc ||
-                CASE WHEN len(params) > 0
-                     THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
-         FROM p5"""
+    // over the GOLDEN links (shared CTE chain with q160)
+    "q159_url_canon" -> (urlCanonCtes +
+      """SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, canon_url
+         FROM canon"""),
+    // q160: the same chain rolled to canonical groups
+    "q160_canon_groups" -> (urlCanonCtes +
+      """SELECT canon_url, count(*) AS n_refs,
+                CAST(count(DISTINCT href) AS BIGINT) AS n_raw_forms,
+                count(DISTINCT href) > 1 AS merged
+         FROM canon GROUP BY 1""")
   )
+
+  /** Shared q159/q160 oracle prefix: golden links → canonical URL via
+    * the same fragment/port/slash/utm/sort steps the engine runs.
+    */
+  private lazy val urlCanonCtes: String =
+    """WITH l AS (SELECT doc_id, link_idx, href
+             FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')),
+       p1 AS (SELECT doc_id, link_idx, href,
+                split_part(href, '#', 1) AS nf FROM l),
+       p2 AS (SELECT *, split_part(nf, '?', 1) AS base,
+                CASE WHEN position('?' IN nf) > 0
+                     THEN substr(nf, position('?' IN nf) + 1) ELSE '' END AS query
+              FROM p1),
+       p3 AS (SELECT *, regexp_extract(base, '^(https?://[^/]+)', 1) AS hostpart
+              FROM p2),
+       p4 AS (SELECT *, lower(hostpart) AS hostl,
+                substr(base, length(hostpart) + 1) AS rest FROM p3),
+       p5 AS (SELECT *,
+                CASE WHEN starts_with(hostl, 'https://')
+                     THEN regexp_replace(hostl, ':443$', '')
+                     ELSE regexp_replace(hostl, ':80$', '') END AS hostc,
+                CASE WHEN length(rest) > 1 AND ends_with(rest, '/')
+                     THEN substr(rest, 1, length(rest) - 1) ELSE rest END AS pathc,
+                list_sort(list_filter(string_split(query, '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
+              FROM p4),
+       canon AS (SELECT doc_id, link_idx, href,
+                   hostc || pathc ||
+                   CASE WHEN len(params) > 0
+                        THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+                 FROM p5)
+       """
 
   /** Shared q157/q158 oracle prefix: web_docs quality logit → per-host
     * distinct attribution → host rollup (w, d, l, u, h, g CTEs).

@@ -328,6 +328,20 @@ object WebOps {
       .select(col("doc_id"), col("link_idx"), col("href"), col("canon_url"))
   }
 
+  /** q160: canonical frontier groups — the payoff of [[canonicalUrls]]:
+    * links grouped by canonical key with reference and distinct-raw-form
+    * counts; `merged` groups (n_raw_forms > 1) are exactly the fetches a
+    * naive raw-URL frontier would duplicate. One (canon_url) partial-agg
+    * exchange; the distinct-raw count rides Spark's Expand rewrite.
+    */
+  def canonGroups(links: DataFrame): DataFrame =
+    canonicalUrls(links)
+      .groupBy(col("canon_url"))
+      .agg(
+        count(lit(1)).as("n_refs"),
+        countDistinct(col("href")).as("n_raw_forms"))
+      .withColumn("merged", col("n_raw_forms") > 1L)
+
   /** Minimum mean quality logit (x100) for a reputable host — corpus
     * policy set where the planted host-mean spectrum (188,990-218,114
     * x100 at verify scale) actually splits; production would learn it.

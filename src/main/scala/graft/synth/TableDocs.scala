@@ -88,6 +88,15 @@ object TableDocs {
       sb ++= s"""<a href="https://slash${id % 3}.example/z/$id/">$lw2 $lw1</a>"""
       link(s"https://slash${id % 3}.example/z/$id/", s"$lw2 $lw1")
     }
+    if (id % 7 == 3) {
+      // two syntactic VARIANTS of one resource — must share a canonical
+      // key (q160's merge evidence); the target repeats across docs of
+      // the same id % 3 class, so cross-doc refs accumulate too
+      sb ++= s"""<a href="https://var${id % 3}.example/v/7?b=2&amp;a=1">$lw1</a>"""
+      link(s"https://var${id % 3}.example/v/7?b=2&a=1", lw1)
+      sb ++= s"""<a href="https://Var${id % 3}.example:443/v/7/?a=1&amp;b=2&amp;utm_x=9">$lw2</a>"""
+      link(s"https://Var${id % 3}.example:443/v/7/?a=1&b=2&utm_x=9", lw2)
+    }
 
     val nested = id % 4 == 1
     val unclosed = id % 3 == 0

@@ -280,6 +280,34 @@ class WebOpsSpec extends AnyFunSuite {
       6L -> "https://f.example/q"))
   }
 
+  test("canonGroups: planted variant pairs merge; counts match a driver recompute") {
+    val n = 84L
+    def canon(href: String): String = {
+      val nf = href.takeWhile(_ != '#')
+      val (base, query) = nf.indexOf('?') match {
+        case -1 => (nf, "")
+        case i  => (nf.take(i), nf.drop(i + 1))
+      }
+      val hostpart = "^(https?://[^/]+)".r.findFirstIn(base).getOrElse("")
+      val rest0 = base.drop(hostpart.length)
+      val hostl = hostpart.toLowerCase
+      val hostc = if (hostl.startsWith("https://")) hostl.stripSuffix(":443")
+        else hostl.stripSuffix(":80")
+      val pathc = if (rest0.length > 1 && rest0.endsWith("/")) rest0.dropRight(1) else rest0
+      val params = query.split("&").filter(p => p.nonEmpty && !p.startsWith("utm_")).sorted
+      hostc + pathc + (if (params.nonEmpty) "?" + params.mkString("&") else "")
+    }
+    val all = (0L until n).flatMap(id => graft.synth.TableDocs.build(id)._3)
+    val want = all.groupBy(l => canon(l.href)).map { case (c, ls) =>
+      c -> ((ls.size.toLong, ls.map(_.href).distinct.size.toLong))
+    }
+    val got = WebOps.canonGroups(graft.ops.TableOps.links(spark, n)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == want)
+    got.foreach { case (c, (_, raw, merged)) => assert(merged == (raw > 1), c) }
+    assert(got.values.exists(_._3), "planted variant pairs must merge")
+  }
+
   test("hostQuality + reputationFilter match a driver recompute; both regimes fire") {
     val n = 60L
     val hostRe = WebOps.HostRe.r
