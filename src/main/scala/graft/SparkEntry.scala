@@ -626,7 +626,10 @@ object SparkEntry {
       WebOps.canonicalUrls(TableOps.links(s, VerifyTableDocs))),
     // canonical frontier groups: the dedup the canonicalization buys
     "q160_canon_groups" -> ((s, _) =>
-      WebOps.canonGroups(TableOps.links(s, VerifyTableDocs)))
+      WebOps.canonGroups(TableOps.links(s, VerifyTableDocs))),
+    // section-scoped RAG chunks keyed by breadcrumb provenance
+    "q161_section_chunks" -> ((s, _) =>
+      TableOps.sectionChunks(s, VerifyOutlineDocs))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -3138,7 +3141,26 @@ object SparkEntry {
       """SELECT canon_url, count(*) AS n_refs,
                 CAST(count(DISTINCT href) AS BIGINT) AS n_raw_forms,
                 count(DISTINCT href) > 1 AS merged
-         FROM canon GROUP BY 1""")
+         FROM canon GROUP BY 1"""),
+    // q161: DuckDB re-chunks the GOLDEN section bodies with the same
+    // token windows (1-based inclusive list slice == slice(toks, a, k))
+    "q161_section_chunks" -> {
+      val k = ops.TableOps.SectionChunkTokens
+      s"""WITH b AS (SELECT * FROM read_parquet('__SYNTH__/golden_section_bodies.parquet/*.parquet')),
+         t AS (SELECT doc_id, section_idx, path,
+                 list_filter(regexp_split_to_array(body, '\\s+'), x -> x <> '') AS toks
+               FROM b),
+         c AS (SELECT doc_id, section_idx, path, toks,
+                 CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+                      ELSE range((len(toks) - 1) // $k + 1) END AS idxs
+               FROM t),
+         e AS (SELECT doc_id, section_idx, path, toks, unnest(idxs) AS chunk_idx
+               FROM c)
+         SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx, path,
+                CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                array_to_string(toks[chunk_idx * $k + 1 : least((chunk_idx + 1) * $k, len(toks))], ' ') AS chunk_text
+         FROM e"""
+    }
   )
 
   /** Shared q159/q160 oracle prefix: golden links → canonical URL via

@@ -152,6 +152,35 @@ object TableOps {
       .toDF("doc_id", "page", "table_idx", "row_idx", "col_idx", "cell_text")
   }
 
+  /** Tokens per section chunk for [[sectionChunks]] — corpus policy
+    * (section bodies are small by construction; production passes its
+    * own size).
+    */
+  val SectionChunkTokens = 12
+
+  /** q161: section-scoped RAG chunks — each markdown section's body
+    * split into fixed-token windows KEYED BY ITS BREADCRUMB, so every
+    * chunk retrieves with where-in-the-document provenance (the q150
+    * payoff; flat chunkers lose it). Chunks are built INSIDE the row
+    * (`transform` over an index sequence + `slice`) and only then
+    * exploded — collect_list order never enters, and the plan stays a
+    * narrow flatMap + Generate with zero exchanges.
+    */
+  def sectionChunks(spark: SparkSession, nDocs: Long,
+      chunkTokens: Int = SectionChunkTokens): DataFrame = {
+    val k = chunkTokens
+    mdSectionBodies(spark, nDocs)
+      .withColumn("toks", filter(split(col("body"), "\\s+"), x => x =!= ""))
+      .withColumn("chunks",
+        when(size(col("toks")) === 0, array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(0, (size(toks) - 1) div $k), i -> array_join(slice(toks, i * $k + 1, $k), ' '))")))
+      .select(col("doc_id"), col("section_idx"), col("path"),
+        posexplode(col("chunks")))
+      .select(col("doc_id"), col("section_idx"), col("path"),
+        col("pos").cast("long").as("chunk_idx"), col("col").as("chunk_text"))
+  }
+
   /** q146: normalize detected pdf grids into header-keyed records — the
     * q134 move applied to the layout family: row 0 of every grid is its
     * header (OCR tables carry no `<th>` marker; first-row-as-header is

@@ -112,6 +112,28 @@ class OutlineSpec extends AnyFunSuite {
     assert(sawNonEmpty)
   }
 
+  test("sectionChunks: windows cover every body token in order, keyed by path") {
+    import spark.implicits._
+    val k = graft.ops.TableOps.SectionChunkTokens
+    val got = graft.ops.TableOps.sectionChunks(spark, 40L)
+      .as[(Long, Long, String, Long, String)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.sortBy(_._4).map(_._5)).toMap
+    var sawMulti = false
+    (1L until 40L by 2).foreach { id =>
+      OutlineDocs.buildBodies(id).foreach { sb =>
+        val toks = sb.body.split("\\s+").filter(_.nonEmpty)
+        val wantChunks = toks.grouped(k).map(_.mkString(" ")).toSeq
+        val gotChunks = got.getOrElse((id, sb.section_idx.toLong), Array.empty[String]).toSeq
+        assert(gotChunks == wantChunks, s"doc $id sec ${sb.section_idx}")
+        if (wantChunks.length > 1) sawMulti = true
+        // reassembled chunks equal the token stream exactly
+        assert(gotChunks.flatMap(_.split(" ")).filter(_.nonEmpty).toSeq == toks.toSeq)
+      }
+    }
+    assert(sawMulti, "corpus must contain multi-chunk sections")
+  }
+
   test("q137/q138 Spark path equals the distributed golden sections") {
     import spark.implicits._
     val got = graft.ops.TableOps.sections(spark, SparkEntry.VerifyOutlineDocs)

@@ -800,6 +800,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("section chunks: in-row windows + Generate — zero exchanges, zero joins") {
+    val p = plan(graft.ops.TableOps.sectionChunks(spark, 40L))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"chunking must stay narrow:\n$p")
+    assert(p.contains("Generate"), s"expected the posexplode Generate:\n$p")
+  }
+
   test("url canonicalization: pure narrow projection — zero exchanges, zero joins") {
     val p = plan(graft.ops.WebOps.canonicalUrls(graft.ops.TableOps.links(spark, 50L)))
     assert(!p.contains("Exchange") && !p.contains("Join"),
