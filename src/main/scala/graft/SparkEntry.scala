@@ -629,7 +629,18 @@ object SparkEntry {
       WebOps.canonGroups(TableOps.links(s, VerifyTableDocs))),
     // section-scoped RAG chunks keyed by breadcrumb provenance
     "q161_section_chunks" -> ((s, _) =>
-      TableOps.sectionChunks(s, VerifyOutlineDocs))
+      TableOps.sectionChunks(s, VerifyOutlineDocs)),
+    // extraction-coverage report: the REAL pipeline rolled per payload
+    // kind, which must equal the generator's golden rollup exactly
+    "q162_extract_coverage" -> ((s, _) =>
+      Pipeline.run(s, SynthDataset.turns(s, VerifyConvs))
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_turns"),
+          sum(when(col("failure").isNotNull, 1L).otherwise(0L)).as("n_failures"),
+          sum(length(col("extracted_text")).cast("long")).as("sum_chars"),
+          count_distinct(col("failure")).as("n_failure_classes"))
+        .withColumn("mean_chars_x100", expr("(sum_chars * 100) div n_turns")))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -3160,7 +3171,17 @@ object SparkEntry {
                 CAST(chunk_idx AS BIGINT) AS chunk_idx,
                 array_to_string(toks[chunk_idx * $k + 1 : least((chunk_idx + 1) * $k, len(toks))], ' ') AS chunk_text
          FROM e"""
-    }
+    },
+    // q162: DuckDB rolls the GOLDEN expectations per kind — if the real
+    // pipeline's rollup matches, per-kind coverage is engine-exact
+    "q162_extract_coverage" ->
+      """SELECT kind, count(*) AS n_turns,
+                CAST(sum(CASE WHEN expected_failure IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failures,
+                CAST(sum(length(expected_text)) AS BIGINT) AS sum_chars,
+                CAST(count(DISTINCT expected_failure) AS BIGINT) AS n_failure_classes,
+                CAST((sum(length(expected_text)) * 100) // count(*) AS BIGINT) AS mean_chars_x100
+         FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
+         GROUP BY 1"""
   )
 
   /** Shared q159/q160 oracle prefix: golden links → canonical URL via

@@ -800,6 +800,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"link extraction must not join:\n$p")
   }
 
+  test("extract coverage: the kind rollup adds ONE partial-agg exchange over the pipeline") {
+    val p = plan(graft.SparkEntry.queries("q162_extract_coverage")(spark, "/unused"))
+    assert(p.contains("partial_count"), s"missing map-side partials:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"coverage rollup must not join:\n$p")
+  }
+
   test("section chunks: in-row windows + Generate — zero exchanges, zero joins") {
     val p = plan(graft.ops.TableOps.sectionChunks(spark, 40L))
     assert(!p.contains("Exchange") && !p.contains("Join"),
