@@ -630,6 +630,10 @@ object SparkEntry {
     // section-scoped RAG chunks keyed by breadcrumb provenance
     "q161_section_chunks" -> ((s, _) =>
       TableOps.sectionChunks(s, VerifyOutlineDocs)),
+    // extraction-catalog SQL surface: all markup/layout outputs as views
+    "q163_extraction_summary" -> ((s, _) =>
+      SqlSurface.extractionSummary(s, VerifyTableDocs, VerifyOutlineDocs,
+        VerifyPdfGridDocs)),
     // extraction-coverage report: the REAL pipeline rolled per payload
     // kind, which must equal the generator's golden rollup exactly
     "q162_extract_coverage" -> ((s, _) =>
@@ -3181,7 +3185,32 @@ object SparkEntry {
                 CAST(count(DISTINCT expected_failure) AS BIGINT) AS n_failure_classes,
                 CAST((sum(length(expected_text)) * 100) // count(*) AS BIGINT) AS mean_chars_x100
          FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // q163: DuckDB derives the same per-family summary from the GOLDEN
+    // extraction tables (cells/links/sections materialized by Verify) —
+    // independent of every engine extractor AND the SQL surface
+    "q163_extraction_summary" ->
+      """SELECT 'html' AS family,
+           (SELECT count(*) FROM (SELECT DISTINCT doc_id, table_idx
+              FROM read_parquet('__SYNTH__/golden_cells.parquet/*.parquet')) t) AS n_tables,
+           (SELECT count(*) FROM read_parquet('__SYNTH__/golden_cells.parquet/*.parquet')) AS n_cells,
+           (SELECT count(*) FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')) AS n_links,
+           (SELECT count(*) FROM read_parquet('__SYNTH__/golden_sections.parquet/*.parquet')
+              WHERE doc_id % 2 = 0) AS n_sections
+       UNION ALL
+       SELECT 'markdown',
+           (SELECT count(*) FROM (SELECT DISTINCT doc_id, table_idx
+              FROM read_parquet('__SYNTH__/md_golden_cells.parquet/*.parquet')) t),
+           (SELECT count(*) FROM read_parquet('__SYNTH__/md_golden_cells.parquet/*.parquet')),
+           (SELECT count(*) FROM read_parquet('__SYNTH__/golden_md_links.parquet/*.parquet')),
+           (SELECT count(*) FROM read_parquet('__SYNTH__/golden_sections.parquet/*.parquet')
+              WHERE doc_id % 2 = 1)
+       UNION ALL
+       SELECT 'pdfir',
+           (SELECT count(*) FROM (SELECT DISTINCT doc_id, table_idx
+              FROM read_parquet('__SYNTH__/golden_grid_cells.parquet/*.parquet')) t),
+           (SELECT count(*) FROM read_parquet('__SYNTH__/golden_grid_cells.parquet/*.parquet')),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)"""
   )
 
   /** Shared q159/q160 oracle prefix: golden links → canonical URL via

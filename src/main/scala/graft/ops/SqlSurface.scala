@@ -127,4 +127,56 @@ object SqlSurface {
     registerEngineViews(spark, dir, turns, records)
     adHoc(spark, CrossFamilySql)
   }
+
+  /** Register every STRUCTURED-EXTRACTION output as a temp view —
+    * completing the ad-hoc catalog for the markup/layout families the
+    * round added (the q68/q88 move extended to q133-q155's outputs).
+    */
+  def registerExtractionViews(
+      spark: SparkSession, nTableDocs: Long, nOutlineDocs: Long,
+      nGridDocs: Long): Unit = {
+    TableOps.cells(spark, nTableDocs).createOrReplaceTempView("html_cells")
+    TableOps.mdCells(spark, nTableDocs).createOrReplaceTempView("md_cells")
+    TableOps.links(spark, nTableDocs).createOrReplaceTempView("html_links")
+    TableOps.mdLinks(spark, nOutlineDocs).createOrReplaceTempView("md_links")
+    TableOps.sections(spark, nOutlineDocs).createOrReplaceTempView("doc_sections")
+    graft.synth.OutlineDocs.docs(spark, nOutlineDocs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("kind"))
+      .createOrReplaceTempView("outline_docs")
+    TableOps.pdfGrids(spark, nGridDocs).createOrReplaceTempView("pdf_grid_cells")
+  }
+
+  /** Per-markup-family extraction summary — one ad-hoc SQL statement
+    * across five registered extraction views (incl. a real join for the
+    * section-family split). The pdfir family has no link/section surface
+    * by construction.
+    */
+  val ExtractionSummarySql: String =
+    """SELECT 'html' AS family,
+           (SELECT count(DISTINCT doc_id, table_idx) FROM html_cells) AS n_tables,
+           (SELECT count(*) FROM html_cells) AS n_cells,
+           (SELECT count(*) FROM html_links) AS n_links,
+           (SELECT count(*) FROM doc_sections s JOIN outline_docs d
+             ON s.doc_id = d.doc_id WHERE d.kind = 'html') AS n_sections
+       UNION ALL
+       SELECT 'markdown',
+           (SELECT count(DISTINCT doc_id, table_idx) FROM md_cells),
+           (SELECT count(*) FROM md_cells),
+           (SELECT count(*) FROM md_links),
+           (SELECT count(*) FROM doc_sections s JOIN outline_docs d
+             ON s.doc_id = d.doc_id WHERE d.kind = 'markdown')
+       UNION ALL
+       SELECT 'pdfir',
+           (SELECT count(DISTINCT doc_id, table_idx) FROM pdf_grid_cells),
+           (SELECT count(*) FROM pdf_grid_cells),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)"""
+
+  /** Flagship extraction-catalog query (q163). */
+  def extractionSummary(
+      spark: SparkSession, nTableDocs: Long, nOutlineDocs: Long,
+      nGridDocs: Long): DataFrame = {
+    registerExtractionViews(spark, nTableDocs, nOutlineDocs, nGridDocs)
+    adHoc(spark, ExtractionSummarySql)
+  }
 }

@@ -62,6 +62,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "output must be ordered by n_failures DESC, n_violations DESC, conv_id ASC")
   }
 
+  test("extraction views: per-family summary equals golden-derived counts") {
+    import graft.synth.{OutlineDocs, PdfGridDocs, TableDocs}
+    val (nT, nO, nG) = (60L, 60L, 60L)
+    val got = graft.ops.SqlSurface.extractionSummary(spark, nT, nO, nG)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val htmlCells = (0L until nT).flatMap(id => TableDocs.build(id)._2)
+    val htmlLinks = (0L until nT).flatMap(id => TableDocs.build(id)._3)
+    val mdCells = (0L until nT).flatMap(id => graft.synth.MdTableDocs.build(id)._2)
+    val mdLinks = (0L until nO).flatMap(id => OutlineDocs.buildLinks(id))
+    val sections = (0L until nO).flatMap(id => OutlineDocs.build(id)._3)
+    val grids = (0L until nG).flatMap(id => PdfGridDocs.build(id)._2)
+    assert(got("html") == ((
+      htmlCells.map(c => (c.doc_id, c.table_idx)).distinct.size.toLong,
+      htmlCells.size.toLong, htmlLinks.size.toLong,
+      sections.count(_.doc_id % 2 == 0).toLong)))
+    assert(got("markdown") == ((
+      mdCells.map(c => (c.doc_id, c.table_idx)).distinct.size.toLong,
+      mdCells.size.toLong, mdLinks.size.toLong,
+      sections.count(_.doc_id % 2 == 1).toLong)))
+    assert(got("pdfir") == ((
+      grids.map(c => (c.doc_id, c.table_idx)).distinct.size.toLong,
+      grids.size.toLong, 0L, 0L)))
+  }
+
   test("policy query: per-doc rollup, top-50 by violations with stable tiebreak") {
     val recs = ShredOps.structuredRecords(spark, 80).toDF()
     val rows = SqlSurface.policySummary(spark, recs).collect()
