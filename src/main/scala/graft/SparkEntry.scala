@@ -630,6 +630,9 @@ object SparkEntry {
     // section-scoped RAG chunks keyed by breadcrumb provenance
     "q161_section_chunks" -> ((s, _) =>
       TableOps.sectionChunks(s, VerifyOutlineDocs)),
+    // politeness-capped crawl schedule with single-round redistribution
+    "q164_polite_schedule" -> ((s, _) =>
+      WebOps.politeCrawlSchedule(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
     // extraction-catalog SQL surface: all markup/layout outputs as views
     "q163_extraction_summary" -> ((s, _) =>
       SqlSurface.extractionSummary(s, VerifyTableDocs, VerifyOutlineDocs,
@@ -2931,21 +2934,36 @@ object SparkEntry {
     // q144: DuckDB re-runs the full PageRank CTE chain (q85) and then the
     // same Hamilton apportionment — base, remainders, leftover seats by
     // (rem DESC, host) — in BIGINT throughout
-    "q144_crawl_budget" -> {
-      val b = ops.WebOps.CrawlBudget
-      s"""WITH ${ops.WebOps.duckdbRankCtes(ops.WebOps.RankIters, "__SYNTH__/web_docs.parquet/*.parquet")},
-         ranks AS (SELECT host, CAST(rank AS BIGINT) AS rank_x1e12 FROM r${ops.WebOps.RankIters}),
-         tot AS (SELECT CAST(sum(rank_x1e12) AS BIGINT) AS total FROM ranks),
-         bs AS (SELECT host, rank_x1e12,
-                  CAST(($b * rank_x1e12) // tot.total AS BIGINT) AS base,
-                  CAST(($b * rank_x1e12) % tot.total AS BIGINT) AS rem
-                FROM ranks, tot),
-         l AS (SELECT CAST($b - sum(base) AS BIGINT) AS leftover FROM bs)
-         SELECT host, rank_x1e12, base,
-                base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host) <= l.leftover
-                            THEN 1 ELSE 0 END AS alloc
-         FROM bs, l"""
-    },
+    "q144_crawl_budget" -> (crawlBudgetCtes +
+      """SELECT host, rank_x1e12, base, alloc FROM ham"""),
+    // q164: the same chain + cap, surplus, one redistribution round and
+    // the clip — all in BIGINT
+    "q164_polite_schedule" -> (crawlBudgetCtes + {
+      val cap = ops.WebOps.PolitenessCapPages
+      s""", a1 AS (SELECT host, rank_x1e12, alloc,
+                least(alloc, $cap) AS alloc1, alloc > $cap AS was_capped
+              FROM ham),
+         t2 AS (SELECT CAST(sum(alloc - alloc1) AS BIGINT) AS surplus,
+                  CAST(sum(CASE WHEN NOT was_capped THEN rank_x1e12 ELSE 0 END) AS BIGINT) AS open_rank
+                FROM a1),
+         b2 AS (SELECT a1.*, t2.surplus,
+                  CASE WHEN was_capped OR t2.open_rank = 0 THEN 0
+                       ELSE CAST((t2.surplus * rank_x1e12) // t2.open_rank AS BIGINT) END AS extra_base,
+                  CASE WHEN was_capped OR t2.open_rank = 0 THEN -1
+                       ELSE CAST((t2.surplus * rank_x1e12) % t2.open_rank AS BIGINT) END AS extra_rem
+                FROM a1, t2),
+         l2 AS (SELECT CAST(max(surplus) - sum(extra_base) AS BIGINT) AS seats FROM b2),
+         f AS (SELECT b2.*,
+                 CASE WHEN was_capped THEN 0
+                      ELSE extra_base + CASE WHEN row_number() OVER
+                        (ORDER BY extra_rem DESC, host) <= l2.seats
+                        THEN 1 ELSE 0 END END AS extra
+               FROM b2, l2)
+         SELECT host, alloc, was_capped,
+                least(alloc1 + extra, $cap) AS final_alloc
+         FROM f"""
+    }),
+
     // q145: generator-materialized by-construction grid cells (the
     // q133/q135/q136/q137 trust model)
     "q145_pdf_grids" ->
@@ -3244,6 +3262,27 @@ object SparkEntry {
                         THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
                  FROM p5)
        """
+
+  /** Shared q144/q164 oracle prefix: the full PageRank CTE chain (q85)
+    * + Hamilton apportionment, ending in `ham(host, rank_x1e12, base,
+    * alloc)`.
+    */
+  private lazy val crawlBudgetCtes: String = {
+    val b = ops.WebOps.CrawlBudget
+    s"""WITH ${ops.WebOps.duckdbRankCtes(ops.WebOps.RankIters, "__SYNTH__/web_docs.parquet/*.parquet")},
+       ranks AS (SELECT host, CAST(rank AS BIGINT) AS rank_x1e12 FROM r${ops.WebOps.RankIters}),
+       tot AS (SELECT CAST(sum(rank_x1e12) AS BIGINT) AS total FROM ranks),
+       bs AS (SELECT host, rank_x1e12,
+                CAST(($b * rank_x1e12) // tot.total AS BIGINT) AS base,
+                CAST(($b * rank_x1e12) % tot.total AS BIGINT) AS rem
+              FROM ranks, tot),
+       l AS (SELECT CAST($b - sum(base) AS BIGINT) AS leftover FROM bs),
+       ham AS (SELECT host, rank_x1e12, base,
+                 base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host) <= l.leftover
+                             THEN 1 ELSE 0 END AS alloc
+               FROM bs, l)
+       """
+  }
 
   /** Shared q157/q158 oracle prefix: web_docs quality logit → per-host
     * distinct attribution → host rollup (w, d, l, u, h, g CTEs).

@@ -553,6 +553,51 @@ object WebOps {
       .select(col("host"), col("rank_x1e12"), col("base"), col("alloc"))
   }
 
+  /** Per-host page cap for [[politeCrawlSchedule]] — corpus policy set
+    * where the planted rank spectrum actually caps (one dominant host at
+    * verify scale; production derives it from crawl-delay budgets).
+    */
+  val PolitenessCapPages = 8000L
+
+  /** q164: politeness-capped crawl schedule — [[crawlBudget]]'s
+    * apportionment with a per-host page CAP: capped hosts forfeit their
+    * surplus, which redistributes ONE round to uncapped hosts
+    * rank-proportionally (largest remainder again); a redistribution
+    * that itself overflows the cap is clipped and the residue stays
+    * UNALLOCATED (single-round by contract — iterating to fixpoint
+    * would be driver-unbounded; the residue is surfaced, not hidden).
+    * Σ final_alloc ≤ budget always.
+    *
+    * Scale shape: q144's shape + two more broadcast 1-row scalars
+    * (surplus, open rank mass) and one more |hosts|-bounded window.
+    */
+  def politeCrawlSchedule(docs: DataFrame, budget: Long = CrawlBudget,
+      cap: Long = PolitenessCapPages): DataFrame = {
+    val a1 = crawlBudget(docs, budget)
+      .withColumn("alloc1", least(col("alloc"), lit(cap)))
+      .withColumn("was_capped", col("alloc") > cap)
+    val tot = a1.agg(
+      sum(col("alloc") - col("alloc1")).as("surplus"),
+      sum(when(!col("was_capped"), col("rank_x1e12")).otherwise(0L)).as("open_rank"))
+    val b = a1.crossJoin(broadcast(tot))
+      .withColumn("extra_base",
+        when(col("was_capped") || col("open_rank") === 0L, 0L)
+          .otherwise(expr("(surplus * rank_x1e12) div open_rank")))
+      .withColumn("extra_rem",
+        when(col("was_capped") || col("open_rank") === 0L, -1L)
+          .otherwise(expr("(surplus * rank_x1e12) % open_rank")))
+    val seats = b.agg((max(col("surplus")) - sum(col("extra_base"))).as("seats"))
+    b.crossJoin(broadcast(seats))
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("extra_rem").desc, col("host").asc)))
+      .withColumn("extra",
+        when(col("was_capped"), 0L)
+          .otherwise(col("extra_base") +
+            when(col("pos") <= col("seats"), 1L).otherwise(0L)))
+      .withColumn("final_alloc", least(col("alloc1") + col("extra"), lit(cap)))
+      .select(col("host"), col("alloc"), col("was_capped"), col("final_alloc"))
+  }
+
   /** HITS iterations / fixed-point scale for [[hostHits]]. The scale is
     * 1e6 (not 1e12) because each un-normalized step multiplies a score by
     * the scale before the floor division: raw ≤ scale·deg, raw·scale must

@@ -258,6 +258,36 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got.size < n, "the planted corpus cites blocked hosts; some rows must drop")
   }
 
+  test("politeCrawlSchedule: cap, one redistribution round, clip — driver recompute") {
+    val n = 60L
+    val cap = WebOps.PolitenessCapPages
+    val alloc = WebOps.crawlBudget(WebDocs.docs(spark, n)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val surplus = alloc.values.map { case (_, a) => math.max(a - cap, 0L) }.sum
+    val openRank = alloc.collect { case (_, (r, a)) if a <= cap => r }.sum
+    val extraBase = alloc.map { case (h, (r, a)) =>
+      h -> (if (a > cap) 0L else surplus * r / openRank)
+    }
+    val rems = alloc.map { case (h, (r, a)) =>
+      h -> (if (a > cap) -1L else surplus * r % openRank)
+    }
+    val seats = surplus - extraBase.values.sum
+    val seatHosts = alloc.keys.toSeq.sortBy(h => (-rems(h), h)).take(seats.toInt).toSet
+    val want = alloc.map { case (h, (_, a)) =>
+      val extra = if (a > cap) 0L else extraBase(h) + (if (seatHosts(h)) 1L else 0L)
+      h -> ((a, a > cap, math.min(math.min(a, cap) + extra, cap)))
+    }
+    val got = WebOps.politeCrawlSchedule(WebDocs.docs(spark, n)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2), "the dominant host must cap")
+    assert(got.values.forall(_._3 <= cap))
+    val total = got.values.map(_._3).sum
+    assert(total <= WebOps.CrawlBudget)
+    assert(got.values.exists { case (a, capped, f) => !capped && f > a },
+      "redistribution must raise at least one uncapped host")
+  }
+
   test("canonicalUrls: fragment/port/slash/utm/sort rules, each pinned") {
     val links = Seq(
       (1L, 0L, "https://A.example/p?utm_source=x&b=2&a=1", "t"),
