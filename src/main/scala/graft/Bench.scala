@@ -208,7 +208,8 @@ object Bench {
     val qs = topSlow
       .map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val failedJson = failed.take(20).mkString("[", ",", "]")
+    val failedJson = failed.take(20).mkString("[", ",", "]") // stdout cap only
+    val failedJsonFull = failed.mkString("[", ",", "]")
 
     val scalingJson = low match {
       case Some((_, tLow, stealLow)) =>
@@ -219,7 +220,7 @@ object Bench {
     }
     val nQueriesRun = queryResults.count(_._3)
     val detailLine =
-      f"""{"metric":"turns_per_sec_extraction","value":$rateHigh%.1f,"unit":"turns/sec","n_turns":$nTurns,"extract_sec":$tHigh%.3f,"queries":$qsFull,"failed_queries":$failedJson,"total_query_sec":$totalQuerySec%.3f,"sf":"$sfDir"$scalingJson}"""
+      f"""{"metric":"turns_per_sec_extraction","value":$rateHigh%.1f,"unit":"turns/sec","n_turns":$nTurns,"extract_sec":$tHigh%.3f,"queries":$qsFull,"failed_queries":$failedJsonFull,"total_query_sec":$totalQuerySec%.3f,"sf":"$sfDir"$scalingJson}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
       java.nio.file.Files.write(p,

@@ -3050,12 +3050,12 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id, href, 'markdown' AS family
            FROM read_parquet('__SYNTH__/golden_md_links.parquet/*.parquet')),
+         hn AS (SELECT doc_id, family,
+                  regexp_replace(lower(regexp_extract(href, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host0
+                FROM u),
          h AS (SELECT doc_id, family,
-                 CASE WHEN regexp_extract(href, '${ops.WebOps.HostRe}', 1) = ''
-                      THEN '(relative)'
-                      ELSE regexp_replace(lower(regexp_extract(href, '${ops.WebOps.HostRe}', 1)), '^www\\.', '')
-                 END AS host
-               FROM u)
+                 CASE WHEN host0 = '' THEN '(relative)' ELSE host0 END AS host
+               FROM hn)
          SELECT host, family, count(*) AS n_links,
                 count(DISTINCT doc_id) AS n_docs
          FROM h GROUP BY 1, 2""",

@@ -15,9 +15,12 @@ import scala.collection.mutable
   *    without an immediate `(` (reference-style) is not a link.
   *  - `\[` escapes the bracket (no link); escapes inside the anchor
   *    unescape. Anchors strip emphasis/code markers and collapse
-  *    whitespace; empty anchors or urls emit nothing.
+  *    whitespace; a NESTED image (`[![alt](src)](url)` — the badge
+  *    pattern) anchors as its alt text; empty anchors or urls emit
+  *    nothing.
   *  - Inline code spans (single backticks) and fenced code blocks
-  *    (``` / ~~~) never produce links. Never throws on any input.
+  *    (``` / ~~~) never produce links; backslashes inside a code span
+  *    are inert (CommonMark). Never throws on any input.
   */
 object MdLinkExtractor {
 
@@ -49,22 +52,35 @@ object MdLinkExtractor {
     sb.toString
   }
 
+  /** Nested image constructs in anchor text reduce to their alt text —
+    * the badge pattern `[![build](/badge.png)](url)` anchors as "build".
+    */
+  private val NestedImageRe = "!\\[([^\\]]*)\\]\\([^)]*\\)".r
+
   private def scanLine(line: String, out: mutable.ArrayBuffer[Link]): Unit = {
     val n = line.length
     var i = 0
     var inCode = false
     while (i < n) {
       val c = line.charAt(i)
-      if (c == '\\') i += 2
-      else if (c == '`') { inCode = !inCode; i += 1 }
-      else if (!inCode && c == '[') {
+      // code-span state FIRST: backslash escapes are inert inside code
+      // spans (CommonMark), so a `\` in a span must not eat the closing
+      // backtick
+      if (c == '`') { inCode = !inCode; i += 1 }
+      else if (inCode) i += 1
+      else if (c == '\\') i += 2
+      else if (c == '[') {
         val isImage = i > 0 && line.charAt(i - 1) == '!'
+        // depth-aware scan: nested brackets (the image-in-anchor badge
+        // shape) close at depth 0, not at the first ']'
         var j = i + 1
         var close = -1
+        var depth = 0
         while (j < n && close < 0) {
           val cj = line.charAt(j)
           if (cj == '\\') j += 2
-          else if (cj == ']') close = j
+          else if (cj == '[') { depth += 1; j += 1 }
+          else if (cj == ']') { if (depth == 0) close = j else { depth -= 1; j += 1 } }
           else j += 1
         }
         if (close >= 0 && close + 1 < n && line.charAt(close + 1) == '(') {
@@ -74,7 +90,9 @@ object MdLinkExtractor {
             if (href.exists(Character.isWhitespace)) i = close + 1 // GFM: not a destination
             else {
               if (!isImage) {
-                val anchor = unescape(line.substring(i + 1, close))
+                val inner = NestedImageRe.replaceAllIn(
+                  line.substring(i + 1, close), m => m.group(1))
+                val anchor = unescape(inner)
                   .replace("*", "").replace("`", "")
                   .trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
                 if (href.nonEmpty && anchor.nonEmpty)

@@ -19,8 +19,9 @@ import scala.collection.mutable
   *    fragment must re-qualify (≥ 2 rows) on its own. Two adjacent grids
   *    with different x-signatures are separate tables.
   *  - Tables index per doc in (page, first y) order; rows by y, columns
-  *    by x. Cell text strips ` (Confidence: d.dd)` annotations; the
-  *    first run wins a duplicated (y, x).
+  *    by x. Cell text strips ` (Confidence: d.dd)` annotations; a
+  *    duplicated (y, x-band) resolves to the (x, text)-least run — a
+  *    deterministic tiebreak, NOT stream order.
   *  - Malformed run lines are SKIPPED (detection is lenient where
   *    whole-turn extraction fails the turn — a layout pass on a noisy
   *    stream must keep what it can). Never throws.
@@ -51,7 +52,8 @@ object PdfGridExtractor {
 
     val out = mutable.ArrayBuffer.empty[GridCell]
     var tableIdx = 0
-    // rows per (page, y): first run wins a duplicated (y, x-band)
+    // rows per (page, y): a duplicated (y, x-band) resolves to the
+    // (x, text)-least run (deterministic under any partitioning)
     val byPage = runs.groupBy(_.page).toSeq.sortBy(_._1)
     byPage.foreach { case (page, pageRuns) =>
       // page-global x banding (identity when tol == 0)

@@ -26,6 +26,13 @@ object WebOps {
   val UrlRe = "https?://[^\\s]+" // all whitespace, not just ' ' — a URL at end-of-line must not absorb the next line
   val HostRe = "https?://([^/ ?#]+)"
 
+  /** THE host normalization — lowercase, leading `www.` stripped — used
+    * by every host-keyed op (urlHosts, hostEdges, anchor family,
+    * reputation family, link census). One definition, un-forkable.
+    */
+  def hostOf(c: Column): Column =
+    regexp_replace(lower(regexp_extract(c, HostRe, 1)), "^www\\.", "")
+
   /** Keep thresholds for the repetition gate (x10000 fixed point). The
     * synthetic word-soup draws ~30 vocab words per ~100-word doc, so
     * duplicate-word fractions sit high by construction; the gates are set
@@ -264,7 +271,7 @@ object WebOps {
   def anchorTerms(links: DataFrame): DataFrame =
     links
       .withColumn("host",
-        regexp_replace(lower(regexp_extract(col("href"), HostRe, 1)), "^www\\.", ""))
+        hostOf(col("href")))
       .filter(col("host") =!= "")
       .select(col("host"), col("doc_id"),
         explode(split(lower(col("anchor")), "\\s+")).as("term"))
@@ -285,7 +292,7 @@ object WebOps {
     htmlLinks.withColumn("family", lit("html"))
       .unionByName(mdLinks.withColumn("family", lit("markdown")))
       .withColumn("host",
-        regexp_replace(lower(regexp_extract(col("href"), HostRe, 1)), "^www\\.", ""))
+        hostOf(col("href")))
       .withColumn("host",
         when(col("host") === "", lit("(relative)")).otherwise(col("host")))
       .groupBy(col("host"), col("family"))
@@ -364,7 +371,7 @@ object WebOps {
       .select(col("doc_id"), col("logit"),
         explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
       .withColumn("host",
-        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+        hostOf(col("url")))
       .select(col("doc_id"), col("logit"), col("host")).distinct()
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"), sum(col("logit")).as("sum_logit"))
@@ -387,7 +394,7 @@ object WebOps {
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
       .withColumn("host",
-        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+        hostOf(col("url")))
       .select(col("doc_id"), col("host")).distinct()
     val perDoc = docHosts
       .join(broadcast(bad.withColumn("is_bad", lit(1L))), Seq("host"), "left")
@@ -448,7 +455,7 @@ object WebOps {
         explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
       .withColumn(
         "host",
-        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+        hostOf(col("url")))
       .groupBy(col("host"))
       .agg(
         count(lit(1)).as("n_urls"),

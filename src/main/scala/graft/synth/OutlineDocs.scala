@@ -40,7 +40,7 @@ object OutlineDocs {
   /** Pure builder: (kind, text, expected sections). */
   def build(id: Long): (String, String, Seq[GoldenSection]) =
     if (id % 2 == 0) buildHtml(id)
-    else { val (k, t, g, _) = buildMd(id); (k, t, g) }
+    else { val (k, t, g, _, _) = buildMd(id); (k, t, g) }
 
   private def buildHtml(id: Long): (String, String, Seq[GoldenSection]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GoldenSection]
@@ -91,7 +91,7 @@ object OutlineDocs {
       doc_id: Long, link_idx: Int, href: String, anchor: String)
 
   private def buildMd(id: Long)
-      : (String, String, Seq[GoldenSection], Seq[GoldenSectionBody]) = {
+      : (String, String, Seq[GoldenSection], Seq[GoldenSectionBody], Seq[GoldenMdLink]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GoldenSection]
     val bodies = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -145,27 +145,19 @@ object OutlineDocs {
     lines += s"## $t6"
     sec(2, t6, s"$h1 > $t6")
     body("tail prose")
-    mdLinkCache(id) = links.toSeq
     val goldenBodies = out.toSeq.zip(bodies).map { case (g, b) =>
       GoldenSectionBody(id, g.section_idx, g.path, b.mkString("\n"))
     }
-    ("markdown", lines.mkString("\n"), out.toSeq, goldenBodies)
+    ("markdown", lines.mkString("\n"), out.toSeq, goldenBodies, links.toSeq)
   }
 
   /** Markdown golden bodies by construction (empty for HTML docs). */
   def buildBodies(id: Long): Seq[GoldenSectionBody] =
     if (id % 2 == 0) Seq.empty else buildMd(id)._4
 
-  // links are recorded as a side product of the SAME buildMd pass (the
-  // golden order is the plant order); keyed per doc so builds stay pure
-  // from the caller's view
-  private val mdLinkCache =
-    scala.collection.concurrent.TrieMap.empty[Long, Seq[GoldenMdLink]]
-
   /** Markdown golden links by construction (empty for HTML docs). */
   def buildLinks(id: Long): Seq[GoldenMdLink] =
-    if (id % 2 == 0) Seq.empty
-    else { buildMd(id); mdLinkCache(id) }
+    if (id % 2 == 0) Seq.empty else buildMd(id)._5
 
   /** Distributed raw table: (doc_id, kind, text). */
   def docs(spark: SparkSession, nDocs: Long): DataFrame = {

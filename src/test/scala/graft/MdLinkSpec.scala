@@ -25,6 +25,19 @@ class MdLinkSpec extends AnyFunSuite {
       "![alt](/img.png) then [ref][1] then \\[esc](https://no.example)") == Seq())
   }
 
+  test("badge pattern: image nested in an anchor links to the OUTER url, alt as anchor") {
+    val got = MdLinkExtractor.extract(
+      "[![build status](/badge.png)](https://ci.example/run) and [x](/p)")
+    assert(got == Seq(
+      Link(0, "https://ci.example/run", "build status"),
+      Link(1, "/p", "x")))
+  }
+
+  test("backslash inside a code span is inert; links after the span survive") {
+    val got = MdLinkExtractor.extract("code `\\` then [docs](/ok)")
+    assert(got == Seq(Link(0, "/ok", "docs")))
+  }
+
   test("inline code and fenced blocks never produce links") {
     val got = MdLinkExtractor.extract(
       "code `[no](https://skip)` then [yes](/ok)\n```\n[fenced](https://no)\n```\n[after](/b)")

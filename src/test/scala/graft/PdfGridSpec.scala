@@ -48,6 +48,13 @@ class PdfGridSpec extends AnyFunSuite {
     assert(got.filter(_.tableIdx == 1).map(_.text) == Seq("e", "f", "g", "h"))
   }
 
+  test("a duplicated (y, x-band) resolves to the (x, text)-least run, deterministically") {
+    val got = PdfGridExtractor.extract(
+      "p0 100 10 \"zebra\"\np0 100 10 \"apple\"\np0 300 10 \"b\"\n" +
+        "p0 100 70 \"c\"\np0 300 70 \"d\"")
+    assert(got.find(c => c.rowIdx == 0 && c.colIdx == 0).map(_.text).contains("apple"))
+  }
+
   test("malformed run lines are skipped, never thrown") {
     val got = PdfGridExtractor.extract(
       "garbage\np0 100 10 \"a\"\np0 300 10 \"b\"\npx y\n" +

@@ -916,6 +916,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anchor rollup must not join:\n$p")
   }
 
+  test("polite schedule: all four scalars broadcast; no cartesian over the host frame") {
+    val p = plan(graft.ops.WebOps.politeCrawlSchedule(graft.synth.WebDocs.docs(spark, 40L)))
+    assert(!p.contains("CartesianProduct"),
+      s"scalar attach must be broadcast, not cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"surplus/open-rank/seats rows must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"host frame must not sort-merge:\n$p")
+  }
+
   test("crawl budget: scalars ride as broadcast 1-row crossJoins, never a driver collect") {
     val p = plan(graft.ops.WebOps.crawlBudget(graft.synth.WebDocs.docs(spark, 40L)))
     assert(!p.contains("CartesianProduct"),
