@@ -633,6 +633,11 @@ object SparkEntry {
     // politeness-capped crawl schedule with single-round redistribution
     "q164_polite_schedule" -> ((s, _) =>
       WebOps.politeCrawlSchedule(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // anchor keywords over BOTH markup families (q136 ∪ q151 → q148)
+    "q165_anchor_keywords_all" -> ((s, _) =>
+      WebOps.anchorKeywords(
+        TableOps.links(s, VerifyTableDocs)
+          .unionByName(TableOps.mdLinks(s, VerifyOutlineDocs)))),
     // extraction-catalog SQL surface: all markup/layout outputs as views
     "q163_extraction_summary" -> ((s, _) =>
       SqlSurface.extractionSummary(s, VerifyTableDocs, VerifyOutlineDocs,
@@ -2995,27 +3000,14 @@ object SparkEntry {
          FROM m WHERE turn_idx = mn OR turn_idx > mx - ${ops.TranscriptOps.ContextKeepTail}""",
     // q148: DuckDB re-derives the q139 term rollup from GOLDEN links,
     // then the same whole-bit idf (q86 recipe) and per-host top-K
-    "q148_anchor_keywords" ->
-      s"""WITH l AS (SELECT * FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')),
-         hh AS (SELECT doc_id,
-                 regexp_replace(lower(regexp_extract(href, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host,
-                 anchor FROM l),
-         tt AS (SELECT host, unnest(string_split_regex(lower(anchor), '\\s+')) AS term
-                FROM hh WHERE host <> ''),
-         terms AS (SELECT host, term, count(*) AS tf
-                   FROM tt WHERE term <> '' GROUP BY 1, 2),
-         nh AS (SELECT count(DISTINCT host) AS n_hosts FROM terms),
-         dft AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
-         sc AS (SELECT terms.host, terms.term, terms.tf,
-                  CAST(length(bin((nh.n_hosts * 10000) // dft.df)) - 1 AS BIGINT) AS idf_bits
-                FROM terms JOIN dft USING (term), nh),
-         rk AS (SELECT host, term, tf, idf_bits,
-                  CAST(tf * idf_bits AS BIGINT) AS score,
-                  row_number() OVER (PARTITION BY host
-                    ORDER BY tf * idf_bits DESC, term) AS rn
-                FROM sc)
-         SELECT host, term, tf, idf_bits, score, rn
-         FROM rk WHERE rn <= ${ops.WebOps.AnchorTopK}""",
+    "q148_anchor_keywords" -> anchorKeywordSql(
+      "SELECT doc_id, href, anchor FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')"),
+    // q165: the same ranking over the UNION of both markup families'
+    // golden links
+    "q165_anchor_keywords_all" -> anchorKeywordSql(
+      """SELECT doc_id, href, anchor FROM read_parquet('__SYNTH__/golden_links.parquet/*.parquet')
+         UNION ALL
+         SELECT doc_id, href, anchor FROM read_parquet('__SYNTH__/golden_md_links.parquet/*.parquet')"""),
     // q149: DuckDB evaluates the SAME isqrt fragment and schedule
     // arithmetic over its own per-source token sums
     "q149_epoch_schedule" ->
@@ -3262,6 +3254,31 @@ object SparkEntry {
                         THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
                  FROM p5)
        """
+
+  /** q148/q165 oracle: whole-bit TF-IDF anchor keywords over any golden
+    * link source (the q139 rollup + q86 idf recipe + per-host top-K).
+    */
+  private def anchorKeywordSql(linkSelect: String): String =
+    s"""WITH l AS ($linkSelect),
+       hh AS (SELECT doc_id,
+               regexp_replace(lower(regexp_extract(href, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host,
+               anchor FROM l),
+       tt AS (SELECT host, unnest(string_split_regex(lower(anchor), '\\s+')) AS term
+              FROM hh WHERE host <> ''),
+       terms AS (SELECT host, term, count(*) AS tf
+                 FROM tt WHERE term <> '' GROUP BY 1, 2),
+       nh AS (SELECT count(DISTINCT host) AS n_hosts FROM terms),
+       dft AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+       sc AS (SELECT terms.host, terms.term, terms.tf,
+                CAST(length(bin((nh.n_hosts * 10000) // dft.df)) - 1 AS BIGINT) AS idf_bits
+              FROM terms JOIN dft USING (term), nh),
+       rk AS (SELECT host, term, tf, idf_bits,
+                CAST(tf * idf_bits AS BIGINT) AS score,
+                row_number() OVER (PARTITION BY host
+                  ORDER BY tf * idf_bits DESC, term) AS rn
+              FROM sc)
+       SELECT host, term, tf, idf_bits, score, rn
+       FROM rk WHERE rn <= ${ops.WebOps.AnchorTopK}"""
 
   /** Shared q144/q164 oracle prefix: the full PageRank CTE chain (q85)
     * + Hamilton apportionment, ending in `ham(host, rank_x1e12, base,
