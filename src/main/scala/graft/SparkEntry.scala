@@ -652,7 +652,14 @@ object SparkEntry {
           sum(when(col("failure").isNotNull, 1L).otherwise(0L)).as("n_failures"),
           sum(length(col("extracted_text")).cast("long")).as("sum_chars"),
           count_distinct(col("failure")).as("n_failure_classes"))
-        .withColumn("mean_chars_x100", expr("(sum_chars * 100) div n_turns")))
+        .withColumn("mean_chars_x100", expr("(sum_chars * 100) div n_turns"))),
+    // CCNet head/middle/tail: per-language surprise terciles by VALUE
+    // thresholds off a (lang, surprise) histogram — no corpus-wide window
+    "q166_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(s, d)),
+    // SemDeDup: within-IVF-cell cosine pruning, keep-farthest-from-
+    // centroid — the semantic tier of the dedup stack (exact q20 →
+    // near-dup q21-q24 → semantic q167)
+    "q167_semdedup" -> ((s, d) => DedupOps.semDedup(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -725,6 +732,34 @@ object SparkEntry {
          CAST(floor(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) * 1000.0
                     / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS stopword_x1000
        FROM documents"""
+
+  /** Shared CTE chain for the q75/q166 oracles — trains the clean-subset
+    * unigram LM and aggregates per-doc whole-bit surprise, exactly the
+    * `TextOps.lmSurprise` recipe. ONE definition so the CCNet bucket
+    * oracle can never drift from the surprise oracle it terciles.
+    */
+  private val lmSurpriseAggSql =
+    s"""feat AS ($qualityFeatureSql),
+         train AS (SELECT d.doc_id, d.text FROM documents d JOIN feat f USING (doc_id)
+                   WHERE (f.n_tokens BETWEEN 10 AND 100000)
+                     AND (f.mean_wordlen_x100 BETWEEN 150 AND 1200)),
+         tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+                 FROM train),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_total FROM c),
+         v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT ${ops.TextOps.LmVocabSize}),
+         sm AS (SELECT v.token,
+                       CAST(length(bin(t.n_total)) - length(bin(CAST(v.cnt AS BIGINT))) AS BIGINT) AS surprise
+                FROM v, tot t),
+         alltok AS (SELECT doc_id,
+                           unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+                    FROM documents),
+         scored AS (SELECT a.doc_id,
+                           coalesce(sm.surprise, (SELECT length(bin(n_total)) - 1 FROM tot)) AS s
+                    FROM alltok a LEFT JOIN sm USING (token)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(sum(s) AS BIGINT) AS surprise_bits
+                 FROM scored GROUP BY 1)"""
 
   /** x^n at x10000 scale as unrolled SQL — the oracle twin of
     * `SimilarityOps.fxPow`'s left-fold (p*x // 10000, n times; n=0 is the
@@ -1746,27 +1781,7 @@ object SparkEntry {
     // broadcast-map fold). bits(x) = floor(log2 x) = length(bin(x)) - 1;
     // both engines' binary strings are unpadded, so the log is exact.
     "q75_lm_surprise" ->
-      s"""WITH feat AS ($qualityFeatureSql),
-         train AS (SELECT d.doc_id, d.text FROM documents d JOIN feat f USING (doc_id)
-                   WHERE (f.n_tokens BETWEEN 10 AND 100000)
-                     AND (f.mean_wordlen_x100 BETWEEN 150 AND 1200)),
-         tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
-                 FROM train),
-         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
-         tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_total FROM c),
-         v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT ${ops.TextOps.LmVocabSize}),
-         sm AS (SELECT v.token,
-                       CAST(length(bin(t.n_total)) - length(bin(CAST(v.cnt AS BIGINT))) AS BIGINT) AS surprise
-                FROM v, tot t),
-         alltok AS (SELECT doc_id,
-                           unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
-                    FROM documents),
-         scored AS (SELECT a.doc_id,
-                           coalesce(sm.surprise, (SELECT length(bin(n_total)) - 1 FROM tot)) AS s
-                    FROM alltok a LEFT JOIN sm USING (token)),
-         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                        CAST(sum(s) AS BIGINT) AS surprise_bits
-                 FROM scored GROUP BY 1)
+      s"""WITH $lmSurpriseAggSql
          SELECT doc_id, n_tokens, surprise_bits, mean_surprise_x100,
                 n_tokens > 0 AND mean_surprise_x100 <= ${ops.TextOps.LmSurpriseThresholdX100} AS lm_pass
          FROM (SELECT d.doc_id,
@@ -1775,6 +1790,55 @@ object SparkEntry {
                       CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
                            ELSE a.surprise_bits * 100 // a.n_tokens END AS BIGINT) AS mean_surprise_x100
                FROM documents d LEFT JOIN agg a USING (doc_id)) t""",
+    // q166: DuckDB re-derives the q75 surprise chain, collapses it to the
+    // same (lang, surprise) histogram, takes the identical cum*3 >= n
+    // value thresholds, and re-buckets every doc
+    "q166_ccnet_buckets" ->
+      s"""WITH $lmSurpriseAggSql,
+         s AS (SELECT d.doc_id, d.lang,
+                      CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+                           ELSE a.surprise_bits * 100 // a.n_tokens END AS BIGINT) AS mean_surprise_x100
+               FROM documents d LEFT JOIN agg a USING (doc_id)),
+         h AS (SELECT lang, mean_surprise_x100, count(*) AS cnt FROM s GROUP BY 1, 2),
+         cum AS (SELECT lang, mean_surprise_x100,
+                        sum(cnt) OVER (PARTITION BY lang ORDER BY mean_surprise_x100 ASC
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                        sum(cnt) OVER (PARTITION BY lang) AS n
+                 FROM h),
+         th AS (SELECT lang,
+                       CAST(min(CASE WHEN cum * 3 >= n THEN mean_surprise_x100 END) AS BIGINT) AS head_max_x100,
+                       CAST(min(CASE WHEN cum * 3 >= n * 2 THEN mean_surprise_x100 END) AS BIGINT) AS middle_max_x100
+                FROM cum GROUP BY 1)
+         SELECT s.doc_id, s.lang, s.mean_surprise_x100,
+                th.head_max_x100, th.middle_max_x100,
+                CASE WHEN s.mean_surprise_x100 <= th.head_max_x100 THEN 'head'
+                     WHEN s.mean_surprise_x100 <= th.middle_max_x100 THEN 'middle'
+                     ELSE 'tail' END AS ccnet_bucket
+         FROM s JOIN th USING (lang)""",
+    // q167: DuckDB re-derives cell assignment from the materialized
+    // centroids (the q54 recipe), scores within-cell cosine pairs, and
+    // applies the same keep-farthest-from-centroid domination rule
+    "q167_semdedup" ->
+      s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+                    FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS MATERIALIZED (SELECT vec_id,
+                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         w AS MATERIALIZED (SELECT a.vec_id, a.cell, e.v,
+                  CAST(floor(list_cosine_similarity(e.v, c.cv) * 10000) AS BIGINT) AS cc
+               FROM a JOIN e USING (vec_id) JOIN c ON a.cell = c.cell),
+         p AS (SELECT x.vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+                  max(CASE WHEN y.cc < x.cc OR (y.cc = x.cc AND y.vec_id < x.vec_id)
+                      THEN 1 ELSE 0 END) AS dominated
+               FROM w x JOIN w y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+               WHERE CAST(floor(list_cosine_similarity(x.v, y.v) * 10000) AS BIGINT)
+                     >= ${ops.DedupOps.VerifyEmbDupThresholdX10000}
+               GROUP BY x.vec_id)
+         SELECT w.vec_id, w.cell, w.cc AS cent_cos_x10000,
+                CAST(coalesce(p.n_dups, 0) AS BIGINT) AS n_dups,
+                coalesce(p.dominated, 0) = 0 AS kept
+         FROM w LEFT JOIN p USING (vec_id)""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -410,4 +410,55 @@ object DedupOps {
     */
   val VerifyEmbDupThresholdX10000 = 4500
   val VerifyEmbDupPlanes = 6
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup inside the IVF coarse
+    * cells — k-means-cluster the embeddings, score pairwise cosine ONLY
+    * within a cluster, and among semantic duplicates keep the vector
+    * FARTHEST from its centroid (the paper's keep-low-centroid-similarity
+    * rule: cluster-typical text is the redundant kind). One pass, exact:
+    * v is pruned iff some same-cell u with cos(u,v) >= tau precedes it in
+    * the (cent_cos asc, vec_id asc) keep order. Chains longer than one
+    * hop are NOT followed (u prunes v even if u is itself pruned) — the
+    * documented one-pass variant; the q70 exact-before-near composition
+    * is the place transitive collapse happens.
+    *
+    * Scale shape: reuses the q54 learned centroids (broadcast, nList
+    * rows); the only corpus-wide exchanges are the cell equi-join's two
+    * sides — within-cell pairing is the SemDeDup contract itself, and
+    * cell count grows with the corpus so cell width stays bounded (the
+    * paper runs 50k clusters at web scale). The verdict join back onto
+    * the corpus carries (vec_id, two small ints), never embeddings.
+    */
+  def semDedup(
+      spark: SparkSession, dir: String,
+      tauX10000: Long = VerifyEmbDupThresholdX10000.toLong): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val centroids = SimilarityOps.ivfCentroids(spark, dir)
+    val withCent = SimilarityOps.assignCells(vecs, centroids)
+      .join(vecs, "vec_id")
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        expr("graft_cosine_x10000(embedding, centroid)").as("cent_cos_x10000"))
+    val other = withCent.select(col("cell"), col("vec_id").as("o_id"),
+      col("embedding").as("o_emb"), col("cent_cos_x10000").as("o_cc"))
+    val dupEdges = withCent
+      .join(other, Seq("cell"))
+      .filter(col("vec_id") =!= col("o_id"))
+      .withColumn("cos_x10000", expr("graft_cosine_x10000(embedding, o_emb)"))
+      .filter(col("cos_x10000") >= tauX10000)
+    val verdict = dupEdges
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        max(when(col("o_cc") < col("cent_cos_x10000")
+          || (col("o_cc") === col("cent_cos_x10000") && col("o_id") < col("vec_id")),
+          1L).otherwise(0L)).as("dominated"))
+    withCent
+      .select(col("vec_id"), col("cell"), col("cent_cos_x10000"))
+      .join(verdict, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_cos_x10000"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("dominated"), lit(0L)) === 0L).as("kept"))
+  }
 }

@@ -185,7 +185,8 @@ object TextOps {
       spark: SparkSession,
       dir: String,
       vocabSize: Int = LmVocabSize,
-      thresholdX100: Long = LmSurpriseThresholdX100): DataFrame = {
+      thresholdX100: Long = LmSurpriseThresholdX100,
+      carry: Seq[String] = Nil): DataFrame = {
     val docs = table(spark, dir, "documents")
     def bits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (length(conv(c, 10, 2)) - 1).cast("long")
@@ -202,23 +203,68 @@ object TextOps {
       .crossJoin(broadcast(total))
       .select(col("token"), (bits(col("n_total")) - bits(col("cnt"))).as("surprise"))
       .agg(map_from_entries(collect_list(struct(col("token"), col("surprise")))).as("smap"))
+    val carryCols = carry.map(col)
     docs
-      .select(col("doc_id"), filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("words"))
+      .select(col("doc_id") +: carryCols :+
+        filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("words"): _*)
       .crossJoin(broadcast(smap))
       .crossJoin(broadcast(total.select(bits(col("n_total")).as("oov_surprise"))))
-      .select(
-        col("doc_id"),
-        size(col("words")).cast("long").as("n_tokens"),
+      .select(col("doc_id") +: carryCols :+
+        size(col("words")).cast("long").as("n_tokens") :+
         aggregate(
           transform(col("words"), w => coalesce(element_at(col("smap"), w), col("oov_surprise"))),
-          lit(0L), (a, x) => a + x).as("surprise_bits"))
-      .select(
-        col("doc_id"), col("n_tokens"), col("surprise_bits"),
+          lit(0L), (a, x) => a + x).as("surprise_bits"): _*)
+      .select(col("doc_id") +: carryCols :+ col("n_tokens") :+ col("surprise_bits") :+
         when(col("n_tokens") === 0L, lit(0L))
-          .otherwise(expr("surprise_bits * 100 div n_tokens")).as("mean_surprise_x100"))
+          .otherwise(expr("surprise_bits * 100 div n_tokens")).as("mean_surprise_x100"): _*)
       .withColumn(
         "lm_pass",
         col("n_tokens") > 0L && col("mean_surprise_x100") <= thresholdX100)
+  }
+
+  /** CCNet's head/middle/tail split: per-language perplexity terciles of
+    * the q75 surprise score (CCNet buckets the crawl by Wikipedia-LM
+    * perplexity thirds and trains preferentially on the head). Buckets
+    * are assigned by VALUE thresholds — t_head = smallest surprise v with
+    * cum(v)*3 >= n, t_middle likewise at 2n/3 — so tied scores always
+    * share a bucket and the assignment is engine-order-independent
+    * (bucket sizes are exact thirds only up to ties, documented here).
+    *
+    * Scale shape: no corpus-wide window anywhere — the corpus collapses
+    * to a (lang, surprise) histogram first (bounded by langs x the small
+    * integer surprise domain, NOT by rows); the cumulative threshold scan
+    * runs on that histogram; thresholds broadcast back onto the scored
+    * frame. A per-lang rank window would put whole languages on single
+    * partitions at 100 TB; the histogram path shuffles only counts.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // carry lang through the scoring projection — a post-hoc doc_id join
+    // back to `documents` would be a corpus-wide shuffle for one column
+    val scored = lmSurprise(spark, dir, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_surprise_x100"))
+    val hist = scored
+      .groupBy(col("lang"), col("mean_surprise_x100"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_surprise_x100").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("mean_surprise_x100")))
+          .as("head_max_x100"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("mean_surprise_x100")))
+          .as("middle_max_x100"))
+    scored
+      .join(broadcast(th), Seq("lang"))
+      .select(
+        col("doc_id"), col("lang"), col("mean_surprise_x100"),
+        col("head_max_x100"), col("middle_max_x100"),
+        when(col("mean_surprise_x100") <= col("head_max_x100"), lit("head"))
+          .when(col("mean_surprise_x100") <= col("middle_max_x100"), lit("middle"))
+          .otherwise(lit("tail")).as("ccnet_bucket"))
   }
 
   private val langStopwords: Seq[(String, String)] = Seq(

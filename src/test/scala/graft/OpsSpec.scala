@@ -998,6 +998,51 @@ class OpsSpec extends AnyFunSuite {
       s"threshold must genuinely split the corpus, passed $passes/${got.length}")
   }
 
+  test("ccnet buckets: value-threshold terciles match a local recompute; ties share buckets") {
+    import spark.implicits._
+    val lang = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val surprise = TextOps.lmSurprise(spark, dir)
+      .select($"doc_id", $"mean_surprise_x100").as[(Long, Long)].collect()
+    val sMap = surprise.toMap
+    val byLang = surprise.groupBy { case (id, _) => lang(id) }
+    // local twin of the histogram threshold scan: t_head = smallest value
+    // whose cumulative count reaches n/3 (ceil), t_middle at 2n/3
+    val th = byLang.map { case (lg, rows) =>
+      val n = rows.length.toLong
+      val hist = rows.map(_._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      var tHead = Option.empty[Long]; var tMid = Option.empty[Long]
+      hist.foreach { case (v, c) =>
+        cum += c
+        if (tHead.isEmpty && cum * 3 >= n) tHead = Some(v)
+        if (tMid.isEmpty && cum * 3 >= n * 2) tMid = Some(v)
+      }
+      lg -> ((tHead.get, tMid.get))
+    }
+    val got = TextOps.ccnetBuckets(spark, dir)
+      .select($"doc_id", $"lang", $"mean_surprise_x100",
+        $"head_max_x100", $"middle_max_x100", $"ccnet_bucket")
+      .as[(Long, String, Long, Long, Long, String)].collect()
+    assert(got.length == surprise.length)
+    got.foreach { case (id, lg, m, hm, mm, b) =>
+      assert(lg == lang(id) && m == sMap(id), s"doc $id")
+      val (t1, t2) = th(lg)
+      assert((hm, mm) == (t1, t2), s"thresholds for $lg: got ($hm,$mm) want ($t1,$t2)")
+      val expect = if (m <= t1) "head" else if (m <= t2) "middle" else "tail"
+      assert(b == expect, s"doc $id bucket")
+    }
+    val dist = got.groupBy(_._6).view.mapValues(_.length).toMap
+    assert(dist.keySet == Set("head", "middle", "tail"),
+      s"all three buckets must be inhabited at verify scale: $dist")
+    // head holds at least its tercile by construction (ties only inflate)
+    byLang.foreach { case (lg, rows) =>
+      val heads = got.count(r => r._2 == lg && r._6 == "head")
+      assert(heads * 3 >= rows.length, s"$lg head tercile too small: $heads/${rows.length}")
+    }
+  }
+
   test("kmv set overlap: sketch algebra equals local recompute; estimator and audit agree") {
     import spark.implicits._
     val k = RelationalOps.KmvK

@@ -418,6 +418,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(corpusExchanges == 0, s"lmSurprise shuffles the corpus:\n$p")
   }
 
+  test("semDedup: within-cell pairing joins on the cell key; never an all-pairs corpus join") {
+    val p = plan(graft.ops.DedupOps.semDedup(spark, dir))
+    // the only nested-loop joins are the broadcast centroid fan-outs
+    // (assignCells / cent-cos scoring); corpus x corpus must equi-join on
+    // the cell id, never a CartesianProduct
+    assert(!p.contains("CartesianProduct"), s"corpus-side cartesian:\n$p")
+    assert("hashpartitioning\\(cell".r.findFirstIn(p).isDefined
+      || "SortMergeJoin \\[cell".r.findFirstIn(p).isDefined,
+      s"within-cell pairing lost the cell equi-join:\n$p")
+  }
+
+  test("ccnet buckets: histogram thresholds broadcast back; corpus never shuffles") {
+    val p = plan(graft.ops.TextOps.ccnetBuckets(spark, dir))
+    // thresholds (langs rows) must broadcast onto the scored corpus
+    assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"threshold join fell back to SMJ:\n$p")
+    // lang-keyed exchanges may only carry the (lang, surprise) HISTOGRAM
+    // (one for the partial-agg'd counts feeding the cum window) — the
+    // scored corpus itself must never be hash-partitioned by doc or lang
+    val docExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(docExchanges == 0, s"ccnetBuckets shuffles the corpus:\n$p")
+  }
+
   test("SFT pairs: conv-partitioned window, never a global (empty-key) window") {
     val p = plan(graft.ops.TrainingOps.sftPairs(
       spark, graft.synth.SynthDataset.turns(spark, 100L)))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{SimilarityOps, TrainingOps}
+import graft.ops.{DedupOps, SimilarityOps, TrainingOps}
 import graft.text.TextAlgos
 import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
@@ -549,6 +549,39 @@ class TrainingIvfSpec extends AnyFunSuite {
     assert(got == ((nDocs, total,
       docs.map(_._1).distinct.length.toLong, docs.map(_._2).distinct.length.toLong,
       nDistinct, (nDocs - nDistinct) * 10000L / nDocs, total * 100L / nDocs)))
+  }
+
+  test("semDedup: within-cell domination matches local recompute; pruning genuinely fires") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cents = localCentroids(vecs, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents)
+    val cc = vecs.map { case (id, v) =>
+      id -> math.floor(TextAlgos.cosine(v, cents(assign(id))) * 10000).toLong
+    }.toMap
+    val tau = DedupOps.VerifyEmbDupThresholdX10000.toLong
+    val expected = vecs.map { case (id, v) =>
+      val mates = vecs.filter { case (oid, ov) =>
+        oid != id && assign(oid) == assign(id) &&
+          math.floor(TextAlgos.cosine(v, ov) * 10000).toLong >= tau
+      }
+      val dominated = mates.exists { case (oid, _) =>
+        cc(oid) < cc(id) || (cc(oid) == cc(id) && oid < id)
+      }
+      (id, assign(id), cc(id), mates.length.toLong, !dominated)
+    }.toSet
+    val got = DedupOps.semDedup(spark, dir)
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSet
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    val pruned = got.count(!_._5)
+    assert(pruned > 0 && pruned < got.size,
+      s"semantic pruning must genuinely fire at verify scale: $pruned/${got.size}")
+    // one-pass keep rule: in every cell with duplicates, at least one
+    // member survives (the domination order has a unique minimum)
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      if (rows.exists(_._4 > 0)) assert(rows.exists(_._5), s"cell $cell lost every member")
+    }
   }
 
   test("clusterBalancedSample: gate math exact over the (q54-proven) cell assignment") {
