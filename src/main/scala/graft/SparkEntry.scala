@@ -659,7 +659,10 @@ object SparkEntry {
     // SemDeDup: within-IVF-cell cosine pruning, keep-farthest-from-
     // centroid — the semantic tier of the dedup stack (exact q20 →
     // near-dup q21-q24 → semantic q167)
-    "q167_semdedup" -> ((s, d) => DedupOps.semDedup(s, d))
+    "q167_semdedup" -> ((s, d) => DedupOps.semDedup(s, d)),
+    // HyperLogLog distinct sketch, fully oracled: integer register math,
+    // no up-front distinct (max-aggregate registers) — q97's KMV twin
+    "q168_hll_distinct" -> ((s, d) => RelationalOps.hllDistinct(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1839,6 +1842,34 @@ object SparkEntry {
                 CAST(coalesce(p.n_dups, 0) AS BIGINT) AS n_dups,
                 coalesce(p.dominated, 0) = 0 AS kept
          FROM w LEFT JOIN p USING (vec_id)""",
+    // q168: DuckDB rebuilds every HLL register from the same sha-prefix
+    // layout (8 bucket bits, 52 value bits, unpadded bin() for rho) and
+    // the same x2^20 integer harmonic sum — state AND estimate bit-equal
+    "q168_hll_distinct" ->
+      s"""WITH u AS (SELECT event_type, sha256(CAST(user_id AS VARCHAR)) AS hx
+                    FROM events WHERE user_id IS NOT NULL),
+         hh AS (SELECT event_type,
+                       CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS bucket,
+                       CAST('0x' || substr(hx, 3, 13) AS BIGINT) AS v FROM u),
+         r AS (SELECT event_type, bucket,
+                      max(CASE WHEN v = 0 THEN 53
+                          ELSE 53 - length(bin(v)) END) AS rho
+               FROM hh GROUP BY 1, 2),
+         a AS (SELECT event_type,
+                      CAST(count(*) AS BIGINT) AS n_registers_hit,
+                      CAST(sum(rho) AS BIGINT) AS sum_rho,
+                      CAST(sum(1048576 // (CAST(1 AS BIGINT) << rho)) AS BIGINT)
+                        + (${ops.RelationalOps.HllM} - count(*)) * 1048576 AS denom_x2p20,
+                      sha256(array_to_string(list(bucket || ':' || rho ORDER BY bucket ASC), ',')) AS registers_sha
+               FROM r GROUP BY 1),
+         x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         SELECT a.event_type, n_registers_hit, sum_rho,
+                CAST(denom_x2p20 AS BIGINT) AS denom_x2p20,
+                CAST((CAST(${ops.RelationalOps.HllAlphaX10000} AS BIGINT) * ${ops.RelationalOps.HllM} * ${ops.RelationalOps.HllM} * 1048576)
+                     // (10000 * denom_x2p20) AS BIGINT) AS est_hll,
+                n_exact, registers_sha
+         FROM a JOIN x USING (event_type)""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

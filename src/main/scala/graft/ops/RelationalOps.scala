@@ -480,6 +480,70 @@ object RelationalOps {
     } finally hashed.unpersist(blocking = false)
   }
 
+  /** HLL precision: p=8 -> m=256 registers per group. */
+  val HllM = 256
+
+  /** alpha_256 x10000 = round(0.7213/(1 + 1.079/256) * 10000). */
+  val HllAlphaX10000 = 7183L
+
+  /** HyperLogLog distinct-user sketch per event_type — the OTHER
+    * mergeable distinct sketch, with every float exorcised so the whole
+    * state and estimate are DuckDB-oracled like q97's KMV (the q97 doc
+    * calls HLL out as the non-reproducible alternative; with a fixed
+    * sha-prefix hash and integer register math that objection falls).
+    * Layout: bucket = first 8 hash bits, v = next 52; rho = leading
+    * zeros of v within 52 bits + 1 = 53 - bitlen(v) (bin() is unpadded
+    * in both engines; v=0 -> 53). Register = max rho per bucket.
+    * Estimator: alpha*m^2 / sum(2^-rho) computed exactly at x2^20 scale
+    * — each term 2^20 div 2^rho is exact integer floor (terms with
+    * rho>20 truncate to 0, deterministically in both engines), empty
+    * registers contribute 2^20 each, and the final division is integer.
+    * No small/large-range correction (documented; n_exact calibrates).
+    *
+    * Scale shape: registers are max-aggregates — duplicates need NO
+    * up-front distinct (the operational win over KMV's distinct-then-
+    * trim): the corpus collapses map-side to <= m rows per (type,
+    * bucket) partial max, the final agg touches m rows per type, and
+    * sketches merge across shards by the same max. The exact distinct
+    * audit column is the only full-width shuffle, kept for calibration
+    * exactly like kmvSetOverlap's n_true.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").filter(col("user_id").isNotNull)
+    val regs = ev
+      .select(col("event_type"), sha2(col("user_id").cast("string"), 256).as("hx"))
+      .select(col("event_type"),
+        conv(substring(col("hx"), 1, 2), 16, 10).cast("long").as("bucket"),
+        conv(substring(col("hx"), 3, 13), 16, 10).cast("long").as("v"))
+      .withColumn("rho",
+        when(col("v") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("v"))).cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val sketch = regs
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_registers_hit"),
+        sum(col("rho")).as("sum_rho"),
+        sum(expr("1048576L div shiftleft(1L, cast(rho as int))")).as("hit_denom"),
+        sha2(array_join(
+          transform(
+            sort_array(collect_list(struct(col("bucket"), col("rho")))),
+            s => concat(s.getField("bucket").cast("string"), lit(":"),
+              s.getField("rho").cast("string"))), ","), 256).as("registers_sha"))
+      .withColumn("denom_x2p20",
+        col("hit_denom") + (lit(HllM.toLong) - col("n_registers_hit")) * lit(1048576L))
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    sketch.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_registers_hit"), col("sum_rho"),
+        col("denom_x2p20"),
+        expr(s"($HllAlphaX10000 * ${HllM}L * ${HllM}L * 1048576L)" +
+          " div (10000L * denom_x2p20)").as("est_hll"),
+        col("n_exact"), col("registers_sha"))
+  }
+
   /** A5/J4: per-group argmin via min_by — nearest-neighbor distance shape
     * (ref: signature_detect.py:96-108 best-match per detected signature).
     * Here: cheapest supplier-part pairing per brand by retail price.

@@ -1043,6 +1043,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hll distinct: registers, harmonic denom and estimate match a local recompute") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .select("event_type", "user_id").as[(String, Long)].collect()
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val regs = scala.collection.mutable.Map[Long, Long]()
+      rows.foreach { case (_, u) =>
+        val h = sha256Hex(u.toString)
+        val bucket = java.lang.Long.parseLong(h.substring(0, 2), 16)
+        val v = java.lang.Long.parseLong(h.substring(2, 15), 16)
+        val rho = if (v == 0L) 53L else 53L - (64L - java.lang.Long.numberOfLeadingZeros(v))
+        regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rho)
+      }
+      val denom = regs.values.map(r => 1048576L / (1L << r)).sum +
+        (RelationalOps.HllM - regs.size) * 1048576L
+      val est = (RelationalOps.HllAlphaX10000 * RelationalOps.HllM * RelationalOps.HllM *
+        1048576L) / (10000L * denom)
+      val sha = sha256Hex(
+        regs.toSeq.sortBy(_._1).map { case (b, r) => s"$b:$r" }.mkString(","))
+      t -> ((regs.size.toLong, regs.values.sum, denom, est,
+        rows.map(_._2).distinct.length.toLong, sha))
+    }
+    val got = RelationalOps.hllDistinct(spark, dir)
+      .select($"event_type", $"n_registers_hit", $"sum_rho", $"denom_x2p20",
+        $"est_hll", $"n_exact", $"registers_sha")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (t, hit, sr, dn, est, nx, sha) =>
+      assert((hit, sr, dn, est, nx, sha) == expected(t), s"type $t")
+      // m=256 gives ~6.5% standard error; a loose 25% envelope catches a
+      // wrong alpha/denominator while tolerating sketch noise
+      if (nx >= 100)
+        assert(math.abs(est - nx) * 100 <= 25 * nx, s"type $t estimate $est vs exact $nx")
+    }
+  }
+
   test("kmv set overlap: sketch algebra equals local recompute; estimator and audit agree") {
     import spark.implicits._
     val k = RelationalOps.KmvK

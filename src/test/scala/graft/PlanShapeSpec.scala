@@ -429,6 +429,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"within-cell pairing lost the cell equi-join:\n$p")
   }
 
+  test("hll sketch: registers partial-max map-side; no up-front distinct of the stream") {
+    val p = plan(graft.ops.RelationalOps.hllDistinct(spark, dir))
+    // the register agg must combine map-side (the mergeable-sketch
+    // property in plan form): a partial max before the exchange
+    assert(p.contains("partial_max"), s"no map-side register combine:\n$p")
+    // HLL needs no distinct-then-trim: the only window-free aggregation
+    // path means no WindowGroupLimit / row_number trim appears
+    assert(!p.contains("WindowGroupLimit") && !p.contains("row_number"),
+      s"HLL path should not rank-trim like KMV:\n$p")
+  }
+
   test("ccnet buckets: histogram thresholds broadcast back; corpus never shuffles") {
     val p = plan(graft.ops.TextOps.ccnetBuckets(spark, dir))
     // thresholds (langs rows) must broadcast onto the scored corpus
