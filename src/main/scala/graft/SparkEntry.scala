@@ -662,7 +662,10 @@ object SparkEntry {
     "q167_semdedup" -> ((s, d) => DedupOps.semDedup(s, d)),
     // HyperLogLog distinct sketch, fully oracled: integer register math,
     // no up-front distinct (max-aggregate registers) — q97's KMV twin
-    "q168_hll_distinct" -> ((s, d) => RelationalOps.hllDistinct(s, d))
+    "q168_hll_distinct" -> ((s, d) => RelationalOps.hllDistinct(s, d)),
+    // bucketed co-located join: both sides bucket-laid-out on the join
+    // key once, then SMJ with ZERO exchanges (plan-asserted)
+    "q169_bucketed_join" -> ((s, d) => RelationalOps.bucketedColocatedJoin(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1870,6 +1873,11 @@ object SparkEntry {
                      // (10000 * denom_x2p20) AS BIGINT) AS est_hll,
                 n_exact, registers_sha
          FROM a JOIN x USING (event_type)""",
+    // q169: the layout is engine-private; the RESULT is a plain
+    // equi-join DuckDB reproduces directly
+    "q169_bucketed_join" ->
+      """SELECT d.doc_id, d.lang, CAST(len(e.embedding) AS INTEGER) AS n_dims
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

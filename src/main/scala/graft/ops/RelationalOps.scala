@@ -480,6 +480,42 @@ object RelationalOps {
     } finally hashed.unpersist(blocking = false)
   }
 
+  /** Bucket count for the co-located join demo (tiny at verify scale;
+    * the 100 TB knob is buckets ~ corpus/target-partition-size). */
+  val ColocBuckets = 8
+
+  /** Bucketed co-located join: both sides written ONCE as bucketed
+    * tables on the join key, then equi-joined with ZERO exchanges — the
+    * storage-layout answer to a repeated big x big join that would
+    * otherwise shuffle both corpora every run. At 100 TB this is the
+    * difference between an every-query 2x-corpus shuffle and a one-time
+    * layout cost amortized over every downstream join on the same key
+    * (Spark reads one partition per bucket; matching bucketing on both
+    * sides makes the SMJ exchange-free; `hint("merge")` pins SMJ so the
+    * verify-scale tables don't degenerate into a broadcast that would
+    * hide the property being demonstrated). Sort may still appear when
+    * a bucket spans multiple files — sorting is per-partition and
+    * narrow; the EXCHANGE absence is the scale property, plan-asserted.
+    */
+  def bucketedColocatedJoin(
+      spark: SparkSession, dir: String, nBuckets: Int = ColocBuckets): DataFrame = {
+    // table names and path carry an input tag so distinct sf dirs never
+    // alias; overwrite keeps the layout fresh for the current input
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val base = s"/tmp/graft_bucketed/${tag}_$nBuckets"
+    val docsName = s"graft_docs_bkt_$tag"
+    val embsName = s"graft_embs_bkt_$tag"
+    table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .write.bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$base/docs").mode("overwrite").saveAsTable(docsName)
+    table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .write.bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$base/embs").mode("overwrite").saveAsTable(embsName)
+    spark.table(docsName).hint("merge")
+      .join(spark.table(embsName), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), size(col("embedding")).as("n_dims"))
+  }
+
   /** HLL precision: p=8 -> m=256 registers per group. */
   val HllM = 256
 

@@ -1043,6 +1043,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed co-located join equals the plain join; layout is invisible to semantics") {
+    import spark.implicits._
+    val got = RelationalOps.bucketedColocatedJoin(spark, dir)
+      .as[(Long, String, Int)].collect().toSet
+    val plain = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .join(spark.read.parquet(s"$dir/embeddings.parquet"),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.size(col("embedding")).as("n_dims"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == plain, s"${got.size} vs ${plain.size}")
+    assert(got.nonEmpty, "the doc/embedding id domains must actually overlap")
+  }
+
   test("hll distinct: registers, harmonic denom and estimate match a local recompute") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$dir/events.parquet")

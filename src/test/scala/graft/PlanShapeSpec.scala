@@ -429,6 +429,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"within-cell pairing lost the cell equi-join:\n$p")
   }
 
+  test("bucketed co-located join: zero exchanges — the layout replaces the shuffle") {
+    val p = plan(graft.ops.RelationalOps.bucketedColocatedJoin(spark, dir))
+    assert(p.contains("SortMergeJoin"), s"co-located join must SMJ:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed-on-key sides must join with zero exchanges:\n$p")
+  }
+
   test("hll sketch: registers partial-max map-side; no up-front distinct of the stream") {
     val p = plan(graft.ops.RelationalOps.hllDistinct(spark, dir))
     // the register agg must combine map-side (the mergeable-sketch
