@@ -665,7 +665,10 @@ object SparkEntry {
     "q168_hll_distinct" -> ((s, d) => RelationalOps.hllDistinct(s, d)),
     // bucketed co-located join: both sides bucket-laid-out on the join
     // key once, then SMJ with ZERO exchanges (plan-asserted)
-    "q169_bucketed_join" -> ((s, d) => RelationalOps.bucketedColocatedJoin(s, d))
+    "q169_bucketed_join" -> ((s, d) => RelationalOps.bucketedColocatedJoin(s, d)),
+    // ANN ranking quality: DCG/nDCG@k + MRR per tier vs the brute-force
+    // order — position-aware where q59's recall is set-overlap-only
+    "q170_ann_ranking" -> ((s, d) => SimilarityOps.annRanking(s, d))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -850,6 +853,56 @@ object SparkEntry {
     * cost of the q26/q59/q74 oracles: 100-250 s each; materialized they
     * run in under a second).
     */
+  /** Shared CTE chain rebuilding all three ANN tiers' top-k WITH ranks
+    * (exact brute, tuned LSH, IVF) — ONE definition feeding the q59
+    * recall and q170 ranking oracles so the tier derivations cannot
+    * drift between them.
+    */
+  private def annTierCtes: String =
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < ${ops.SimilarityOps.NQueries}),
+         xs AS MATERIALIZED (SELECT q.query_id, e.vec_id AS neighbor_id,
+                       CAST(floor(list_cosine_similarity(q.qv, e.v) * 10000) AS BIGINT) AS cosine_x10000
+                FROM q JOIN e ON e.vec_id <> q.query_id),
+         exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+             FROM xs) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
+         $lshCandidateCtes,
+         ls AS MATERIALIZED (SELECT c.query_id, c.neighbor_id,
+                       CAST(floor(list_cosine_similarity(q.v, n.v) * 10000) AS BIGINT) AS cosine_x10000
+                FROM lcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
+         lsh AS MATERIALIZED (SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+             FROM ls) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
+         c AS MATERIALIZED (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+               FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         a AS MATERIALIZED (SELECT vec_id,
+                      first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         idx AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
+         p AS MATERIALIZED (SELECT query_id, qv, cell FROM (
+                 SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
+                 FROM e CROSS JOIN c WHERE e.vec_id < ${ops.SimilarityOps.NQueries}) z
+                 WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
+         ivs AS MATERIALIZED (SELECT p.query_id, idx.vec_id AS neighbor_id,
+                        CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
+                 FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id),
+         ivf AS MATERIALIZED (SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+             FROM ivs) t WHERE rank <= ${ops.SimilarityOps.DefaultK})"""
+
+  /** The fixed nDCG discount table as a SQL CASE over a rank column —
+    * interpolated from `SimilarityOps.NdcgWeightsX10000` so engine and
+    * oracle share the one constant table.
+    */
+  private def ndcgCaseSql(rankCol: String): String =
+    ops.SimilarityOps.NdcgWeightsX10000.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString(s"CASE $rankCol ", " ", " ELSE 0 END")
+
   private def lshCandidateCtes: String = {
     val L = ops.SimilarityOps.TuneMaxTables
     val B = ops.SimilarityOps.TuneMaxPlanes
@@ -1505,40 +1558,7 @@ object SparkEntry {
     // engine, so this is an end-to-end independent check of both scale
     // paths' output quality, not just their row sets.
     "q59_ann_recall" ->
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
-               WHERE vec_id < ${ops.SimilarityOps.NQueries}),
-         xs AS MATERIALIZED (SELECT q.query_id, e.vec_id AS neighbor_id,
-                       CAST(floor(list_cosine_similarity(q.qv, e.v) * 10000) AS BIGINT) AS cosine_x10000
-                FROM q JOIN e ON e.vec_id <> q.query_id),
-         exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
-             FROM xs) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
-         $lshCandidateCtes,
-         ls AS MATERIALIZED (SELECT c.query_id, c.neighbor_id,
-                       CAST(floor(list_cosine_similarity(q.v, n.v) * 10000) AS BIGINT) AS cosine_x10000
-                FROM lcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
-         lsh AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
-             FROM ls) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
-         c AS MATERIALIZED (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
-               FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
-         a AS MATERIALIZED (SELECT vec_id,
-                      first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
-               FROM e CROSS JOIN c GROUP BY vec_id),
-         idx AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
-         p AS MATERIALIZED (SELECT query_id, qv, cell FROM (
-                 SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
-                        row_number() OVER (PARTITION BY e.vec_id
-                          ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
-                 FROM e CROSS JOIN c WHERE e.vec_id < ${ops.SimilarityOps.NQueries}) z
-                 WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
-         ivs AS MATERIALIZED (SELECT p.query_id, idx.vec_id AS neighbor_id,
-                        CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
-                 FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id),
-         ivf AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
-             FROM ivs) t WHERE rank <= ${ops.SimilarityOps.DefaultK}),
+      s"""WITH $annTierCtes,
          hl AS MATERIALIZED (SELECT l.query_id, count(*) AS hits FROM lsh l
                 JOIN exact x ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
                 GROUP BY l.query_id),
@@ -1878,6 +1898,25 @@ object SparkEntry {
     "q169_bucketed_join" ->
       """SELECT d.doc_id, d.lang, CAST(len(e.embedding) AS INTEGER) AS n_dims
          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
+    // q170: DuckDB rebuilds the three tiers (shared annTierCtes), then
+    // the same constant discount table and floor divisions
+    "q170_ann_ranking" -> {
+      val idcg = ops.SimilarityOps.NdcgWeightsX10000.sum
+      def tierSql(cte: String, method: String): String =
+        s"""SELECT '$method' AS method, q.query_id,
+                CAST(coalesce(t.dcg, 0) AS BIGINT) AS dcg_x10000,
+                CAST($idcg AS BIGINT) AS idcg_x10000,
+                CAST(coalesce(t.dcg, 0) * 10000 // $idcg AS BIGINT) AS ndcg_x10000,
+                CAST(coalesce(10000 // t.fh, 0) AS BIGINT) AS rr_x10000
+         FROM q LEFT JOIN (
+            SELECT l.query_id, sum(${ndcgCaseSql("l.rank")}) AS dcg, min(l.rank) AS fh
+            FROM $cte l JOIN exact x ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+            GROUP BY 1) t ON q.query_id = t.query_id"""
+      s"""WITH $annTierCtes
+         ${tierSql("lsh", "lsh")}
+         UNION ALL
+         ${tierSql("ivf", "ivf")}"""
+    },
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

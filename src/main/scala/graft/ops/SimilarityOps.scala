@@ -575,4 +575,50 @@ object SimilarityOps {
     hitsOf(lshTopKTuned(spark, dir, k), "lsh")
       .unionByName(hitsOf(ivfTopK(spark, dir, k), "ivf"))
   }
+
+  /** nDCG discount table: floor(10000 / log2(i+1)) for rank i = 1..3 —
+    * a CONSTANT literal table (shared with the oracle via SparkEntry's
+    * ndcgCaseSql) so no float log runs in either engine at eval time.
+    */
+  val NdcgWeightsX10000 = Seq(10000L, 6309L, 5000L)
+
+  /** Rank-quality metrics for the approximate ANN tiers beyond q59's
+    * set-overlap recall: per (method, query) DCG/nDCG@k against the
+    * brute-force top-k as the relevant set (graded by the exact tier's
+    * own ordering weights) and MRR (10000 div first-hit rank). Position
+    * matters here — an approximate tier that finds the right neighbors
+    * in the wrong order scores below one that ranks them exactly.
+    * All integer: the discount table is constant, division is floor.
+    *
+    * Scale shape: identical to annRecall — each tier's top-k (k·queries
+    * rows) joins the broadcast exact top-k; the corpus is touched only
+    * inside the tier searches themselves.
+    */
+  def annRanking(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    require(k == NdcgWeightsX10000.length, s"discount table is defined for k=${NdcgWeightsX10000.length}")
+    val exact = bruteTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    val queries = table(spark, dir, "embeddings")
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"))
+    val idcg = NdcgWeightsX10000.take(k).sum
+    val wCase = NdcgWeightsX10000.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}L" }
+      .mkString("CASE rank ", " ", " ELSE 0L END")
+    def tier(approx: DataFrame, method: String): DataFrame = {
+      val h = approx
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .join(broadcast(exact), Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(sum(expr(wCase)).as("dcg"), min(col("rank")).as("first_hit"))
+      queries.join(broadcast(h), Seq("query_id"), "left")
+        .select(
+          lit(method).as("method"), col("query_id"),
+          coalesce(col("dcg"), lit(0L)).as("dcg_x10000"),
+          lit(idcg).as("idcg_x10000"),
+          expr(s"(coalesce(dcg, 0L) * 10000) div ${idcg}L").as("ndcg_x10000"),
+          coalesce(expr("10000L div cast(first_hit as long)"), lit(0L)).as("rr_x10000"))
+    }
+    tier(lshTopKTuned(spark, dir, k), "lsh")
+      .unionByName(tier(ivfTopK(spark, dir, k), "ivf"))
+  }
 }

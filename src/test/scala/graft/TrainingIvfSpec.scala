@@ -320,6 +320,65 @@ class TrainingIvfSpec extends AnyFunSuite {
     assert(got.toSeq.filter(_._1 == "ivf").map(_._3).sum > 0, "IVF recall is zero")
   }
 
+  test("annRanking: DCG/nDCG/MRR match an exact local recompute with the constant table") {
+    import spark.implicits._
+    val k = SimilarityOps.DefaultK
+    val w = SimilarityOps.NdcgWeightsX10000
+    val idcg = w.sum
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val queryIds = vecs.map(_._1).filter(_ < SimilarityOps.NQueries).sorted
+    val byId = vecs.toMap
+
+    def topKList(qid: Long, cands: Array[(Long, Array[Float])]): Seq[Long] =
+      cands
+        .filter(_._1 != qid)
+        .map { case (id, v) => (id, math.floor(TextAlgos.cosine(byId(qid), v) * 10000).toLong) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1).toSeq
+
+    val exact = queryIds.map(q => q -> topKList(q, vecs).toSet).toMap
+    val params = SimilarityOps.tuneLshParams(spark, dir)
+    val mask = (1 << params.nPlanes) - 1
+    val buckets = vecs.map { case (id, v) =>
+      id -> (0 until params.nTables).map { t =>
+        TextAlgos.hyperplaneBucket(
+          v, SimilarityOps.TuneMaxPlanes, t * SimilarityOps.TuneMaxPlanes) & mask
+      }.toArray
+    }.toMap
+    val lshList = queryIds.map { q =>
+      q -> topKList(q, vecs.filter { case (id, _) =>
+        buckets(id).indices.exists(t =>
+          java.lang.Integer.bitCount(buckets(id)(t) ^ buckets(q)(t)) <= 1)
+      })
+    }.toMap
+    val cents = localCentroids(vecs, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents)
+    val ivfList = queryIds.map { q =>
+      val probed = cents.toSeq.map { case (c, cv) =>
+        (math.floor(TextAlgos.l2(byId(q), cv) * 10000).toLong, c)
+      }.sorted.take(SimilarityOps.IvfNProbe).map(_._2).toSet
+      q -> topKList(q, vecs.filter { case (id, _) => probed.contains(assign(id)) })
+    }.toMap
+
+    def metrics(ranked: Seq[Long], rel: Set[Long]): (Long, Long, Long) = {
+      val dcg = ranked.zipWithIndex.collect { case (id, i) if rel(id) => w(i) }.sum
+      val fh = ranked.zipWithIndex.collectFirst { case (id, i) if rel(id) => i + 1 }
+      (dcg, dcg * 10000 / idcg, fh.map(10000L / _).getOrElse(0L))
+    }
+    val expected = queryIds.flatMap { q =>
+      Seq(("lsh", q, metrics(lshList(q), exact(q))),
+        ("ivf", q, metrics(ivfList(q), exact(q))))
+    }.map { case (m, q, (d, n, r)) => (m, q, d, idcg, n, r) }.toSet
+    val got = SimilarityOps.annRanking(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // position-awareness must be live: with tuned-LSH recall >= 0.8 most
+    // tier-query pairs hit in the top ranks
+    assert(got.count(_._6 > 0) > queryIds.length,
+      "most tier-query pairs should produce a first hit")
+  }
+
   test("LSH tuner: fxPow/fxHit exactness and feasible-first grid choice") {
     assert(SimilarityOps.fxPow(10000L, 5) == 10000L)
     assert(SimilarityOps.fxPow(5000L, 2) == 2500L)
