@@ -668,7 +668,11 @@ object SparkEntry {
     "q169_bucketed_join" -> ((s, d) => RelationalOps.bucketedColocatedJoin(s, d)),
     // ANN ranking quality: DCG/nDCG@k + MRR per tier vs the brute-force
     // order — position-aware where q59's recall is set-overlap-only
-    "q170_ann_ranking" -> ((s, d) => SimilarityOps.annRanking(s, d))
+    "q170_ann_ranking" -> ((s, d) => SimilarityOps.annRanking(s, d)),
+    // out-of-orderness audit: per-type exact lateness quantiles vs the
+    // GLOBAL event-time high-water mark (two-phase prefix max) over a
+    // planted out-of-order arrival stream — sets the streaming watermark
+    "q171_lateness_audit" -> ((s, _) => RelationalOps.latenessAudit(s))
   )
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
@@ -1917,6 +1921,30 @@ object SparkEntry {
          UNION ALL
          ${tierSql("ivf", "ivf")}"""
     },
+    // q171: DuckDB REGENERATES the arrival stream from range() + the
+    // same sha jitter, then replays the high-water mark as ONE global
+    // window (the orthogonal algorithm to the engine's two-phase prefix
+    // max) and the integer rank quantiles
+    "q171_lateness_audit" ->
+      s"""WITH ev AS (SELECT t.range AS event_id,
+                't' || (t.range % 4) AS event_type,
+                ${ops.RelationalOps.ArrivalBaseUs} + t.range * ${ops.RelationalOps.ArrivalStepUs}
+                  - (CAST('0x' || substr(sha256(CAST(t.range AS VARCHAR)), 1, 8) AS BIGINT)
+                     % ${ops.RelationalOps.ArrivalJitterUs}) AS us
+              FROM range(${ops.RelationalOps.VerifyArrivalEvents}) t),
+         l AS (SELECT event_type,
+                greatest(coalesce(max(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         us) - us, 0) AS late_us
+              FROM ev),
+         r AS (SELECT event_type, late_us,
+                row_number() OVER (PARTITION BY event_type ORDER BY late_us ASC) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+               FROM l)
+         SELECT r.event_type, p.pct, CAST(r.late_us AS BIGINT) AS lateness_us,
+                CAST(r.n AS BIGINT) AS n_events
+         FROM r CROSS JOIN (SELECT unnest([${ops.RelationalOps.LatenessPcts.mkString(", ")}]) AS pct) p
+         WHERE r.rn = (r.n * p.pct + 99) // 100""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -480,6 +480,85 @@ object RelationalOps {
     } finally hashed.unpersist(blocking = false)
   }
 
+  /** Lateness quantile percentiles (100 = max). */
+  val LatenessPcts = Seq(50, 95, 99, 100)
+
+  /** Arrival-stream synth knobs: 1 s event-time step per arrival, up to
+    * 5 s of sha-derived jitter subtracted — a genuinely out-of-order
+    * stream (the driver's events table is globally in-order, which would
+    * make this audit vacuous). The generator is pure integer + sha
+    * arithmetic, so the DuckDB oracle REGENERATES it from range()
+    * rather than reading a materialized copy.
+    */
+  val ArrivalStepUs = 1000000L
+  val ArrivalJitterUs = 5000000L
+  val ArrivalBaseUs = 1700000000000000L
+  val VerifyArrivalEvents = 2000L
+
+  /** Deterministic out-of-order arrival stream: arrival order IS
+    * event_id; event time steps forward 1 s per arrival minus a
+    * hash-jittered 0-5 s. */
+  def arrivalStream(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("event_id"),
+      concat(lit("t"), (col("id") % 4).cast("string")).as("event_type"),
+      (lit(ArrivalBaseUs) + col("id") * ArrivalStepUs
+        - pmod(conv(substring(sha2(col("id").cast("string"), 256), 1, 8), 16, 10)
+            .cast("long"), lit(ArrivalJitterUs))).as("us"))
+
+  /** Out-of-orderness audit — the measurement that SETS the streaming
+    * tier's watermark delay instead of guessing it: an event's lateness
+    * is how far the GLOBAL event-time high-water mark (over arrival
+    * order = the monotone event_id, the semantics of Spark's global
+    * watermark) had already advanced past it when it arrived. The
+    * per-type exact-rank quantiles (p50/p95/p99/max, the q83 integer
+    * rank recipe rank = ceil(n·pct/100)) are exactly the delays a
+    * `withWatermark` of that size would have admitted — set the delay at
+    * p99 and the audit tells you the drop rate you bought.
+    *
+    * Scale shape: the global running max is computed in TWO PHASES (the
+    * packSequences prefix-sum discipline): per-block maxes (one keyed
+    * agg), a prefix max over the BLOCK table (a global window over
+    * block-count rows, not events), broadcast back, then an in-block
+    * running max partitioned by block. No corpus-wide single-partition
+    * window ever sees event rows. Ties inside the quantile rank window
+    * are value-deterministic.
+    */
+  val LatenessBlock = 256L
+
+  def latenessAuditOf(ev: DataFrame, pcts: Seq[Int] = LatenessPcts): DataFrame = {
+    val base = ev.withColumn("blk", expr(s"event_id div $LatenessBlock"))
+    val blockPrefix = base
+      .groupBy(col("blk")).agg(max(col("us")).as("bmax"))
+      .withColumn("prev_bmax",
+        max(col("bmax")).over(
+          Window.orderBy(col("blk").asc).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("blk"), col("prev_bmax"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val byType = Window.partitionBy(col("event_type"))
+    base
+      .join(broadcast(blockPrefix), Seq("blk"))
+      .withColumn("prev_in", max(col("us")).over(wIn))
+      .withColumn("hwm_prev",
+        greatest(
+          coalesce(col("prev_bmax"), lit(Long.MinValue)),
+          coalesce(col("prev_in"), lit(Long.MinValue))))
+      .withColumn("late_us",
+        when(col("hwm_prev") === Long.MinValue, lit(0L))
+          .otherwise(greatest(col("hwm_prev") - col("us"), lit(0L))))
+      .withColumn("rn", row_number().over(byType.orderBy(col("late_us").asc)))
+      .withColumn("n", count(lit(1)).over(byType))
+      .select(col("event_type"), col("late_us"), col("rn"), col("n"),
+        explode(typedLit(pcts)).as("pct"))
+      .filter(col("rn") === expr("(n * pct + 99) div 100"))
+      .select(col("event_type"), col("pct"),
+        col("late_us").as("lateness_us"), col("n").as("n_events"))
+  }
+
+  def latenessAudit(spark: SparkSession): DataFrame =
+    latenessAuditOf(arrivalStream(spark, VerifyArrivalEvents))
+
   /** Bucket count for the co-located join demo (tiny at verify scale;
     * the 100 TB knob is buckets ~ corpus/target-partition-size). */
   val ColocBuckets = 8

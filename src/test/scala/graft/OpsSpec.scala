@@ -1043,6 +1043,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lateness audit: global high-water-mark lateness and rank quantiles match local recompute") {
+    val n = RelationalOps.VerifyArrivalEvents
+    // local twin of the generator (sha jitter) and a SEQUENTIAL global
+    // running max — the third algorithm besides the engine's two-phase
+    // prefix max and the oracle's single window
+    val ev = (0L until n).map { i =>
+      val jitter = java.lang.Long.parseLong(sha256Hex(i.toString).substring(0, 8), 16) %
+        RelationalOps.ArrivalJitterUs
+      (i, s"t${i % 4}", RelationalOps.ArrivalBaseUs + i * RelationalOps.ArrivalStepUs - jitter)
+    }
+    var hwm = Long.MinValue
+    val late = ev.map { case (_, t, us) =>
+      val l = if (hwm == Long.MinValue) 0L else math.max(hwm - us, 0L)
+      hwm = math.max(hwm, us)
+      (t, l)
+    }
+    val expected = late.groupBy(_._1).flatMap { case (t, rows) =>
+      val vals = rows.map(_._2).sorted
+      val cnt = vals.length.toLong
+      RelationalOps.LatenessPcts.map { pct =>
+        val rank = ((cnt * pct + 99) / 100).toInt
+        (t, pct, vals(rank - 1), cnt)
+      }
+    }.toSet
+    import spark.implicits._
+    val got = RelationalOps.latenessAudit(spark)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.exists(_._3 > 0), "the planted stream must actually be out of order")
+    // the p99 the audit reports is a genuine watermark candidate: below
+    // the jitter bound, above zero
+    got.filter(_._2 == 99).foreach { case (_, _, l, _) =>
+      assert(l > 0 && l < RelationalOps.ArrivalJitterUs)
+    }
+  }
+
   test("bucketed co-located join equals the plain join; layout is invisible to semantics") {
     import spark.implicits._
     val got = RelationalOps.bucketedColocatedJoin(spark, dir)

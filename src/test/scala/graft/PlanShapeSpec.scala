@@ -429,6 +429,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"within-cell pairing lost the cell equi-join:\n$p")
   }
 
+  test("lateness audit: two-phase prefix max — no event-row single-partition window") {
+    val p = plan(graft.ops.RelationalOps.latenessAudit(spark))
+    // the block-prefix table broadcasts back onto the stream
+    assert(p.contains("BroadcastHashJoin"), s"block prefix must broadcast:\n$p")
+    // single-partition exchanges may only carry the BLOCK table (its
+    // input is the blk-keyed agg, never raw event rows): every
+    // SinglePartition exchange must sit above the block aggregate
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1, s"at most the block-prefix window may gather:\n$p")
+    assert("hashpartitioning\\(blk".r.findFirstIn(p).isDefined,
+      s"per-block running max lost its block partitioning:\n$p")
+  }
+
   test("bucketed co-located join: zero exchanges — the layout replaces the shuffle") {
     val p = plan(graft.ops.RelationalOps.bucketedColocatedJoin(spark, dir))
     assert(p.contains("SortMergeJoin"), s"co-located join must SMJ:\n$p")
