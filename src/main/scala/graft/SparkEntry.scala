@@ -672,8 +672,15 @@ object SparkEntry {
     // out-of-orderness audit: per-type exact lateness quantiles vs the
     // GLOBAL event-time high-water mark (two-phase prefix max) over a
     // planted out-of-order arrival stream — sets the streaming watermark
-    "q171_lateness_audit" -> ((s, _) => RelationalOps.latenessAudit(s))
+    "q171_lateness_audit" -> ((s, _) => RelationalOps.latenessAudit(s)),
+    // Unicode NFC + control-strip audit over planted NFC/NFD/control
+    // shapes — JDK Normalizer vs DuckDB nfc_normalize, sha-pinned
+    "q172_nfc_audit" -> ((s, _) =>
+      TextOps.nfcAudit(graft.synth.NfcDocs.docs(s, VerifyNfcDocs)))
   )
+
+  /** Planted NFC/NFD/control corpus size for q172. */
+  val VerifyNfcDocs = 200L
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
   val VerifyJsonRecords = 200L
@@ -1945,6 +1952,20 @@ object SparkEntry {
                 CAST(r.n AS BIGINT) AS n_events
          FROM r CROSS JOIN (SELECT unnest([${ops.RelationalOps.LatenessPcts.mkString(", ")}]) AS pct) p
          WHERE r.rn = (r.n * p.pct + 99) // 100""",
+    // q172: DuckDB applies ITS OWN UAX#15 implementation
+    // (nfc_normalize) + the same control class, then shas the cleaned
+    // text — engine and oracle share no normalization code at all
+    "q172_nfc_audit" ->
+      """WITH d AS (SELECT doc_id, raw FROM read_parquet('__SYNTH__/nfc_docs.parquet/*.parquet')),
+         n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM d),
+         c AS (SELECT doc_id, raw, nfc,
+                      regexp_replace(nfc, '[\x00-\x1f\x7f]', '', 'g') AS clean FROM n)
+         SELECT doc_id, nfc = raw AS was_nfc,
+                CAST(length(raw) AS INTEGER) AS n_chars_raw,
+                CAST(length(clean) AS INTEGER) AS n_chars_clean,
+                CAST(length(nfc) - length(clean) AS INTEGER) AS n_control,
+                sha256(clean) AS clean_sha
+         FROM c""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -125,6 +125,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/noisy_docs.parquet")
       }
+      synthWrite("nfc_docs", "q172 NFC-audit oracle (planted normalization forms)") {
+        synth.NfcDocs.docs(spark, SparkEntry.VerifyNfcDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/nfc_docs.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

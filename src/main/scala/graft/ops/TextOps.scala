@@ -267,6 +267,37 @@ object TextOps {
           .otherwise(lit("tail")).as("ccnet_bucket"))
   }
 
+  /** Unicode-normalization + control-strip audit (q172): NFC-normalize
+    * (JDK Normalizer — the engine twin of DuckDB's nfc_normalize; both
+    * implement UAX#15, and the planted corpus sticks to Latin-1 accents
+    * whose NFC behavior is stable across Unicode versions), then strip
+    * control characters (Java \\p{Cntrl} == [\\x00-\\x1f\\x7f] == the
+    * oracle's regex class). The ingest step between q142's byte-damage
+    * audit and tokenization: without it the same visible text arrives
+    * under two codepoint sequences and splits vocab/dedup keys.
+    *
+    * Scale shape: one narrow typed map per doc (the simhash/winnowing
+    * discipline) — no shuffle, no join; lengths/shas are computed by
+    * codegen'd column functions on the map output (Spark `length` counts
+    * codepoints, matching DuckDB's).
+    */
+  def nfcAudit(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("raw")).as[(Long, String)]
+      .map { case (id, raw) =>
+        val nfc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+        (id, raw, nfc, nfc.replaceAll("\\p{Cntrl}", ""))
+      }
+      .toDF("doc_id", "raw", "nfc", "clean")
+      .select(
+        col("doc_id"),
+        (col("nfc") === col("raw")).as("was_nfc"),
+        length(col("raw")).as("n_chars_raw"),
+        length(col("clean")).as("n_chars_clean"),
+        (length(col("nfc")) - length(col("clean"))).as("n_control"),
+        sha2(col("clean"), 256).as("clean_sha"))
+  }
+
   private val langStopwords: Seq[(String, String)] = Seq(
     // (lang, regex of high-frequency function words)
     ("en", "\\b(the|and|of|to|in|is|that|for)\\b"),

@@ -1043,6 +1043,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc audit: planted NFC/NFD/control shapes produce the hand-computed truths") {
+    import spark.implicits._
+    val got = TextOps.nfcAudit(graft.synth.NfcDocs.docs(spark, 25L))
+      .as[(Long, Boolean, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 25)
+    (0L until 25L).foreach { id =>
+      val filler = s"doc $id plain body "
+      // hand-written expectations per shape — independent of BOTH the
+      // engine's Normalizer call and the oracle's nfc_normalize
+      val (wasNfc, nControl, clean) = (id % 5) match {
+        case 0 => (true, 0, filler + "all clear ascii")
+        case 1 => (true, 0, filler + "café résumé")
+        case 2 => (false, 0, filler + "café résumé")
+        case 3 => (true, 2, filler + "belland tabend")
+        case _ => (false, 1, filler + "über émix")
+      }
+      val (_, w, nraw, nclean, nc, sha) = got(id)
+      assert(w == wasNfc, s"doc $id was_nfc")
+      assert(nc == nControl, s"doc $id n_control")
+      // all planted codepoints are BMP: UTF-16 length == codepoint count
+      assert(nclean == clean.length, s"doc $id clean length ($nclean vs ${clean.length})")
+      assert(nraw == graft.synth.NfcDocs.raw(id).length, s"doc $id raw length")
+      assert(sha == sha256Hex(clean), s"doc $id sha")
+    }
+  }
+
   test("lateness audit: global high-water-mark lateness and rank quantiles match local recompute") {
     val n = RelationalOps.VerifyArrivalEvents
     // local twin of the generator (sha jitter) and a SEQUENTIAL global

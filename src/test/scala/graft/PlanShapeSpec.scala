@@ -429,6 +429,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"within-cell pairing lost the cell equi-join:\n$p")
   }
 
+  test("nfc audit: one narrow typed map — no shuffle, no join") {
+    val p = plan(graft.ops.TextOps.nfcAudit(graft.synth.NfcDocs.docs(spark, 50L)))
+    assert(!p.contains("Exchange"), s"nfc audit must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"nfc audit must not join:\n$p")
+  }
+
   test("lateness audit: two-phase prefix max — no event-row single-partition window") {
     val p = plan(graft.ops.RelationalOps.latenessAudit(spark))
     // the block-prefix table broadcasts back onto the stream
