@@ -676,7 +676,29 @@ object SparkEntry {
     // Unicode NFC + control-strip audit over planted NFC/NFD/control
     // shapes — JDK Normalizer vs DuckDB nfc_normalize, sha-pinned
     "q172_nfc_audit" -> ((s, _) =>
-      TextOps.nfcAudit(graft.synth.NfcDocs.docs(s, VerifyNfcDocs)))
+      TextOps.nfcAudit(graft.synth.NfcDocs.docs(s, VerifyNfcDocs))),
+    // MERGE-INTO semantics: planted upserts (drift updates + idempotent
+    // re-sends + late inserts) and tombstones over the golden snapshot;
+    // every surviving key tagged insert/update/keep/carry
+    "q173_merge_upsert" -> ((s, _) => {
+      import s.implicits._
+      val base = SynthDataset.turns(s, VerifyConvs)
+      val drift = base
+        .filter((t: graft.model.Turn) => t.conv_id >= "conv-000005" && t.turn_idx == 0)
+        .map((t: graft.model.Turn) => t.copy(text = t.text + " drift"))
+      val resend = base
+        .filter((t: graft.model.Turn) => t.conv_id >= "conv-000005" && t.turn_idx == 1
+          && t.conv_id.substring(5).toLong % 7 == 0)
+      val added = s.range(VerifyConvs)
+        .filter(c => c >= 5L && c % 10 == 0)
+        .map(c => graft.model.Turn(f"conv-$c%06d", 999, "user",
+          "<p>late-arriving appended turn body text</p>", null,
+          new java.sql.Timestamp(1735689600000L)))
+      val deletes = base.toDF()
+        .filter(col("conv_id") < "conv-000005")
+        .select(col("conv_id"), col("turn_idx"))
+      Pipeline.mergeUpsert(base, drift.union(resend).union(added), deletes)
+    })
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -1966,6 +1988,21 @@ object SparkEntry {
                 CAST(length(nfc) - length(clean) AS INTEGER) AS n_control,
                 sha256(clean) AS clean_sha
          FROM c""",
+    // q173: DuckDB re-derives every action from the PLANTED change-set
+    // rules over the golden turn keys (the q71 recipe) — no content
+    // hashing needed on the oracle side, the rules determine the actions
+    "q173_merge_upsert" ->
+      """WITH g AS (SELECT DISTINCT conv_id, turn_idx
+                    FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet'))
+         SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                CASE WHEN turn_idx = 0 THEN 'update'
+                     WHEN turn_idx = 1 AND CAST(substr(conv_id, 6) AS BIGINT) % 7 = 0 THEN 'keep'
+                     ELSE 'carry' END AS action
+         FROM g WHERE conv_id >= 'conv-000005'
+         UNION ALL
+         SELECT conv_id, 999 AS turn_idx, 'insert' AS action
+         FROM (SELECT DISTINCT conv_id FROM g) c
+         WHERE conv_id >= 'conv-000005' AND CAST(substr(conv_id, 6) AS BIGINT) % 10 = 0""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -147,6 +147,40 @@ object Pipeline {
       .select(col("conv_id"), col("turn_idx"))
   }
 
+  /** MERGE-INTO semantics over turn snapshots (the lakehouse upsert the
+    * S1/S13 snapshot store implies but q71's diff only observes): apply
+    * an explicit change-set — upsert rows matched on (conv_id, turn_idx)
+    * plus a tombstone key-set — to a base snapshot and emit every
+    * surviving key tagged with what happened to it: `insert` (no base
+    * row), `update` (matched, content sha differs), `keep` (matched,
+    * byte-identical — the idempotent-redelivery case), `carry` (base row
+    * untouched by the change-set). Tombstones WIN over upserts (applied
+    * last), the precedence Delta/Iceberg MERGE gives WHEN MATCHED DELETE.
+    *
+    * Scale shape: both inputs reduce to (conv_id, turn_idx, 32-byte sha)
+    * before joining (the changedTurnKeys discipline — text never crosses
+    * an exchange); the full-outer match and the tombstone anti-filter
+    * are (conv_id, turn_idx)-keyed equi-joins sharing one partitioning.
+    */
+  def mergeUpsert(
+      base: Dataset[Turn],
+      upserts: Dataset[Turn],
+      deleteKeys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def keyed(d: Dataset[Turn], as: String) = d.toDF().select(
+      col("conv_id"), col("turn_idx"),
+      sha2(to_json(struct(col("role"), col("text"), col("tool"), col("ts"))), 256)
+        .as(as))
+    keyed(base, "base_sha")
+      .join(keyed(upserts, "upsert_sha"), Seq("conv_id", "turn_idx"), "full_outer")
+      .join(deleteKeys.select(col("conv_id"), col("turn_idx")),
+        Seq("conv_id", "turn_idx"), "left_anti")
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("base_sha").isNull, lit("insert"))
+          .when(col("upsert_sha").isNull, lit("carry"))
+          .when(col("upsert_sha") =!= col("base_sha"), lit("update"))
+          .otherwise(lit("keep")).as("action"))
+  }
+
   /** Incremental re-ingest between input snapshots: re-extract ONLY the
     * changed/new turns of `next`, reuse `prevExtracted` rows for
     * unchanged turns, drop rows whose key left the input (deletes). The

@@ -201,6 +201,23 @@ class PipelineSpec extends AnyFunSuite {
       "expected at least one budget-truncated context")
   }
 
+  test("mergeUpsert: insert/update/keep/carry exact; tombstones win over upserts") {
+    import spark.implicits._
+    def t(c: String, i: Int, txt: String) =
+      Turn(c, i, "user", txt, null, new java.sql.Timestamp(0L))
+    val base = Seq(t("c1", 0, "a"), t("c1", 1, "b"), t("c2", 0, "x"), t("c3", 0, "z")).toDS()
+    val ups = Seq(
+      t("c1", 0, "a"), // byte-identical redelivery -> keep
+      t("c1", 1, "B"), // content drift -> update
+      t("c1", 2, "new"), // no base row -> insert
+      t("c3", 0, "zz")).toDS() // changed BUT tombstoned -> must vanish
+    val dels = Seq(("c2", 0), ("c3", 0)).toDF("conv_id", "turn_idx")
+    val got = Pipeline.mergeUpsert(base, ups, dels)
+      .as[(String, Int, String)].collect().toSet
+    assert(got == Set(("c1", 0, "keep"), ("c1", 1, "update"), ("c1", 2, "insert")),
+      s"got $got")
+  }
+
   test("snapshot diff + incremental re-ingest: delta-only extraction equals a full re-run") {
     import spark.implicits._
     val prev = SynthDataset.turns(spark, 60L)

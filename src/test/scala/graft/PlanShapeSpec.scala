@@ -429,6 +429,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"within-cell pairing lost the cell equi-join:\n$p")
   }
 
+  test("mergeUpsert: key-hash equi-joins only; turn text never crosses an exchange") {
+    val turns = graft.synth.SynthDataset.turns(spark, 30L)
+    val dels = turns.toDF().limit(5).select(
+      org.apache.spark.sql.functions.col("conv_id"),
+      org.apache.spark.sql.functions.col("turn_idx"))
+    val p = plan(Pipeline.mergeUpsert(turns, turns, dels))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(p).isDefined,
+      s"turn text must never be a shuffle key:\n$p")
+  }
+
   test("nfc audit: one narrow typed map — no shuffle, no join") {
     val p = plan(graft.ops.TextOps.nfcAudit(graft.synth.NfcDocs.docs(spark, 50L)))
     assert(!p.contains("Exchange"), s"nfc audit must not shuffle:\n$p")
