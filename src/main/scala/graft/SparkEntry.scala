@@ -698,7 +698,10 @@ object SparkEntry {
         .filter(col("conv_id") < "conv-000005")
         .select(col("conv_id"), col("turn_idx"))
       Pipeline.mergeUpsert(base, drift.union(resend).union(added), deletes)
-    })
+    }),
+    // language-ID confusion matrix with exact integer row percentages —
+    // the eval artifact behind q48's scalar accuracy
+    "q174_lang_confusion" -> ((s, d) => TextOps.langConfusion(s, d))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -802,6 +805,28 @@ object SparkEntry {
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                         CAST(sum(s) AS BIGINT) AS surprise_bits
                  FROM scored GROUP BY 1)"""
+
+  /** The q16 language-ID derivation (scores + argmax with the engine's
+    * tie order) — ONE definition feeding both the q16 oracle and the
+    * q174 confusion rollup. Plain literal: regex backslashes verbatim.
+    */
+  private val langIdSql =
+    """SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
+                CASE WHEN score_en = best AND best > 0 THEN 'en'
+                     WHEN score_fr = best AND best > 0 THEN 'fr'
+                     WHEN score_es = best AND best > 0 THEN 'es'
+                     WHEN score_de = best AND best > 0 THEN 'de'
+                     ELSE 'unknown' END AS predicted_lang
+         FROM (
+           SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
+                  greatest(0, score_en, score_fr, score_es, score_de) AS best
+           FROM (
+             SELECT doc_id, lang,
+                    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS score_en,
+                    len(regexp_extract_all(text, '\b(le|la|les|et|de|un|une|est)\b')) AS score_fr,
+                    len(regexp_extract_all(text, '\b(el|la|los|las|y|de|que|es)\b')) AS score_es,
+                    len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|zu|mit)\b')) AS score_de
+             FROM documents) s) t"""
 
   /** x^n at x10000 scale as unrolled SQL — the oracle twin of
     * `SimilarityOps.fxPow`'s left-fold (p*x // 10000, n times; n=0 is the
@@ -1051,23 +1076,7 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars_m, n_tokens, n_punct, mean_wordlen_x100, stopword_x1000,
                 (n_tokens BETWEEN 10 AND 100000) AND (mean_wordlen_x100 BETWEEN 150 AND 1200) AS quality_pass
          FROM ($qualityFeatureSql) t""",
-    "q16_lang_id" ->
-      """SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
-                CASE WHEN score_en = best AND best > 0 THEN 'en'
-                     WHEN score_fr = best AND best > 0 THEN 'fr'
-                     WHEN score_es = best AND best > 0 THEN 'es'
-                     WHEN score_de = best AND best > 0 THEN 'de'
-                     ELSE 'unknown' END AS predicted_lang
-         FROM (
-           SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
-                  greatest(0, score_en, score_fr, score_es, score_de) AS best
-           FROM (
-             SELECT doc_id, lang,
-                    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS score_en,
-                    len(regexp_extract_all(text, '\b(le|la|les|et|de|un|une|est)\b')) AS score_fr,
-                    len(regexp_extract_all(text, '\b(el|la|los|las|y|de|que|es)\b')) AS score_es,
-                    len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|zu|mit)\b')) AS score_de
-             FROM documents) s) t""",
+    "q16_lang_id" -> langIdSql,
     "q17_bpe_tokens" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe_tokens
@@ -2003,6 +2012,14 @@ object SparkEntry {
          SELECT conv_id, 999 AS turn_idx, 'insert' AS action
          FROM (SELECT DISTINCT conv_id FROM g) c
          WHERE conv_id >= 'conv-000005' AND CAST(substr(conv_id, 6) AS BIGINT) % 10 = 0""",
+    // q174: confusion rollup over the shared q16 derivation + exact
+    // integer row percentages
+    "q174_lang_confusion" ->
+      s"""WITH l AS ($langIdSql),
+         m AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs FROM l GROUP BY 1, 2)
+         SELECT lang, predicted_lang, n_docs,
+                CAST((n_docs * 10000) // (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT) AS pct_x10000
+         FROM m""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -347,6 +347,23 @@ object TextOps {
       .withColumn("accuracy_x10000",
         floor(col("n_correct") * 10000.0 / col("n_docs")).cast("long"))
 
+  /** Language-ID confusion matrix (q174): the eval artifact behind q48's
+    * scalar accuracy — per (true lang, predicted lang) counts and exact
+    * integer row percentages, the table that says WHICH languages the
+    * heuristic confuses (fr/es share 'de'/'la' stopwords) rather than
+    * just how often it is right.
+    *
+    * Scale shape: one map-side-combining agg to a <= |langs|² frame; the
+    * row-total window runs on that aggregated frame, never the corpus.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    withPredictedLang(table(spark, dir, "documents"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total", sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .withColumn("pct_x10000", expr("(n_docs * 10000) div row_total"))
+      .drop("row_total")
+
   /** A3: mean of the per-field confidence annotations planted in the raw
     * pdf-IR payloads ("(Confidence: 0.NN)", F10) — surfaced per
     * conversation without running extraction (the reference averages

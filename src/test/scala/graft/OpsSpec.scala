@@ -1043,6 +1043,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lang confusion: matrix counts and row percentages match the q16 frame") {
+    import spark.implicits._
+    val pred = TextOps.langId(spark, dir)
+      .select($"lang", $"predicted_lang").as[(String, String)].collect()
+    val expected = pred.groupBy(identity).map { case ((l, p), rows) =>
+      val rowTotal = pred.count(_._1 == l).toLong
+      (l, p, rows.length.toLong, rows.length.toLong * 10000 / rowTotal)
+    }.toSet
+    val got = TextOps.langConfusion(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.toSeq.map(_._3).sum == pred.length.toLong)
+    // the matrix must be a real confusion matrix at verify scale: some
+    // off-diagonal mass exists (the heuristic is not perfect)
+    assert(got.exists { case (l, p, _, _) => l != p })
+  }
+
   test("nfc audit: planted NFC/NFD/control shapes produce the hand-computed truths") {
     import spark.implicits._
     val got = TextOps.nfcAudit(graft.synth.NfcDocs.docs(spark, 25L))
