@@ -701,7 +701,10 @@ object SparkEntry {
     }),
     // language-ID confusion matrix with exact integer row percentages —
     // the eval artifact behind q48's scalar accuracy
-    "q174_lang_confusion" -> ((s, d) => TextOps.langConfusion(s, d))
+    "q174_lang_confusion" -> ((s, d) => TextOps.langConfusion(s, d)),
+    // ANN-mined contrastive triplets: hardest positive + hard negative
+    // from the anchor's IVF cells, with the margin curriculum signal
+    "q175_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -2020,6 +2023,38 @@ object SparkEntry {
          SELECT lang, predicted_lang, n_docs,
                 CAST((n_docs * 10000) // (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT) AS pct_x10000
          FROM m""",
+    // q175: DuckDB re-derives assignment + probing from the materialized
+    // centroids (the q54/q167 recipe), keeps labels on the index, and
+    // takes both conditional argmaxes with the same tiebreak
+    "q175_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+               FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         a AS MATERIALIZED (SELECT vec_id,
+                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         idx AS (SELECT a.vec_id, a.cell, e.v, e.label FROM a JOIN e USING (vec_id)),
+         q AS (SELECT vec_id AS anchor_id, v AS qv, label AS anchor_label FROM e
+               WHERE vec_id < ${ops.SimilarityOps.NQueries}),
+         p AS MATERIALIZED (SELECT anchor_id, qv, anchor_label, cell FROM (
+                 SELECT q.anchor_id, q.qv, q.anchor_label, c.cell,
+                        row_number() OVER (PARTITION BY q.anchor_id
+                          ORDER BY CAST(floor(list_distance(q.qv, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
+                 FROM q CROSS JOIN c) z
+                 WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
+         s AS MATERIALIZED (SELECT p.anchor_id, p.anchor_label, idx.vec_id, idx.label,
+                      CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cos
+               FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.anchor_id),
+         pos AS (SELECT anchor_id, first(vec_id ORDER BY cos DESC, vec_id ASC) AS pos_id,
+                        max(cos) AS pos_cos_x10000
+                 FROM s WHERE label = anchor_label GROUP BY 1),
+         neg AS (SELECT anchor_id, first(vec_id ORDER BY cos DESC, vec_id ASC) AS neg_id,
+                        max(cos) AS neg_cos_x10000
+                 FROM s WHERE label <> anchor_label GROUP BY 1)
+         SELECT q.anchor_id, q.anchor_label,
+                pos.pos_id, pos.pos_cos_x10000, neg.neg_id, neg.neg_cos_x10000,
+                pos.pos_cos_x10000 - neg.neg_cos_x10000 AS margin_x10000
+         FROM q LEFT JOIN pos USING (anchor_id) LEFT JOIN neg USING (anchor_id)""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -621,4 +621,57 @@ object SimilarityOps {
     tier(lshTopKTuned(spark, dir, k), "lsh")
       .unionByName(tier(ivfTopK(spark, dir, k), "ivf"))
   }
+
+  /** ANN-mined contrastive triplets (the production upgrade of q53's
+    * positional pairs): for each anchor in the query sample, the hardest
+    * positive (same label, highest cosine) and the HARD NEGATIVE
+    * (different label, highest cosine) drawn from the anchor's nProbe
+    * IVF cells — mining negatives from the ANN index instead of random
+    * sampling is what makes contrastive embedding training converge at
+    * scale, and the margin column (pos - neg) is the curriculum signal.
+    * Columns are null when the probed cells hold no candidate of that
+    * side (left joins, replicated by the oracle).
+    *
+    * Scale shape: identical to ivfTopK — one assignment pass, candidates
+    * from an equi-join on cell against the broadcast (anchor, probed
+    * cell) set, two conditional argmax aggregates on (anchor, small
+    * ints). Never corpus x corpus.
+    */
+  def hardNegatives(
+      spark: SparkSession, dir: String,
+      nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val centroids = ivfCentroids(spark, dir, nList, iters)
+    val indexed = assignCells(vecs.select(col("vec_id"), col("embedding")), centroids)
+      .join(vecs, "vec_id")
+    val anchors = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("label").as("anchor_label"))
+    val wq = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("l2_x10000").asc, col("cell").asc)
+    val probed = anchors
+      .crossJoin(broadcast(centroids))
+      .select(col("anchor_id"), col("a_emb"), col("anchor_label"), col("cell"),
+        expr("graft_l2_x10000(a_emb, centroid)").as("l2_x10000"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("anchor_id"), col("a_emb"), col("anchor_label"), col("cell"))
+    val scored = indexed
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("anchor_label"), col("vec_id"), col("label"),
+        expr("graft_cosine_x10000(a_emb, embedding)").as("cos"))
+    def side(flag: org.apache.spark.sql.Column, tag: String) =
+      scored.filter(flag)
+        .groupBy(col("anchor_id"))
+        .agg(
+          max_by(col("vec_id"), struct(col("cos"), -col("vec_id"))).as(s"${tag}_id"),
+          max(col("cos")).as(s"${tag}_cos_x10000"))
+    anchors.select(col("anchor_id"), col("anchor_label"))
+      .join(side(col("label") === col("anchor_label"), "pos"), Seq("anchor_id"), "left")
+      .join(side(col("label") =!= col("anchor_label"), "neg"), Seq("anchor_id"), "left")
+      .withColumn("margin_x10000", col("pos_cos_x10000") - col("neg_cos_x10000"))
+  }
 }

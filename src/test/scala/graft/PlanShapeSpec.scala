@@ -429,6 +429,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"within-cell pairing lost the cell equi-join:\n$p")
   }
 
+  test("hard negatives: broadcast probe join on the cell key; never all-pairs") {
+    val p = plan(graft.ops.SimilarityOps.hardNegatives(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"probed anchors must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus cartesian:\n$p")
+  }
+
   test("mergeUpsert: key-hash equi-joins only; turn text never crosses an exchange") {
     val turns = graft.synth.SynthDataset.turns(spark, 30L)
     val dels = turns.toDF().limit(5).select(

@@ -379,6 +379,40 @@ class TrainingIvfSpec extends AnyFunSuite {
       "most tier-query pairs should produce a first hit")
   }
 
+  test("hardNegatives: conditional argmax over probed cells matches local recompute") {
+    import spark.implicits._
+    val vecs3 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").as[(Long, Array[Float], Int)].collect()
+    val vecs = vecs3.map { case (id, v, _) => (id, v) }
+    val labels = vecs3.map { case (id, _, l) => id -> l }.toMap
+    val cents = localCentroids(vecs, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents)
+    val byId = vecs.toMap
+    val expected = vecs.map(_._1).filter(_ < SimilarityOps.NQueries).map { q =>
+      val probed = cents.toSeq.map { case (c, cv) =>
+        (math.floor(TextAlgos.l2(byId(q), cv) * 10000).toLong, c)
+      }.sorted.take(SimilarityOps.IvfNProbe).map(_._2).toSet
+      val cands = vecs
+        .filter { case (id, _) => id != q && probed.contains(assign(id)) }
+        .map { case (id, v) =>
+          (id, labels(id), math.floor(TextAlgos.cosine(byId(q), v) * 10000).toLong) }
+      def best(f: Int => Boolean): Option[(Long, Long)] = {
+        val side = cands.filter(c => f(c._2))
+        if (side.isEmpty) None
+        else Some((side.maxBy(c => (c._3, -c._1))._1, side.map(_._3).max))
+      }
+      val p = best(_ == labels(q)); val n = best(_ != labels(q))
+      (q, labels(q), p.map(_._1), p.map(_._2), n.map(_._1), n.map(_._2),
+        for { pp <- p; nn <- n } yield pp._2 - nn._2)
+    }.toSet
+    val got = SimilarityOps.hardNegatives(spark, dir)
+      .as[(Long, Int, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.exists(r => r._3.isDefined && r._5.isDefined),
+      "mining must find both a positive and a hard negative for some anchor")
+  }
+
   test("LSH tuner: fxPow/fxHit exactness and feasible-first grid choice") {
     assert(SimilarityOps.fxPow(10000L, 5) == 10000L)
     assert(SimilarityOps.fxPow(5000L, 2) == 2500L)
