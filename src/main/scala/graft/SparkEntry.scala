@@ -704,7 +704,10 @@ object SparkEntry {
     "q174_lang_confusion" -> ((s, d) => TextOps.langConfusion(s, d)),
     // ANN-mined contrastive triplets: hardest positive + hard negative
     // from the anchor's IVF cells, with the margin curriculum signal
-    "q175_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d))
+    "q175_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
+    // curation funnel: per-stage doc/token counts + exact retention of
+    // the q40 chain — the accounting table next to the keep-list
+    "q176_curation_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -808,6 +811,46 @@ object SparkEntry {
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                         CAST(sum(s) AS BIGINT) AS surprise_bits
                  FROM scored GROUP BY 1)"""
+
+  /** The q40 curation chain (quality features -> lang argmax -> quality+
+    * lang gate -> exact-dedup canon -> balance bound) — ONE definition
+    * feeding the q40 keep-list oracle and the q176 funnel rollup. Plain
+    * literal: regex backslashes verbatim.
+    */
+  private val curationCtes =
+    """base AS (
+           SELECT doc_id, text,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                  CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100.0
+                             / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS mwl,
+                  len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+                  len(regexp_extract_all(text, '\b(le|la|les|et|de|un|une|est)\b')) AS s_fr,
+                  len(regexp_extract_all(text, '\b(el|la|los|las|y|de|que|es)\b')) AS s_es,
+                  len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|zu|mit)\b')) AS s_de
+           FROM documents),
+         langed AS (
+           SELECT doc_id, text, n_tokens, mwl,
+                  CASE WHEN s_en = best AND best > 0 THEN 'en'
+                       WHEN s_fr = best AND best > 0 THEN 'fr'
+                       WHEN s_es = best AND best > 0 THEN 'es'
+                       WHEN s_de = best AND best > 0 THEN 'de'
+                       ELSE 'unknown' END AS predicted_lang
+           FROM (SELECT *, greatest(0, s_en, s_fr, s_es, s_de) AS best FROM base)),
+         good AS (
+           SELECT * FROM langed
+           WHERE n_tokens BETWEEN 10 AND 100000 AND mwl BETWEEN 150 AND 1200
+             AND predicted_lang <> 'unknown'),
+         canon AS (
+           SELECT doc_id, predicted_lang
+           FROM (SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS c FROM good)
+           WHERE doc_id = c),
+         b AS (
+           SELECT min(cnt) AS min_cnt
+           FROM (SELECT predicted_lang, count(*) AS cnt FROM canon GROUP BY 1)),
+         r AS (
+           SELECT doc_id, predicted_lang,
+                  row_number() OVER (PARTITION BY predicted_lang ORDER BY doc_id) AS rn
+           FROM canon)"""
 
   /** The q16 language-ID derivation (scores + argmax with the engine's
     * tie order) — ONE definition feeding both the q16 oracle and the
@@ -1179,40 +1222,30 @@ object SparkEntry {
          FROM r CROSS JOIN bounds b
          WHERE r.rn <= b.min_cnt""",
     "q40_curation" ->
-      """WITH base AS (
-           SELECT doc_id, text,
-                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                  CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100.0
-                             / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS mwl,
-                  len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
-                  len(regexp_extract_all(text, '\b(le|la|les|et|de|un|une|est)\b')) AS s_fr,
-                  len(regexp_extract_all(text, '\b(el|la|los|las|y|de|que|es)\b')) AS s_es,
-                  len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|zu|mit)\b')) AS s_de
-           FROM documents),
-         langed AS (
-           SELECT doc_id, text, n_tokens, mwl,
-                  CASE WHEN s_en = best AND best > 0 THEN 'en'
-                       WHEN s_fr = best AND best > 0 THEN 'fr'
-                       WHEN s_es = best AND best > 0 THEN 'es'
-                       WHEN s_de = best AND best > 0 THEN 'de'
-                       ELSE 'unknown' END AS predicted_lang
-           FROM (SELECT *, greatest(0, s_en, s_fr, s_es, s_de) AS best FROM base)),
-         good AS (
-           SELECT * FROM langed
-           WHERE n_tokens BETWEEN 10 AND 100000 AND mwl BETWEEN 150 AND 1200
-             AND predicted_lang <> 'unknown'),
-         canon AS (
-           SELECT doc_id, predicted_lang
-           FROM (SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS c FROM good)
-           WHERE doc_id = c),
-         b AS (
-           SELECT min(cnt) AS min_cnt
-           FROM (SELECT predicted_lang, count(*) AS cnt FROM canon GROUP BY 1)),
-         r AS (
-           SELECT doc_id, predicted_lang,
-                  row_number() OVER (PARTITION BY predicted_lang ORDER BY doc_id) AS rn
-           FROM canon)
+      s"""WITH $curationCtes
          SELECT doc_id, predicted_lang FROM r CROSS JOIN b WHERE rn <= b.min_cnt""",
+    // q176: the same chain rolled into per-stage counts + retention
+    "q176_curation_funnel" ->
+      s"""WITH $curationCtes,
+         balanced AS (SELECT doc_id FROM r CROSS JOIN b WHERE rn <= b.min_cnt),
+         stages AS (
+           SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM langed
+           UNION ALL
+           SELECT '2_quality', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+           FROM langed WHERE n_tokens BETWEEN 10 AND 100000 AND mwl BETWEEN 150 AND 1200
+           UNION ALL
+           SELECT '3_lang', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM good
+           UNION ALL
+           SELECT '4_dedup', count(*), CAST(coalesce(sum(l.n_tokens), 0) AS BIGINT)
+           FROM canon c JOIN langed l USING (doc_id)
+           UNION ALL
+           SELECT '5_balanced', count(*), CAST(coalesce(sum(l.n_tokens), 0) AS BIGINT)
+           FROM balanced JOIN langed l USING (doc_id)),
+         raw0 AS (SELECT n_docs AS nd0 FROM stages WHERE stage = '1_raw')
+         SELECT stage, n_docs, n_tokens,
+                CAST((n_docs * 10000) // nd0 AS BIGINT) AS retained_x10000
+         FROM stages CROSS JOIN raw0""",
     "q41_canon_signature" ->
       """SELECT l_orderkey, l_linenumber,
          sha256(concat_ws('|', l_orderkey, l_linenumber,

@@ -1043,6 +1043,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation funnel: monotone stages, raw count exact, stage 5 == the q40 keep-list") {
+    import spark.implicits._
+    val got = CurationOps.curationFunnel(spark, dir)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq ==
+      Seq("1_raw", "2_quality", "3_lang", "4_dedup", "5_balanced"))
+    val m = got.map(r => r._1 -> r).toMap
+    val stagesDocs = got.map(_._2)
+    assert(stagesDocs.zip(stagesDocs.tail).forall { case (a, b) => a >= b },
+      s"funnel must contract monotonically: ${stagesDocs.toSeq}")
+    val nRaw = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(m("1_raw")._2 == nRaw)
+    // the audited keep-list IS q40's: same size, same token mass
+    val keep = CurationOps.curate(spark, dir).select($"doc_id").as[Long].collect().toSet
+    assert(m("5_balanced")._2 == keep.size.toLong)
+    val keepTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(d => keep(d._1))
+      .map(d => SparkSessionFixture.sparkTokenCount(d._2)).sum
+    assert(m("5_balanced")._3 == keepTokens)
+    // retention column is the exact integer ratio
+    got.foreach(r => assert(r._4 == r._2 * 10000 / nRaw, s"stage ${r._1}"))
+    // the funnel is non-trivial at verify scale: the chain as a whole
+    // genuinely contracts (at sf0.001 the exact-dup pairs happen to fall
+    // OUTSIDE the quality+lang survivor set, so stage 4 alone may be flat)
+    assert(m("1_raw")._2 > m("5_balanced")._2, "the funnel must genuinely contract")
+  }
+
   test("lang confusion: matrix counts and row percentages match the q16 frame") {
     import spark.implicits._
     val pred = TextOps.langId(spark, dir)

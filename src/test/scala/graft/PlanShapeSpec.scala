@@ -429,6 +429,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"within-cell pairing lost the cell equi-join:\n$p")
   }
 
+  test("curation funnel: broadcast balance bound; no sort-merge join anywhere") {
+    val p = plan(graft.ops.CurationOps.curationFunnel(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      s"the only join is the broadcast min-class bound:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the scan feeding the flags must prune to the referenced columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"funnel scan should read exactly (doc_id, text):\n$p")
+  }
+
   test("hard negatives: broadcast probe join on the cell key; never all-pairs") {
     val p = plan(graft.ops.SimilarityOps.hardNegatives(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"probed anchors must broadcast:\n$p")
