@@ -707,7 +707,10 @@ object SparkEntry {
     "q175_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     // curation funnel: per-stage doc/token counts + exact retention of
     // the q40 chain — the accounting table next to the keep-list
-    "q176_curation_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d))
+    "q176_curation_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)),
+    // topic cards per IVF cell: cell-level TF-IDF top-K terms — names
+    // the embedding clusters (corpus cartography)
+    "q177_cell_topics" -> ((s, d) => SimilarityOps.cellTopicCards(s, d))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -2088,6 +2091,29 @@ object SparkEntry {
                 pos.pos_id, pos.pos_cos_x10000, neg.neg_id, neg.neg_cos_x10000,
                 pos.pos_cos_x10000 - neg.neg_cos_x10000 AS margin_x10000
          FROM q LEFT JOIN pos USING (anchor_id) LEFT JOIN neg USING (anchor_id)""",
+    // q177: DuckDB re-derives assignment from the materialized centroids
+    // then the cell-level q86 TF-IDF chain (cells as documents)
+    "q177_cell_topics" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+               FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         a AS MATERIALIZED (SELECT vec_id,
+                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         m AS (SELECT a.cell, d.doc_id, d.text FROM a JOIN documents d ON d.doc_id = a.vec_id),
+         sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY 1),
+         w AS (SELECT cell,
+                unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS word
+               FROM m),
+         tf AS (SELECT cell, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+         cdf AS (SELECT word, CAST(count(*) AS BIGINT) AS cdf FROM tf GROUP BY 1),
+         nc AS (SELECT count(DISTINCT cell) AS n FROM a),
+         s AS (SELECT tf.cell, tf.word, tf.tf,
+                      CAST(tf.tf * (length(bin(((SELECT n FROM nc) * 10000) // cdf.cdf)) - 1) AS BIGINT) AS score
+               FROM tf JOIN cdf USING (word)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY score DESC, word ASC) AS rn FROM s)
+         SELECT r.cell, sz.n_docs, r.word, r.tf, r.score, CAST(r.rn AS INTEGER) AS rank
+         FROM r JOIN sz USING (cell) WHERE r.rn <= ${ops.SimilarityOps.TopicCardK}""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -622,6 +622,48 @@ object SimilarityOps {
       .unionByName(tier(ivfTopK(spark, dir, k), "ivf"))
   }
 
+  val TopicCardK = 10
+
+  /** Topic cards per IVF cell (q177) — corpus cartography: after the
+    * coarse quantizer clusters the embedding space (q54), this names
+    * each cell by the top-K terms of its member documents under
+    * cell-level TF-IDF (cells play the "document" role: tf = term count
+    * across the cell's members, idf = whole-bit
+    * bits(nCells·10⁴ div cell-df), the q86 integer recipe). The output
+    * is what a dataset card shows for "what is in each cluster", and
+    * the interpretability companion to q93's cluster-balanced sampling
+    * and q167's SemDeDup.
+    *
+    * Scale shape: one assignment pass; the word explode aggregates
+    * map-side onto (cell, word); the cell-df table is vocab-bounded and
+    * joined as an explicit broadcast; top-K via a per-cell rank window
+    * over the (cells x vocab)-bounded scored frame. The only driver
+    * scalar is the distinct-cell count (<= nList).
+    */
+  def cellTopicCards(spark: SparkSession, dir: String, k: Int = TopicCardK): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cells = assignCells(vecs, ivfCentroids(spark, dir))
+    val member = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .join(cells.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    val sizes = member.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val words = member.select(col("cell"),
+      explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("word"))
+    val tf = words.groupBy(col("cell"), col("word")).agg(count(lit(1)).as("tf"))
+    val cdf = tf.groupBy(col("word")).agg(count(lit(1)).as("cdf"))
+    val nCells: Long = cells.select(col("cell")).distinct().count()
+    val byCell = Window.partitionBy(col("cell"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(cdf), "word")
+      .withColumn("score",
+        col("tf") * expr(s"cast(length(conv((${nCells}L * 10000L) div cdf, 10, 2)) - 1 as bigint)"))
+      .withColumn("rank", row_number().over(byCell))
+      .filter(col("rank") <= k)
+      .join(broadcast(sizes), "cell")
+      .select(col("cell"), col("n_docs"), col("word"), col("tf"),
+        col("score"), col("rank"))
+  }
+
   /** ANN-mined contrastive triplets (the production upgrade of q53's
     * positional pairs): for each anchor in the query sample, the hardest
     * positive (same label, highest cosine) and the HARD NEGATIVE

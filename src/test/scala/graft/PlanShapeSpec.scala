@@ -439,6 +439,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel scan should read exactly (doc_id, text):\n$p")
   }
 
+  test("cell topics: vocab-df and size joins broadcast; no cartesian") {
+    val p = plan(graft.ops.SimilarityOps.cellTopicCards(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"cell-df must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("hard negatives: broadcast probe join on the cell key; never all-pairs") {
     val p = plan(graft.ops.SimilarityOps.hardNegatives(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"probed anchors must broadcast:\n$p")

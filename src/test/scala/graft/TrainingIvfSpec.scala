@@ -413,6 +413,39 @@ class TrainingIvfSpec extends AnyFunSuite {
       "mining must find both a positive and a hard negative for some anchor")
   }
 
+  test("cellTopicCards: cell-level TF-IDF scores and ranks match local recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cents = localCentroids(vecs, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def toks(t: String): Array[String] = {
+      val s = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      s.split("\\s+", -1).filter(_.nonEmpty)
+    }
+    val member = docs.flatMap { case (id, t) => assign.get(id).map(c => (c, t)) }
+    val sizes = member.groupBy(_._1).map { case (c, rs) => c -> rs.length.toLong }
+    val tf = member.flatMap { case (c, t) => toks(t).map(w => (c, w)) }
+      .groupBy(identity).map { case (k, rs) => k -> rs.length.toLong }
+    val cdf = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val nCells = assign.values.toSet.size.toLong
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = tf.keys.groupBy(_._1).flatMap { case (c, keys) =>
+      keys.toSeq
+        .map { case (_, w) => (w, tf((c, w)), tf((c, w)) * bits(nCells * 10000L / cdf(w))) }
+        .sortBy { case (w, _, s) => (-s, w) }
+        .take(SimilarityOps.TopicCardK)
+        .zipWithIndex
+        .map { case ((w, t, s), i) => (c, sizes(c), w, t, s, i + 1) }
+    }.toSet
+    val got = SimilarityOps.cellTopicCards(spark, dir)
+      .as[(Int, Long, String, Long, Long, Int)].collect().toSet
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    assert(got.map(_._1).size > 1 || got.nonEmpty)
+  }
+
   test("LSH tuner: fxPow/fxHit exactness and feasible-first grid choice") {
     assert(SimilarityOps.fxPow(10000L, 5) == 10000L)
     assert(SimilarityOps.fxPow(5000L, 2) == 2500L)
