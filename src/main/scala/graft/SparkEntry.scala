@@ -710,7 +710,11 @@ object SparkEntry {
     "q176_curation_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)),
     // topic cards per IVF cell: cell-level TF-IDF top-K terms — names
     // the embedding clusters (corpus cartography)
-    "q177_cell_topics" -> ((s, d) => SimilarityOps.cellTopicCards(s, d))
+    "q177_cell_topics" -> ((s, d) => SimilarityOps.cellTopicCards(s, d)),
+    // per-host scorecard: citations x quality x PageRank in one frame —
+    // the crawl operator's budget-allocation view
+    "q178_host_scorecard" -> ((s, _) =>
+      WebOps.hostScorecard(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -2114,6 +2118,20 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY score DESC, word ASC) AS rn FROM s)
          SELECT r.cell, sz.n_docs, r.word, r.tf, r.score, CAST(r.rn AS INTEGER) AS rank
          FROM r JOIN sz USING (cell) WHERE r.rn <= ${ops.SimilarityOps.TopicCardK}""",
+    // q178: composes the three component oracles — the q62 host counts,
+    // the PREFIXED q157 quality chain (qg), and the q85 rank chain (r5)
+    "q178_host_scorecard" ->
+      s"""WITH ${ops.WebOps.duckdbRankCtes(ops.WebOps.RankIters, "__SYNTH__/web_docs.parquet/*.parquet")},
+         ${hostQualityCtesP("q")},
+         su AS (SELECT doc_id, unnest(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS url
+                FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
+         sh AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host FROM su),
+         sc AS (SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1)
+         SELECT sc.host, sc.n_urls, sc.n_docs, qg.mean_logit_x100,
+                qg.mean_logit_x100 >= ${ops.WebOps.HostReputationThresholdX100} AS reputable,
+                CAST(coalesce(rf.rank, 0) AS BIGINT) AS rank_x1e12
+         FROM sc JOIN qg USING (host)
+         LEFT JOIN r${ops.WebOps.RankIters} rf USING (host)""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a
@@ -3643,26 +3661,32 @@ object SparkEntry {
   /** Shared q157/q158 oracle prefix: web_docs quality logit → per-host
     * distinct attribution → host rollup (w, d, l, u, h, g CTEs).
     */
-  private lazy val hostQualityCtes: String = {
+  /** Host-quality CTE chain with a NAME PREFIX so it can compose with
+    * the rank CTEs (whose u/h names would otherwise collide) in the
+    * q178 scorecard oracle. Returns the body WITHOUT the leading WITH.
+    */
+  private def hostQualityCtesP(p: String): String = {
     val Seq(wTok, wLen, wStop, wPunct) = ops.TextOps.QualityLogitWeights
-    s"""WITH w AS (SELECT doc_id, text FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
-       d AS (SELECT doc_id, text,
+    s"""${p}w AS (SELECT doc_id, text FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
+       ${p}d AS (SELECT doc_id, text,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
            length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
            CAST(floor(length(regexp_replace(text, '\\s', '', 'g')) * 100.0
                       / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS mean_wordlen_x100,
            CAST(floor(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|that|for)\\b')) * 1000.0
                       / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS stopword_x1000
-         FROM w),
-       l AS (SELECT doc_id, text,
+         FROM ${p}w),
+       ${p}l AS (SELECT doc_id, text,
                n_tokens * $wTok + mean_wordlen_x100 * $wLen
-                 + stopword_x1000 * $wStop + n_punct * $wPunct AS logit FROM d),
-       u AS (SELECT doc_id, logit, unnest(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS url FROM l),
-       h AS (SELECT DISTINCT doc_id, logit,
-               regexp_replace(lower(regexp_extract(url, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host FROM u),
-       g AS (SELECT host, count(*) AS n_docs,
+                 + stopword_x1000 * $wStop + n_punct * $wPunct AS logit FROM ${p}d),
+       ${p}u AS (SELECT doc_id, logit, unnest(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS url FROM ${p}l),
+       ${p}h AS (SELECT DISTINCT doc_id, logit,
+               regexp_replace(lower(regexp_extract(url, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host FROM ${p}u),
+       ${p}g AS (SELECT host, count(*) AS n_docs,
                CAST((sum(logit) * 100) // count(*) AS BIGINT) AS mean_logit_x100
-             FROM h GROUP BY 1)
+             FROM ${p}h GROUP BY 1)
        """
   }
+
+  private lazy val hostQualityCtes: String = "WITH " + hostQualityCtesP("")
 }

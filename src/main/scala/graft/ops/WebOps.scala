@@ -461,6 +461,27 @@ object WebOps {
         count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Per-host scorecard (q178): the cross-family rollup a crawl
+    * operator reads before allocating budget — citation counts (q62),
+    * mean page-quality logit + the reputation verdict (q157), and the
+    * co-link PageRank (q85), one row per cited host. Composes the
+    * EXISTING builders, so the scorecard cannot drift from the queries
+    * it summarizes; hosts absent from the link graph carry rank 0
+    * (left join), matching "no inbound evidence".
+    *
+    * Scale shape: all three components aggregate to host-keyed frames
+    * (bounded by the host domain, not the corpus) before the joins; the
+    * corpus text is scanned by the component pipelines and never joined
+    * raw.
+    */
+  def hostScorecard(docs: DataFrame): DataFrame =
+    urlHosts(docs)
+      .join(hostQuality(docs).select(col("host"), col("mean_logit_x100"), col("reputable")),
+        Seq("host"))
+      .join(hostRank(docs).select(col("host"), col("rank_x1e12")), Seq("host"), "left")
+      .select(col("host"), col("n_urls"), col("n_docs"), col("mean_logit_x100"),
+        col("reputable"), coalesce(col("rank_x1e12"), lit(0L)).as("rank_x1e12"))
+
   /** PageRank iterations / fixed-point scale for [[hostRank]]. */
   val RankIters = 5
   val RankScale = 1000000000000L // 1e12: rank_x1e12 integer fixed point

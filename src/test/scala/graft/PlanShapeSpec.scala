@@ -439,6 +439,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel scan should read exactly (doc_id, text):\n$p")
   }
 
+  test("host scorecard: host-keyed joins of bounded frames; no cartesian") {
+    val p = plan(graft.ops.WebOps.hostScorecard(graft.synth.WebDocs.docs(spark, 40L)))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(p).isDefined,
+      s"raw text must never be a join/shuffle key:\n$p")
+  }
+
   test("cell topics: vocab-df and size joins broadcast; no cartesian") {
     val p = plan(graft.ops.SimilarityOps.cellTopicCards(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"cell-df must broadcast:\n$p")

@@ -650,4 +650,26 @@ class WebOpsSpec extends AnyFunSuite {
     val b = (0L until 40L).map(id => (id, WebDocs.text(id)))
     assert(a.toSeq == b)
   }
+
+  test("host scorecard: join/coalesce logic exact over the (independently-tested) components") {
+    import spark.implicits._
+    val docs = WebDocs.docs(spark, 40L)
+    val got = WebOps.hostScorecard(docs)
+      .as[(String, Long, Long, Long, Boolean, Long)].collect().toSet
+    val hosts = WebOps.urlHosts(docs)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val quality = WebOps.hostQuality(docs)
+      .select($"host", $"mean_logit_x100", $"reputable")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val ranks = WebOps.hostRank(docs)
+      .as[(String, Long)].collect().toMap
+    val expected = hosts.keySet.intersect(quality.keySet).map { h =>
+      val (nu, nd) = hosts(h); val (ml, rep) = quality(h)
+      (h, nu, nd, ml, rep, ranks.getOrElse(h, 0L))
+    }
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    assert(got.nonEmpty && got.exists(_._6 > 0L), "some host must carry rank mass")
+    // quality covers every cited host on this corpus, so no row is lost
+    assert(got.size == hosts.size)
+  }
 }
