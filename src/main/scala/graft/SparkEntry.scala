@@ -243,21 +243,8 @@ object SparkEntry {
     // snapshot diff (T6): planted next-snapshot delta — first 5 convs
     // deleted, every turn 0 drifted, one turn added per conv ≡ 0 mod 10 —
     // the engine's content-hash anti join must find EXACTLY that delta
-    "q71_snapshot_diff" -> ((s, _) => {
-      import s.implicits._
-      val prev = SynthDataset.turns(s, VerifyConvs)
-      val added = s.range(VerifyConvs)
-        .filter(c => c >= 5L && c % 10 == 0)
-        .map(c => graft.model.Turn(f"conv-$c%06d", 999, "user",
-          "<p>late-arriving appended turn body text</p>", null,
-          new java.sql.Timestamp(1735689600000L)))
-      val next = prev
-        .filter((t: graft.model.Turn) => t.conv_id >= "conv-000005")
-        .map((t: graft.model.Turn) =>
-          if (t.turn_idx == 0) t.copy(text = t.text + " drift") else t)
-        .union(added)
-      Pipeline.changedTurnKeys(prev, next)
-    }),
+    "q71_snapshot_diff" -> ((s, _) =>
+      Pipeline.changedTurnKeys(SynthDataset.turns(s, VerifyConvs), verifyNextSnapshot(s))),
     // RAG overlap chunking (ref config 128/16; verify-scale 32/8 so the
     // short sf docs genuinely multi-chunk — defaults pinned by RagOpsSpec)
     "q72_rag_chunks" -> ((s, d) =>
@@ -714,11 +701,37 @@ object SparkEntry {
     // per-host scorecard: citations x quality x PageRank in one frame —
     // the crawl operator's budget-allocation view
     "q178_host_scorecard" -> ((s, _) =>
-      WebOps.hostScorecard(graft.synth.WebDocs.docs(s, VerifyWebDocs)))
+      WebOps.hostScorecard(graft.synth.WebDocs.docs(s, VerifyWebDocs))),
+    // vocabulary drift between snapshots: top token movers with exact
+    // deltas and ratios over the planted q71 change-set
+    "q179_vocab_drift" -> ((s, _) =>
+      TranscriptOps.vocabDrift(
+        SynthDataset.turns(s, VerifyConvs).toDF(), verifyNextSnapshot(s).toDF()))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
   val VerifyNfcDocs = 200L
+
+  /** The planted "next snapshot" shared by q71 (diff) and q179 (vocab
+    * drift): convs 0-4 deleted, every turn 0 drifted (" drift"
+    * appended), one late turn appended per conv ≡ 0 mod 10. ONE
+    * definition so the drift queries and their oracles (which re-derive
+    * the same rules in SQL) can never disagree on the change-set.
+    */
+  private def verifyNextSnapshot(s: SparkSession): org.apache.spark.sql.Dataset[graft.model.Turn] = {
+    import s.implicits._
+    val prev = SynthDataset.turns(s, VerifyConvs)
+    val added = s.range(VerifyConvs)
+      .filter(c => c >= 5L && c % 10 == 0)
+      .map(c => graft.model.Turn(f"conv-$c%06d", 999, "user",
+        "<p>late-arriving appended turn body text</p>", null,
+        new java.sql.Timestamp(1735689600000L)))
+    prev
+      .filter((t: graft.model.Turn) => t.conv_id >= "conv-000005")
+      .map((t: graft.model.Turn) =>
+        if (t.turn_idx == 0) t.copy(text = t.text + " drift") else t)
+      .union(added)
+  }
 
   /** Mixed-shape JSON payloads for the q69 dispatch (synth.JsonRecords). */
   val VerifyJsonRecords = 200L
@@ -2132,6 +2145,32 @@ object SparkEntry {
                 CAST(coalesce(rf.rank, 0) AS BIGINT) AS rank_x1e12
          FROM sc JOIN qg USING (host)
          LEFT JOIN r${ops.WebOps.RankIters} rf USING (host)""",
+    // q179: DuckDB rebuilds BOTH snapshots' token histograms from the
+    // golden table + the planted change-set rules, then the same
+    // delta/ratio/top-K arithmetic
+    "q179_vocab_drift" ->
+      s"""WITH g AS (SELECT conv_id, turn_idx, text
+                    FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
+         nx AS (SELECT CASE WHEN turn_idx = 0 THEN text || ' drift' ELSE text END AS text
+                FROM g WHERE conv_id >= 'conv-000005'
+                UNION ALL
+                SELECT '<p>late-arriving appended turn body text</p>' AS text
+                FROM (SELECT DISTINCT conv_id FROM g) c
+                WHERE conv_id >= 'conv-000005' AND CAST(substr(conv_id, 6) AS BIGINT) % 10 = 0),
+         tp AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token FROM g),
+         tn AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token FROM nx),
+         cp AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_prev FROM tp GROUP BY 1),
+         cn AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_next FROM tn GROUP BY 1),
+         j AS (SELECT coalesce(cp.token, cn.token) AS token,
+                      coalesce(cnt_prev, 0) AS cnt_prev, coalesce(cnt_next, 0) AS cnt_next
+               FROM cp FULL OUTER JOIN cn ON cp.token = cn.token),
+         d AS (SELECT token, cnt_prev, cnt_next,
+                      cnt_next - cnt_prev AS delta,
+                      CAST((cnt_next * 10000) // greatest(cnt_prev, 1) AS BIGINT) AS ratio_x10000
+               FROM j WHERE cnt_next <> cnt_prev)
+         SELECT token, cnt_prev, cnt_next, delta, ratio_x10000
+         FROM d ORDER BY abs(delta) DESC, token ASC
+         LIMIT ${ops.TranscriptOps.DriftTopK}""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

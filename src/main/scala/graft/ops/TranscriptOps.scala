@@ -462,4 +462,35 @@ object TranscriptOps {
       .withColumn("p_x10000", expr("(n * 10000) div from_total"))
       .drop("from_total")
   }
+
+  /** Top-mover vocabulary drift between two turn snapshots (q179) — the
+    * corpus-monitoring artifact a recurring crawl publishes per refresh:
+    * which tokens appeared, vanished, or changed mass between snapshot A
+    * and snapshot B. Exact integers: per-token counts on each side, the
+    * signed delta, and ratio_x10000 = next·10⁴ div max(prev, 1); top-K
+    * movers by (|delta| desc, token asc) — a total order, so the K-set
+    * is deterministic.
+    *
+    * Scale shape: each side collapses to a vocab-bounded (token, count)
+    * frame with map-side combine before the full-outer join; the top-K
+    * compiles to TakeOrderedAndProject (plan-asserted), never a global
+    * sort of the vocabulary.
+    */
+  val DriftTopK = 50
+
+  def vocabDrift(prev: DataFrame, next: DataFrame, k: Int = DriftTopK): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    counts(prev, "cnt_prev")
+      .join(counts(next, "cnt_next"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_prev"), lit(0L)).as("cnt_prev"),
+        coalesce(col("cnt_next"), lit(0L)).as("cnt_next"))
+      .withColumn("delta", col("cnt_next") - col("cnt_prev"))
+      .filter(col("delta") =!= 0L)
+      .withColumn("ratio_x10000", expr("(cnt_next * 10000) div greatest(cnt_prev, 1L)"))
+      .orderBy(abs(col("delta")).desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -439,6 +439,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel scan should read exactly (doc_id, text):\n$p")
   }
 
+  test("vocab drift: top-K movers via TakeOrderedAndProject, no global sort") {
+    val a = graft.synth.SynthDataset.turns(spark, 20L).toDF()
+    val b = graft.synth.SynthDataset.turns(spark, 25L).toDF()
+    val p = plan(graft.ops.TranscriptOps.vocabDrift(a, b))
+    assert(p.contains("TakeOrderedAndProject"), s"top-K must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("host scorecard: host-keyed joins of bounded frames; no cartesian") {
     val p = plan(graft.ops.WebOps.hostScorecard(graft.synth.WebDocs.docs(spark, 40L)))
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")

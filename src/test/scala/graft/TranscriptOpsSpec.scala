@@ -400,4 +400,18 @@ class TranscriptOpsSpec extends AnyFunSuite {
       assert(r._6 == (r._2 - 1L) * r._5, s"savings arithmetic for ${r._1}")
     }
   }
+
+  test("vocabDrift: exact deltas/ratios over a handcrafted change-set") {
+    import spark.implicits._
+    val prev = Seq("a a b c", "d d d").toDF("text")
+    val next = Seq("a b b e", "d").toDF("text")
+    val got = graft.ops.TranscriptOps.vocabDrift(prev, next)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("d", 3L, 1L, -2L, 3333L),
+      ("a", 2L, 1L, -1L, 5000L),
+      ("b", 1L, 2L, 1L, 20000L),
+      ("c", 1L, 0L, -1L, 0L),
+      ("e", 0L, 1L, 1L, 10000L)), s"got $got")
+  }
 }
