@@ -706,7 +706,15 @@ object SparkEntry {
     // deltas and ratios over the planted q71 change-set
     "q179_vocab_drift" -> ((s, _) =>
       TranscriptOps.vocabDrift(
-        SynthDataset.turns(s, VerifyConvs).toDF(), verifyNextSnapshot(s).toDF()))
+        SynthDataset.turns(s, VerifyConvs).toDF(), verifyNextSnapshot(s).toDF())),
+    // MEASURED watermark drop accounting: the straggler stream replayed
+    // through a real watermarked append-mode aggregation, batch per
+    // block — admitted/dropped counts match Spark's lagged late-event
+    // watermark rule exactly (see watermarkDropAudit scaladoc)
+    "q180_stream_drop_audit" -> ((s, _) =>
+      graft.streaming.StreamingExtract.watermarkDropAudit(s,
+        RelationalOps.stragglerStream(s, RelationalOps.VerifyArrivalEvents),
+        java.nio.file.Files.createTempDirectory("graft-wm-q180").toString))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -2171,6 +2179,34 @@ object SparkEntry {
          SELECT token, cnt_prev, cnt_next, delta, ratio_x10000
          FROM d ORDER BY abs(delta) DESC, token ASC
          LIMIT ${ops.TranscriptOps.DriftTopK}""",
+    // q180: DuckDB regenerates the straggler stream and applies the
+    // MEASURED lagged-watermark rule (late-event filter = batch-(k-2)
+    // high-water mark, ms-floored, minus the delay; drop iff the
+    // 1-second window END <= it)
+    "q180_stream_drop_audit" ->
+      s"""WITH ev AS (SELECT t.range AS event_id,
+                't' || (t.range % 4) AS event_type,
+                ${ops.RelationalOps.ArrivalBaseUs} + t.range * ${ops.RelationalOps.ArrivalStepUs}
+                  - (CAST('0x' || substr(sha256(CAST(t.range AS VARCHAR)), 1, 8) AS BIGINT)
+                     % ${ops.RelationalOps.ArrivalJitterUs})
+                  - CASE WHEN t.range % ${ops.RelationalOps.StragglerEvery} = 0 AND t.range > 0
+                         THEN ${ops.RelationalOps.StragglerLagUs} ELSE 0 END AS us
+              FROM range(${ops.RelationalOps.VerifyArrivalEvents}) t),
+         b AS (SELECT *, event_id // ${ops.RelationalOps.LatenessBlock} AS blk FROM ev),
+         bm AS (SELECT blk, max(us) AS bmax FROM b GROUP BY 1),
+         bi AS (SELECT blk, bmax, row_number() OVER (ORDER BY blk) - 1 AS k FROM bm),
+         wm AS (SELECT a.blk, max(CASE WHEN x.k <= a.k - 2 THEN x.bmax END) AS wmax
+                FROM bi a CROSS JOIN bi x GROUP BY a.blk),
+         adm AS (SELECT b.event_type,
+                  CASE WHEN w.wmax IS NULL THEN 1
+                       WHEN ((b.us // 1000000) + 1) * 1000000
+                            > ((w.wmax // 1000) - ${graft.streaming.StreamingExtract.AuditDelayMs}) * 1000 THEN 1
+                       ELSE 0 END AS ok
+                 FROM b JOIN wm w USING (blk))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_input,
+                CAST(sum(ok) AS BIGINT) AS n_admitted,
+                CAST(count(*) - sum(ok) AS BIGINT) AS n_dropped
+         FROM adm GROUP BY 1""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -495,6 +495,21 @@ object RelationalOps {
   val ArrivalBaseUs = 1700000000000000L
   val VerifyArrivalEvents = 2000L
 
+  /** Straggler schedule for the q180 drop audit: every 97th event
+    * arrives 600 s late — far enough behind that it is late even under
+    * Spark's LAGGED late-event watermark (the batch-(k-2) high-water
+    * mark; jitter-scale lateness never is, which is exactly what q171
+    * vs q180 demonstrates). */
+  val StragglerEvery = 97L
+  val StragglerLagUs = 600000000L
+
+  /** [[arrivalStream]] plus severe stragglers — the q180 input. */
+  def stragglerStream(spark: SparkSession, n: Long): DataFrame =
+    arrivalStream(spark, n)
+      .withColumn("us",
+        when(col("event_id") % StragglerEvery === 0L && col("event_id") > 0L,
+          col("us") - StragglerLagUs).otherwise(col("us")))
+
   /** Deterministic out-of-order arrival stream: arrival order IS
     * event_id; event time steps forward 1 s per arrival minus a
     * hash-jittered 0-5 s. */

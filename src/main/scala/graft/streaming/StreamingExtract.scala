@@ -158,6 +158,109 @@ object StreamingExtract {
     q
   }
 
+  /** Watermark delay for [[watermarkDropAudit]] — 2000 ms, chosen
+    * between the arrival stream's median and max lateness so late drops
+    * GENUINELY occur at verify scale. */
+  val AuditDelayMs = 2000L
+
+  /** q180: MEASURED watermark drop accounting — the q171 lateness audit
+    * says what a watermark of some delay would admit in theory; this
+    * replays a stream through a real watermarked stateful operator and
+    * counts what Spark DID admit. The stream lands one parquet file per
+    * event_id block with strictly increasing mtimes, so the file source
+    * (maxFilesPerTrigger=1, AvailableNow) replays blocks as
+    * deterministic batches in arrival order; the stateful op is a
+    * watermarked 1-second-window aggregation in APPEND mode — the
+    * operator class where Spark actually drops late input (both
+    * dropDuplicates variants were MEASURED to pass late rows through on
+    * this build). The sentinel double-drain (the eventWindows recipe)
+    * flushes the trailing windows so emitted counts equal admitted rows.
+    *
+    * The measured drop rule, replicated exactly by the oracle and the
+    * local test: since SPARK-24634 the LATE-EVENT filter uses the
+    * PREVIOUS batch's watermark, i.e. during batch k the filter value is
+    * (floor(maxUs(blocks with index <= k-2) / 1000) - delayMs) ms, and a
+    * row is dropped iff its 1-second window END is <= that value
+    * (probed empirically: a row 2 h late in batch 1 of a 0-delay stream
+    * is ADMITTED because the lagged filter is still at 0). Jitter-scale
+    * lateness therefore never drops — only genuine stragglers do, which
+    * is why the audit input is `RelationalOps.stragglerStream`.
+    *
+    * Scale shape: the per-block landing loop is bounded by block count
+    * (the replay-granularity knob), not rows; the stream itself is one
+    * pass; the audit join aggregates both sides to per-type counts
+    * before comparing.
+    */
+  def watermarkDropAudit(
+      spark: SparkSession,
+      events: DataFrame, // (event_id, event_type, us)
+      base: String,
+      delayMs: Long = AuditDelayMs,
+      blockSize: Long = graft.ops.RelationalOps.LatenessBlock): DataFrame = {
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val src = events
+      .select(col("event_id"), col("event_type"), col("us"),
+        timestamp_micros(col("us")).as("ts"))
+      .withColumn("blk", expr(s"event_id div $blockSize"))
+    val blocks = src.select(col("blk")).distinct()
+      .collect().map(_.getLong(0)).sorted // block count, not data, bounded
+    blocks.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$base/tmp_b$b"
+      src.filter(col("blk") === b).drop("blk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dest = java.nio.file.Paths.get(in, f"block-$b%05d.parquet")
+      java.nio.file.Files.move(part, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    }
+    val schema = spark.read.parquet(in).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withWatermark("ts", s"$delayMs milliseconds")
+        .groupBy(window(col("ts"), "1 second"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // sentinel file (one more deterministic batch, 3 h past the corpus
+    // max) pushes the persisted watermark beyond every real window so
+    // the resumed drain emits them all; its own row is filtered out
+    val maxUs = src.agg(max(col("us"))).head().getLong(0)
+    import spark.implicits._
+    val sentinel = Seq((-1L, WatermarkSentinel, maxUs + 3L * 3600 * 1000000))
+      .toDF("event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val stmp = s"$base/tmp_sentinel"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stmp)
+    val spart = java.nio.file.Files.list(java.nio.file.Paths.get(stmp))
+      .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val sdest = java.nio.file.Paths.get(in, "block-zz-sentinel.parquet")
+    java.nio.file.Files.move(spart, sdest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(sdest,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + (blocks.length + 1) * 1000L))
+    drain()
+    val admitted = spark.read.parquet(out)
+      .filter(col("event_type") =!= WatermarkSentinel)
+      .groupBy(col("event_type")).agg(coalesce(sum(col("n")), lit(0L)).as("n_admitted"))
+    src.groupBy(col("event_type")).agg(count(lit(1)).as("n_input"))
+      .join(admitted, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_input"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+      .withColumn("n_dropped", col("n_input") - col("n_admitted"))
+  }
+
   /** Sentinel event type used by [[eventWindows]] to close the watermark. */
   val WatermarkSentinel = "__watermark_sentinel__"
 

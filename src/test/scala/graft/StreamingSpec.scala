@@ -165,4 +165,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.count() === nConvs)
     assert(last.except(truth).isEmpty && truth.except(last).isEmpty)
   }
+
+  test("watermark drop audit: measured drops equal the block-prefix watermark rule") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-wm-audit").toString
+    val ev = graft.ops.RelationalOps.stragglerStream(
+      spark, graft.ops.RelationalOps.VerifyArrivalEvents)
+    val got = StreamingExtract.watermarkDropAudit(spark, ev, base)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // sequential local replay of the MEASURED rule: the late-event
+    // filter during batch k is the LAGGED watermark
+    // (floor(maxUs(blocks with index <= k-2)/1000) - delayMs) ms, and a
+    // row drops iff its 1-second window END is <= that value
+    val rows = ev.as[(Long, String, Long)].collect().sortBy(_._1)
+    val blockSize = graft.ops.RelationalOps.LatenessBlock
+    val input = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val adm = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val blocks = rows.groupBy(_._1 / blockSize).toSeq.sortBy(_._1).map(_._2)
+    blocks.zipWithIndex.foreach { case (rs, k) =>
+      val wmUs =
+        if (k < 2) Long.MinValue
+        else (blocks.take(k - 1).flatten.map(_._3).max / 1000L -
+          StreamingExtract.AuditDelayMs) * 1000L
+      rs.foreach { case (_, t, us) =>
+        input(t) += 1
+        val windowEndUs = (us / 1000000L + 1L) * 1000000L
+        if (wmUs == Long.MinValue || windowEndUs > wmUs) adm(t) += 1
+      }
+    }
+    val expected = input.keys.map(t => t -> ((input(t), adm(t), input(t) - adm(t)))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.values.map(_._3).sum > 0, "late drops must genuinely occur")
+    assert(got.values.map(_._2).sum > 0, "most events must be admitted")
+  }
 }
