@@ -714,7 +714,11 @@ object SparkEntry {
     "q180_stream_drop_audit" -> ((s, _) =>
       graft.streaming.StreamingExtract.watermarkDropAudit(s,
         RelationalOps.stragglerStream(s, RelationalOps.VerifyArrivalEvents),
-        java.nio.file.Files.createTempDirectory("graft-wm-q180").toString))
+        java.nio.file.Files.createTempDirectory("graft-wm-q180").toString)),
+    // line-break dehyphenation over planted wraps — the PDF-extraction
+    // repair, conservative lowercase-lowercase merge rule, sha-pinned
+    "q181_dehyphenate" -> ((s, _) =>
+      TextOps.dehyphenate(graft.synth.HyphenDocs.docs(s, VerifyNfcDocs)))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -2207,6 +2211,19 @@ object SparkEntry {
                 CAST(sum(ok) AS BIGINT) AS n_admitted,
                 CAST(count(*) - sum(ok) AS BIGINT) AS n_dropped
          FROM adm GROUP BY 1""",
+    // q181: DuckDB applies the same conservative merge with RE2
+    // backref rewrite and shas the repaired text
+    "q181_dehyphenate" ->
+      s"""WITH d AS (SELECT doc_id, text
+                    FROM read_parquet('__SYNTH__/hyphen_docs.parquet/*.parquet')),
+         c AS (SELECT doc_id, text,
+                      regexp_replace(text, '([a-z])-\n([a-z])', '\\1\\2', 'g') AS clean
+               FROM d)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '-\n')) AS INTEGER) AS n_linebreak_hyphens,
+                CAST((length(text) - length(clean)) // 2 AS INTEGER) AS n_merged,
+                sha256(clean) AS clean_sha
+         FROM c""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

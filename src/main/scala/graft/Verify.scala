@@ -130,6 +130,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/nfc_docs.parquet")
       }
+      synthWrite("hyphen_docs", "q181 dehyphenation oracle (planted line-break wraps)") {
+        synth.HyphenDocs.docs(spark, SparkEntry.VerifyNfcDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/hyphen_docs.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

@@ -298,6 +298,30 @@ object TextOps {
         sha2(col("clean"), 256).as("clean_sha"))
   }
 
+  /** Line-break dehyphenation (q181) — the classic PDF/column
+    * extraction repair: a word wrapped at a line end ("exam-\nple")
+    * merges back iff BOTH sides are lowercase letters (the conservative
+    * rule: inline compounds like "re-use" and uppercase breaks like
+    * "USA-\nToday" survive untouched; a compound wrapped at its own
+    * hyphen merges too — the ambiguity every dehyphenator accepts,
+    * documented here). Counts come from pure arithmetic, not lookahead
+    * regex (RE2 on the oracle side has no lookahead): each merge removes
+    * exactly the 2 chars '-\n'.
+    *
+    * Scale shape: one narrow codegen'd projection per doc — no shuffle,
+    * no join, no typed boundary.
+    */
+  def dehyphenate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("clean",
+        regexp_replace(col("text"), "([a-z])-\\n([a-z])", "$1$2"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("-\\n"), lit(0)))
+          .as("n_linebreak_hyphens"),
+        ((length(col("text")) - length(col("clean"))) / 2).cast("int").as("n_merged"),
+        sha2(col("clean"), 256).as("clean_sha"))
+
   private val langStopwords: Seq[(String, String)] = Seq(
     // (lang, regex of high-frequency function words)
     ("en", "\\b(the|and|of|to|in|is|that|for)\\b"),

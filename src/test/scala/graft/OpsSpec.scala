@@ -1088,6 +1088,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists { case (l, p, _, _) => l != p })
   }
 
+  test("dehyphenate: planted wrap shapes produce the hand-computed repairs") {
+    import spark.implicits._
+    val got = TextOps.dehyphenate(graft.synth.HyphenDocs.docs(spark, 25L))
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 25)
+    (0L until 25L).foreach { id =>
+      val filler = s"doc $id body line "
+      val (nBreaks, nMerged, clean) = (id % 5) match {
+        case 0 => (0, 0, filler + "plain words only")
+        case 1 => (1, 1, filler + "an example of wrapping")
+        case 2 => (0, 0, filler + "we re-use the tooling")
+        case 3 => (1, 1, filler + "hyphen plus re-use inline")
+        // uppercase break: the line-break hyphen is SEEN but not merged
+        case _ => (1, 0, filler + "USA-\nToday stays split")
+      }
+      val (_, nb, nm, sha) = got(id)
+      assert(nb == nBreaks, s"doc $id n_linebreak_hyphens")
+      assert(nm == nMerged, s"doc $id n_merged")
+      assert(sha == sha256Hex(clean), s"doc $id sha")
+    }
+  }
+
   test("nfc audit: planted NFC/NFD/control shapes produce the hand-computed truths") {
     import spark.implicits._
     val got = TextOps.nfcAudit(graft.synth.NfcDocs.docs(spark, 25L))

@@ -477,6 +477,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"turn text must never be a shuffle key:\n$p")
   }
 
+  test("dehyphenate: one narrow codegen'd projection — no shuffle, no join, no typed map") {
+    val p = plan(graft.ops.TextOps.dehyphenate(graft.synth.HyphenDocs.docs(spark, 50L)))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"dehyphenation must stay narrow:\n$p")
+  }
+
   test("nfc audit: one narrow typed map — no shuffle, no join") {
     val p = plan(graft.ops.TextOps.nfcAudit(graft.synth.NfcDocs.docs(spark, 50L)))
     assert(!p.contains("Exchange"), s"nfc audit must not shuffle:\n$p")
