@@ -718,7 +718,10 @@ object SparkEntry {
     // line-break dehyphenation over planted wraps — the PDF-extraction
     // repair, conservative lowercase-lowercase merge rule, sha-pinned
     "q181_dehyphenate" -> ((s, _) =>
-      TextOps.dehyphenate(graft.synth.HyphenDocs.docs(s, VerifyNfcDocs)))
+      TextOps.dehyphenate(graft.synth.HyphenDocs.docs(s, VerifyNfcDocs))),
+    // cell prototypicality outliers: bottom-decile centroid cosine per
+    // IVF cell (value thresholds) — D4's other half next to q167
+    "q182_cell_outliers" -> ((s, d) => SimilarityOps.cellOutliers(s, d))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -2224,6 +2227,30 @@ object SparkEntry {
                 CAST((length(text) - length(clean)) // 2 AS INTEGER) AS n_merged,
                 sha256(clean) AS clean_sha
          FROM c""",
+    // q182: DuckDB re-derives assignment + centroid cosine from the
+    // materialized centroids, then the same histogram decile thresholds
+    "q182_cell_outliers" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+               FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         a AS MATERIALIZED (SELECT vec_id,
+                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         s AS MATERIALIZED (SELECT a.vec_id, a.cell,
+                  CAST(floor(list_cosine_similarity(e.v, c.cv) * 10000) AS BIGINT) AS cc
+               FROM a JOIN e USING (vec_id) JOIN c ON a.cell = c.cell),
+         h AS (SELECT cell, cc, count(*) AS cnt FROM s GROUP BY 1, 2),
+         cum AS (SELECT cell, cc,
+                        sum(cnt) OVER (PARTITION BY cell ORDER BY cc ASC
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                        sum(cnt) OVER (PARTITION BY cell) AS n
+                 FROM h),
+         th AS (SELECT cell,
+                       CAST(min(CASE WHEN cum * 10 >= n THEN cc END) AS BIGINT) AS p10
+                FROM cum GROUP BY 1)
+         SELECT s.vec_id, s.cell, s.cc AS cent_cos_x10000,
+                th.p10 AS cell_p10_x10000, s.cc <= th.p10 AS is_outlier
+         FROM s JOIN th USING (cell)""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

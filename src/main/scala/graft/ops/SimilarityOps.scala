@@ -664,6 +664,43 @@ object SimilarityOps {
         col("score"), col("rank"))
   }
 
+  /** Cell prototypicality outliers (q182) — the OTHER half of the D4
+    * recipe (Tirumala et al. 2023: SemDeDup prunes cluster-redundant
+    * points, prototypicality pruning flags cluster-ATYPICAL ones): a
+    * vector is an outlier iff its cosine to its own IVF centroid sits in
+    * the bottom decile of its cell. The decile boundary is a VALUE
+    * threshold off a (cell, cent_cos) histogram — the q166 discipline:
+    * ties share a verdict, no per-cell rank window ever sees the corpus
+    * (cells are few; a rank window would funnel whole cells through
+    * single partitions at 100 TB).
+    *
+    * Scale shape: one assignment pass; the histogram is bounded by
+    * cells x the x10000 score domain; thresholds broadcast back.
+    */
+  def cellOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val centroids = ivfCentroids(spark, dir)
+    val scored = assignCells(vecs, centroids)
+      .join(vecs, "vec_id")
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("graft_cosine_x10000(embedding, centroid)").as("cc"))
+    val wCum = Window.partitionBy(col("cell")).orderBy(col("cc").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = scored
+      .groupBy(col("cell"), col("cc")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("cell"))))
+      .groupBy(col("cell"))
+      .agg(min(when(col("cum") * 10 >= col("n"), col("cc"))).as("p10"))
+    scored.join(broadcast(th), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        col("cc").as("cent_cos_x10000"),
+        col("p10").as("cell_p10_x10000"),
+        (col("cc") <= col("p10")).as("is_outlier"))
+  }
+
   /** ANN-mined contrastive triplets (the production upgrade of q53's
     * positional pairs): for each anchor in the query sample, the hardest
     * positive (same label, highest cosine) and the HARD NEGATIVE

@@ -454,6 +454,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"raw text must never be a join/shuffle key:\n$p")
   }
 
+  test("cell outliers: histogram thresholds broadcast; no per-cell rank window on the corpus") {
+    val p = plan(graft.ops.SimilarityOps.cellOutliers(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("cell topics: vocab-df and size joins broadcast; no cartesian") {
     val p = plan(graft.ops.SimilarityOps.cellTopicCards(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"cell-df must broadcast:\n$p")

@@ -446,6 +446,37 @@ class TrainingIvfSpec extends AnyFunSuite {
     assert(got.map(_._1).size > 1 || got.nonEmpty)
   }
 
+  test("cellOutliers: decile value-thresholds and verdicts match local recompute") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cents = localCentroids(vecs, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents)
+    val cc = vecs.map { case (id, v) =>
+      id -> math.floor(TextAlgos.cosine(v, cents(assign(id))) * 10000).toLong
+    }.toMap
+    val p10 = vecs.groupBy { case (id, _) => assign(id) }.map { case (cell, members) =>
+      val vals = members.map(m => cc(m._1)).sorted
+      val n = vals.length.toLong
+      val hist = vals.groupBy(identity).toSeq.sortBy(_._1)
+      var cum = 0L; var t = Option.empty[Long]
+      hist.foreach { case (v, g) =>
+        cum += g.length
+        if (t.isEmpty && cum * 10 >= n) t = Some(v)
+      }
+      cell -> t.get
+    }
+    val expected = vecs.map { case (id, _) =>
+      val cell = assign(id)
+      (id, cell, cc(id), p10(cell), cc(id) <= p10(cell))
+    }.toSet
+    val got = SimilarityOps.cellOutliers(spark, dir)
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSet
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    val out = got.count(_._5)
+    assert(out > 0 && out < got.size, s"outlier flag must genuinely split: $out/${got.size}")
+  }
+
   test("LSH tuner: fxPow/fxHit exactness and feasible-first grid choice") {
     assert(SimilarityOps.fxPow(10000L, 5) == 10000L)
     assert(SimilarityOps.fxPow(5000L, 2) == 2500L)
