@@ -721,7 +721,11 @@ object SparkEntry {
       TextOps.dehyphenate(graft.synth.HyphenDocs.docs(s, VerifyNfcDocs))),
     // cell prototypicality outliers: bottom-decile centroid cosine per
     // IVF cell (value thresholds) — D4's other half next to q167
-    "q182_cell_outliers" -> ((s, d) => SimilarityOps.cellOutliers(s, d))
+    "q182_cell_outliers" -> ((s, d) => SimilarityOps.cellOutliers(s, d)),
+    // skew-salted shuffle join: (conv_id, salt) join key spreads each
+    // Zipf-hot conversation over S tasks; equals the plain join exactly
+    "q183_salted_join" -> ((s, _) =>
+      Pipeline.saltedDimJoin(SynthDataset.turns(s, VerifyConvs)))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -2251,6 +2255,15 @@ object SparkEntry {
          SELECT s.vec_id, s.cell, s.cc AS cent_cos_x10000,
                 th.p10 AS cell_p10_x10000, s.cc <= th.p10 AS is_outlier
          FROM s JOIN th USING (cell)""",
+    // q183: the salt is engine-private — DuckDB computes the PLAIN join
+    // and rollup, proving the salted plan changes nothing semantically
+    "q183_salted_join" ->
+      """WITH g AS (SELECT conv_id FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
+         t AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM g GROUP BY 1),
+         d AS (SELECT conv_id,
+                      CAST('0x' || substr(sha256(conv_id), 1, 2) AS BIGINT) % 10 AS conv_bucket
+               FROM (SELECT DISTINCT conv_id FROM g) u)
+         SELECT t.conv_id, d.conv_bucket, t.n_turns FROM t JOIN d USING (conv_id)""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

@@ -93,6 +93,34 @@ object Pipeline {
       .select(col("conv_id"), col("n_turns"), col("n_chars"),
         col("is_long"), col("n_salt_buckets"))
 
+  /** q183: skew-salted shuffle JOIN — the manual-salting technique on
+    * the join itself (the [[salted]] repartition covers the extraction
+    * stage; this is the big-x-big join case): the turn table joins a
+    * per-conversation dimension that at 10^12-turn scale is NOT
+    * broadcastable, so without salting every turn of a Zipf-hot
+    * conversation lands on ONE reduce task. The dimension replicates
+    * once per salt value (dim x S stays dim-scale) and the join keys on
+    * (conv_id, salt) = pmod(turn_idx, S), spreading each hot key over S
+    * tasks. `hint("merge")` pins the shuffle join so the tiny verify dim
+    * cannot broadcast and mask the demonstrated shape; the salt in the
+    * join key is plan-asserted, and the result provably equals the
+    * unsalted join (oracle = the plain join).
+    */
+  def saltedDimJoin(
+      turns: Dataset[Turn],
+      saltBuckets: Int = DefaultSaltBuckets): org.apache.spark.sql.DataFrame = {
+    val dim = turns.toDF().select(col("conv_id")).distinct()
+      .withColumn("conv_bucket",
+        conv(substring(sha2(col("conv_id"), 256), 1, 2), 16, 10).cast("long") % 10)
+    val dimSalted = dim.withColumn("salt",
+      explode(typedLit((0 until saltBuckets).toList)))
+    turns.toDF()
+      .withColumn("salt", pmod(col("turn_idx"), lit(saltBuckets)))
+      .join(dimSalted.hint("merge"), Seq("conv_id", "salt"))
+      .groupBy(col("conv_id"), col("conv_bucket"))
+      .agg(count(lit(1)).as("n_turns"))
+  }
+
   /** Fused single-stage extraction over an already-partitioned input. */
   def extractStage(spark: SparkSession, turns: Dataset[Turn]): Dataset[ExtractedTurn] = {
     import spark.implicits._

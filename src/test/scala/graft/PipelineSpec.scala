@@ -218,6 +218,22 @@ class PipelineSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("saltedDimJoin: result equals the plain rollup; every conv present once") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, 40L)
+    val got = Pipeline.saltedDimJoin(turns)
+      .as[(String, Long, Long)].collect().toSet
+    val plain = turns.toDF().groupBy(col("conv_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_turns"))
+      .as[(String, Long)].collect().toMap
+    def bucket(c: String): Long =
+      java.lang.Long.parseLong(SparkSessionFixture.sha256Hex(c).substring(0, 2), 16) % 10
+    val expected = plain.map { case (c, n) => (c, bucket(c), n) }.toSet
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    assert(got.map(_._1).size == plain.size)
+  }
+
   test("snapshot diff + incremental re-ingest: delta-only extraction equals a full re-run") {
     import spark.implicits._
     val prev = SynthDataset.turns(spark, 60L)

@@ -472,6 +472,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no corpus cartesian:\n$p")
   }
 
+  test("salted join: the shuffle join keys on (conv_id, salt) — hot keys spread") {
+    val p = plan(graft.pipeline.Pipeline.saltedDimJoin(
+      graft.synth.SynthDataset.turns(spark, 30L)))
+    assert(p.contains("SortMergeJoin"), s"salted join must shuffle, not broadcast:\n$p")
+    assert("SortMergeJoin \\[conv_id[^\\]]*salt".r.findFirstIn(p).isDefined,
+      s"salt missing from the join key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("mergeUpsert: key-hash equi-joins only; turn text never crosses an exchange") {
     val turns = graft.synth.SynthDataset.turns(spark, 30L)
     val dels = turns.toDF().limit(5).select(
