@@ -725,7 +725,20 @@ object SparkEntry {
     // skew-salted shuffle join: (conv_id, salt) join key spreads each
     // Zipf-hot conversation over S tasks; equals the plain join exactly
     "q183_salted_join" -> ((s, _) =>
-      Pipeline.saltedDimJoin(SynthDataset.turns(s, VerifyConvs)))
+      Pipeline.saltedDimJoin(SynthDataset.turns(s, VerifyConvs))),
+    // cross-source duplicate-leakage matrix over documents + a planted
+    // mirror source (doc_id % 7) and re-crawl dups (doc_id % 13) — the
+    // provenance audit, computed over 32-byte hashes only (the sf
+    // documents corpus itself is exact-dup-free, so the overlay is what
+    // gives every matrix cell class a genuine nonzero)
+    "q184_source_dup_matrix" -> ((s, d) => {
+      val docs = RelationalOps.table(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrored = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("source", lit("mirror"))
+      val recrawl = docs.filter(col("doc_id") % 13 === 0)
+      DedupOps.crossSourceDups(docs.unionByName(mirrored).unionByName(recrawl))
+    })
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -2264,6 +2277,24 @@ object SparkEntry {
                       CAST('0x' || substr(sha256(conv_id), 1, 2) AS BIGINT) % 10 AS conv_bucket
                FROM (SELECT DISTINCT conv_id FROM g) u)
          SELECT t.conv_id, d.conv_bucket, t.n_turns FROM t JOIN d USING (conv_id)""",
+    // q184: DuckDB rebuilds the per-(hash, source) counts and both the
+    // diagonal and cross cells of the leakage matrix
+    "q184_source_dup_matrix" ->
+      """WITH uni AS (SELECT text, source FROM documents
+                     UNION ALL
+                     SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 7 = 0
+                     UNION ALL
+                     SELECT text, source FROM documents WHERE doc_id % 13 = 0),
+         hs AS (SELECT sha256(text) AS h, source, count(*) AS k
+                    FROM uni GROUP BY 1, 2),
+         diag AS (SELECT source AS source_a, source AS source_b,
+                         CAST(count(*) AS BIGINT) AS n_shared_texts
+                  FROM hs WHERE k >= 2 GROUP BY 1, 2),
+         cross_cells AS (SELECT a.source AS source_a, b.source AS source_b,
+                                CAST(count(*) AS BIGINT) AS n_shared_texts
+                         FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+                         GROUP BY 1, 2)
+         SELECT * FROM diag UNION ALL SELECT * FROM cross_cells""",
     // duplicated-span removal: DuckDB recomputes positioned grams, picks
     // the same lexicographic-first keeper via a window (the orthogonal
     // algorithm to the engine's min-struct agg), masks tokens with a

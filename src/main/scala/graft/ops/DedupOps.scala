@@ -411,6 +411,35 @@ object DedupOps {
   val VerifyEmbDupThresholdX10000 = 4500
   val VerifyEmbDupPlanes = 6
 
+  /** Cross-source duplicate leakage (q184): for every source pair, how
+    * many DISTINCT texts appear verbatim in both — the
+    * provenance/licensing matrix a corpus audit publishes (a text shared
+    * between a permissive and a restricted source is a compliance
+    * question; between two crawls it is mirror detection). Pure
+    * hash-shape: the corpus collapses to DISTINCT (sha256, source)
+    * before the self-join, so the join carries 32-byte hashes keyed by
+    * hash — the q20 discipline, never text.
+    */
+  def crossSourceDups(docs: DataFrame): DataFrame = {
+    val perHS = docs
+      .select(sha2(col("text"), 256).as("h"), col("source"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("k"))
+    // diagonal: texts duplicated WITHIN a source (re-crawl signal);
+    // cross cells: texts shared verbatim ACROSS sources (mirrors)
+    val diag = perHS.filter(col("k") >= 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        col("n_shared_texts"))
+    val d = perHS.select(col("h"), col("source"))
+    val cross = d.as("a")
+      .join(d.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+    diag.unionByName(cross)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup inside the IVF coarse
     * cells — k-means-cluster the embeddings, score pairwise cosine ONLY
     * within a cluster, and among semantic duplicates keep the vector

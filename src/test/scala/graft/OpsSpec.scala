@@ -1088,6 +1088,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists { case (l, p, _, _) => l != p })
   }
 
+  test("source dup matrix: diagonal and cross cells match local recompute; diagonal fires") {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", $"source").as[(Long, String, String)].collect()
+    val docs = raw.map(r => (r._2, r._3)) ++
+      raw.filter(_._1 % 7 == 0).map(r => (r._2, "mirror")) ++
+      raw.filter(_._1 % 13 == 0).map(r => (r._2, r._3))
+    val perHS = docs.groupBy { case (t, s) => (sha256Hex(t), s) }
+      .map { case (k, rs) => k -> rs.length.toLong }
+    val diag = perHS.filter(_._2 >= 2).keys.groupBy(_._2)
+      .map { case (s, ks) => (s, s, ks.size.toLong) }.toSet
+    val bySrc = perHS.keys.groupBy(_._1).map { case (h, ks) => h -> ks.map(_._2).toSeq.sorted }
+    val cross = bySrc.values.flatMap { srcs =>
+      for { a <- srcs; b <- srcs if a < b } yield (a, b)
+    }.groupBy(identity).map { case ((a, b), g) => (a, b, g.size.toLong) }.toSet
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    val overlay = docsDf
+      .unionByName(docsDf.filter($"doc_id" % 7 === 0)
+        .withColumn("source", org.apache.spark.sql.functions.lit("mirror")))
+      .unionByName(docsDf.filter($"doc_id" % 13 === 0))
+    val got = graft.ops.DedupOps.crossSourceDups(overlay)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == diag ++ cross, s"got $got\nexpected ${diag ++ cross}")
+    assert(diag.nonEmpty, "the planted re-crawl dups must surface on the diagonal")
+    assert(cross.nonEmpty, "the planted mirror must surface in cross cells")
+  }
+
   test("dehyphenate: planted wrap shapes produce the hand-computed repairs") {
     import spark.implicits._
     val got = TextOps.dehyphenate(graft.synth.HyphenDocs.docs(spark, 25L))

@@ -472,6 +472,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no corpus cartesian:\n$p")
   }
 
+  test("source dup matrix: hash-keyed self-join of 32-byte rows; text never shuffles") {
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("source"))
+    val p = plan(graft.ops.DedupOps.crossSourceDups(d0))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(p).isDefined,
+      s"text must never be a shuffle key:\n$p")
+  }
+
   test("salted join: the shuffle join keys on (conv_id, salt) — hot keys spread") {
     val p = plan(graft.pipeline.Pipeline.saltedDimJoin(
       graft.synth.SynthDataset.turns(spark, 30L)))
