@@ -2216,7 +2216,7 @@ object SparkEntry {
                   - CASE WHEN t.range % ${ops.RelationalOps.StragglerEvery} = 0 AND t.range > 0
                          THEN ${ops.RelationalOps.StragglerLagUs} ELSE 0 END AS us
               FROM range(${ops.RelationalOps.VerifyArrivalEvents}) t),
-         b AS (SELECT *, event_id // ${ops.RelationalOps.LatenessBlock} AS blk FROM ev),
+         b AS (SELECT *, event_id // ${graft.streaming.StreamingExtract.AuditBlockSize} AS blk FROM ev),
          bm AS (SELECT blk, max(us) AS bmax FROM b GROUP BY 1),
          bi AS (SELECT blk, bmax, row_number() OVER (ORDER BY blk) - 1 AS k FROM bm),
          wm AS (SELECT a.blk, max(CASE WHEN x.k <= a.k - 2 THEN x.bmax END) AS wmax

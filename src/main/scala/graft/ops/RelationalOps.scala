@@ -496,12 +496,13 @@ object RelationalOps {
   val VerifyArrivalEvents = 2000L
 
   /** Straggler schedule for the q180 drop audit: every 97th event
-    * arrives 600 s late — far enough behind that it is late even under
+    * arrives 1200 s late — far enough behind that it is late even under
     * Spark's LAGGED late-event watermark (the batch-(k-2) high-water
-    * mark; jitter-scale lateness never is, which is exactly what q171
-    * vs q180 demonstrates). */
+    * mark needs lateness > two replay blocks + delay; jitter-scale
+    * lateness never is, which is exactly what q171 vs q180
+    * demonstrates). */
   val StragglerEvery = 97L
-  val StragglerLagUs = 600000000L
+  val StragglerLagUs = 1200000000L
 
   /** [[arrivalStream]] plus severe stragglers — the q180 input. */
   def stragglerStream(spark: SparkSession, n: Long): DataFrame =

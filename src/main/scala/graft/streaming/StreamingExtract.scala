@@ -163,6 +163,12 @@ object StreamingExtract {
     * GENUINELY occur at verify scale. */
   val AuditDelayMs = 2000L
 
+  /** Replay-block size for [[watermarkDropAudit]]: 512 ids per batch —
+    * batch count (the real cost: micro-batch startup x two drains) stays
+    * small while the 1200 s straggler lag still exceeds the two-block
+    * lagged-watermark horizon. */
+  val AuditBlockSize = 512L
+
   /** q180: MEASURED watermark drop accounting — the q171 lateness audit
     * says what a watermark of some delay would admit in theory; this
     * replays a stream through a real watermarked stateful operator and
@@ -196,7 +202,7 @@ object StreamingExtract {
       events: DataFrame, // (event_id, event_type, us)
       base: String,
       delayMs: Long = AuditDelayMs,
-      blockSize: Long = graft.ops.RelationalOps.LatenessBlock): DataFrame = {
+      blockSize: Long = AuditBlockSize): DataFrame = {
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     val src = events

@@ -179,7 +179,7 @@ class StreamingSpec extends AnyFunSuite {
     // (floor(maxUs(blocks with index <= k-2)/1000) - delayMs) ms, and a
     // row drops iff its 1-second window END is <= that value
     val rows = ev.as[(Long, String, Long)].collect().sortBy(_._1)
-    val blockSize = graft.ops.RelationalOps.LatenessBlock
+    val blockSize = StreamingExtract.AuditBlockSize
     val input = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val adm = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val blocks = rows.groupBy(_._1 / blockSize).toSeq.sortBy(_._1).map(_._2)
