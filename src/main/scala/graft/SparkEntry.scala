@@ -738,7 +738,13 @@ object SparkEntry {
         .withColumn("source", lit("mirror"))
       val recrawl = docs.filter(col("doc_id") % 13 === 0)
       DedupOps.crossSourceDups(docs.unionByName(mirrored).unionByName(recrawl))
-    })
+    }),
+    // persisted-index IVF search: the q54 search over a cell-partitioned
+    // parquet index where probing = partition pruning at the scan;
+    // results identical to q54 (shared oracle)
+    "q185_ivf_index_scan" -> ((s, d) =>
+      SimilarityOps.ivfIndexedTopK(s, d,
+        java.nio.file.Files.createTempDirectory("graft-ivf-index").toString))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -1009,6 +1015,31 @@ object SparkEntry {
     * cost of the q26/q59/q74 oracles: 100-250 s each; materialized they
     * run in under a second).
     */
+  /** The q54 IVF-search oracle body — shared verbatim with q185 (the
+    * persisted-index scan must produce IDENTICAL results, so it gets the
+    * identical oracle). */
+  private lazy val ivfTopkOracleSql: String =
+    s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+                    FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS MATERIALIZED (SELECT vec_id,
+                      first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         idx AS MATERIALIZED (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
+         p AS MATERIALIZED (SELECT query_id, qv, cell FROM (
+                 SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
+                 FROM e CROSS JOIN c WHERE e.vec_id < ${ops.SimilarityOps.NQueries}) z
+                 WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
+         s AS (SELECT p.query_id, idx.vec_id AS neighbor_id,
+                      CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
+               FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
+           FROM s) t
+         WHERE rank <= ${ops.SimilarityOps.DefaultK}"""
+
   /** Shared CTE chain rebuilding all three ANN tiers' top-k WITH ranks
     * (exact brute, tuned LSH, IVF) — ONE definition feeding the q59
     * recall and q170 ranking oracles so the tier derivations cannot
@@ -1617,27 +1648,10 @@ object SparkEntry {
     // is pinned by the local-truth ScalaTest); DuckDB independently
     // recomputes the DOWNSTREAM search — corpus cell assignment, nProbe
     // cell selection, candidate scoring, top-k — from those centroids
-    "q54_ann_ivf_topk" ->
-      s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
-                    FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         a AS MATERIALIZED (SELECT vec_id,
-                      first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
-               FROM e CROSS JOIN c GROUP BY vec_id),
-         idx AS MATERIALIZED (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
-         p AS MATERIALIZED (SELECT query_id, qv, cell FROM (
-                 SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
-                        row_number() OVER (PARTITION BY e.vec_id
-                          ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
-                 FROM e CROSS JOIN c WHERE e.vec_id < ${ops.SimilarityOps.NQueries}) z
-                 WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
-         s AS (SELECT p.query_id, idx.vec_id AS neighbor_id,
-                      CAST(floor(list_cosine_similarity(p.qv, idx.v) * 10000) AS BIGINT) AS cosine_x10000
-               FROM p JOIN idx ON p.cell = idx.cell AND idx.vec_id <> p.query_id)
-         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_x10000 FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_x10000 DESC, neighbor_id ASC) AS rank
-           FROM s) t
-         WHERE rank <= ${ops.SimilarityOps.DefaultK}""",
+    "q54_ann_ivf_topk" -> ivfTopkOracleSql,
+    // q185: IDENTICAL oracle to q54 — the persisted index must change
+    // the physical plan, never the answer
+    "q185_ivf_index_scan" -> ivfTopkOracleSql,
     // edge side of q44: same per-label signature recipe, plus the
     // containment joins (root->struct child, root->array elements,
     // step->its temperature records), deduplicated after unification

@@ -664,6 +664,59 @@ object SimilarityOps {
         col("score"), col("rank"))
   }
 
+  /** Persisted-index IVF search (q185) — the deployment shape of q54:
+    * the index is a PHYSICAL parquet layout partitioned by cell (written
+    * once, amortized over every query set), and probing becomes
+    * partition PRUNING at the scan — the probed cells' directories are
+    * the only bytes read, which is the entire point of IVF at 100 TB
+    * (q54 recomputes the index in-plan each run; a real deployment
+    * does this). Results are IDENTICAL to q54 by construction (same
+    * deterministic centroids, same probe rule, same scoring), so it
+    * shares q54's oracle verbatim.
+    *
+    * The probed-cell literal list driving the pruning is driver-side by
+    * contract: nQueries x nProbe cell ids (16 at defaults), never data.
+    */
+  def ivfIndexedTopK(
+      spark: SparkSession, dir: String, base: String, k: Int = DefaultK,
+      nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // build phase (once per corpus snapshot)
+    val centroids = ivfCentroids(spark, dir, nList, iters)
+    assignCells(vecs, centroids).join(vecs, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/index")
+    centroids.write.mode("overwrite").parquet(s"$base/centroids")
+    // query phase: everything reads the persisted artifacts
+    val cents = spark.read.parquet(s"$base/centroids")
+    val queries = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_x10000").asc, col("cell").asc)
+    val probed = queries
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_embedding"), col("cell"),
+        expr("graft_l2_x10000(q_embedding, centroid)").as("l2_x10000"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_embedding"), col("cell"))
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // <= nQueries x nProbe ids by contract
+    val idx = spark.read.parquet(s"$base/index")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = idx
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_cosine_x10000(q_embedding, embedding)").as("cosine_x10000"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_x10000").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_x10000"))
+  }
+
   /** Cell prototypicality outliers (q182) — the OTHER half of the D4
     * recipe (Tirumala et al. 2023: SemDeDup prunes cluster-redundant
     * points, prototypicality pruning flags cluster-ATYPICAL ones): a

@@ -454,6 +454,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"raw text must never be a join/shuffle key:\n$p")
   }
 
+  test("ivf index scan: probing prunes parquet partitions at the scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-idx-plan").toString
+    val p = plan(graft.ops.SimilarityOps.ivfIndexedTopK(spark, dir, base))
+    // the probed-cell filter must reach the index scan as a PARTITION
+    // filter (the directories are the index structure), not a row filter
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probe set did not prune index partitions:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("cell outliers: histogram thresholds broadcast; no per-cell rank window on the corpus") {
     val p = plan(graft.ops.SimilarityOps.cellOutliers(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")

@@ -413,6 +413,21 @@ class TrainingIvfSpec extends AnyFunSuite {
       "mining must find both a positive and a hard negative for some anchor")
   }
 
+  test("ivfIndexedTopK: persisted-index search equals the in-plan q54 search exactly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-idx-test").toString
+    val fromIndex = SimilarityOps.ivfIndexedTopK(spark, dir, base)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val inPlan = SimilarityOps.ivfTopK(spark, dir)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(fromIndex == inPlan, s"index-scan search diverged from q54")
+    assert(fromIndex.nonEmpty)
+    // the layout is genuinely cell-partitioned on disk
+    val cells = new java.io.File(s"$base/index").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cells.size == SimilarityOps.IvfNList, s"index partitions: $cells")
+  }
+
   test("cellTopicCards: cell-level TF-IDF scores and ranks match local recompute") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
