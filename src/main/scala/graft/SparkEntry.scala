@@ -744,7 +744,12 @@ object SparkEntry {
     // results identical to q54 (shared oracle)
     "q185_ivf_index_scan" -> ((s, d) =>
       SimilarityOps.ivfIndexedTopK(s, d,
-        java.nio.file.Files.createTempDirectory("graft-ivf-index").toString))
+        java.nio.file.Files.createTempDirectory("graft-ivf-index").toString)),
+    // normalization-unlocked dedup: planted NFD/wrapped/control twins
+    // collapse only under the q172+q181 normalize chain — the measured
+    // value of normalizing before content-hashing
+    "q186_norm_dedup" -> ((s, _) =>
+      TextOps.normalizedDedup(graft.synth.NormPairDocs.docs(s, VerifyNfcDocs)))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -1652,6 +1657,20 @@ object SparkEntry {
     // q185: IDENTICAL oracle to q54 — the persisted index must change
     // the physical plan, never the answer
     "q185_ivf_index_scan" -> ivfTopkOracleSql,
+    // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
+    // backref dehyphenation + control class) and regroups both keys
+    "q186_norm_dedup" ->
+      """WITH d AS (SELECT doc_id, text
+                    FROM read_parquet('__SYNTH__/norm_pair_docs.parquet/*.parquet')),
+         c AS (SELECT doc_id, sha256(text) AS raw_sha,
+                      sha256(regexp_replace(
+                        regexp_replace(nfc_normalize(text), '([a-z])-\n([a-z])', '\1\2', 'g'),
+                        '[\x00-\x1f\x7f]', '', 'g')) AS clean_sha
+               FROM d),
+         r AS (SELECT raw_sha, CAST(count(*) AS BIGINT) AS raw_dup_count FROM c GROUP BY 1),
+         k AS (SELECT clean_sha, CAST(count(*) AS BIGINT) AS clean_dup_count FROM c GROUP BY 1)
+         SELECT c.doc_id, c.clean_sha, r.raw_dup_count, k.clean_dup_count
+         FROM c JOIN r USING (raw_sha) JOIN k USING (clean_sha)""",
     // edge side of q44: same per-label signature recipe, plus the
     // containment joins (root->struct child, root->array elements,
     // step->its temperature records), deduplicated after unification

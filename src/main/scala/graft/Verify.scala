@@ -135,6 +135,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/hyphen_docs.parquet")
       }
+      synthWrite("norm_pair_docs", "q186 normalization-dedup oracle (planted twins)") {
+        synth.NormPairDocs.docs(spark, SparkEntry.VerifyNfcDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/norm_pair_docs.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

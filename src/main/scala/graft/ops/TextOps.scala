@@ -322,6 +322,42 @@ object TextOps {
         ((length(col("text")) - length(col("clean"))) / 2).cast("int").as("n_merged"),
         sha2(col("clean"), 256).as("clean_sha"))
 
+  /** Normalization-unlocked dedup (q186) — the composition capstone of
+    * q172 + q181 + q20: the SAME content arriving NFD-decomposed,
+    * line-wrap-hyphenated, or control-littered hashes to a DIFFERENT
+    * raw sha, so raw exact-dedup misses it; after the normalize chain
+    * (NFC -> dehyphenate -> control-strip, in that order — dehyphenate
+    * needs the newline the control-strip would eat) the twins collapse.
+    * Output per doc: the cleaned sha and the dup-group sizes under BOTH
+    * keys, so the delta (raw 1 -> clean 2 on the planted twins) IS the
+    * measured value of normalizing before hashing.
+    *
+    * Scale shape: one narrow typed map, then two hash-keyed aggs
+    * joined back on 32-byte keys — text never shuffles.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cleaned = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, raw) =>
+        val nfc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+        val deh = nfc.replaceAll("([a-z])-\\n([a-z])", "$1$2")
+        (id, raw, deh.replaceAll("\\p{Cntrl}", ""))
+      }
+      .toDF("doc_id", "raw", "clean")
+      .select(col("doc_id"),
+        sha2(col("raw"), 256).as("raw_sha"),
+        sha2(col("clean"), 256).as("clean_sha"))
+    val rawCnt = cleaned.groupBy(col("raw_sha"))
+      .agg(count(lit(1)).as("raw_dup_count"))
+    val cleanCnt = cleaned.groupBy(col("clean_sha"))
+      .agg(count(lit(1)).as("clean_dup_count"))
+    cleaned
+      .join(rawCnt, "raw_sha")
+      .join(cleanCnt, "clean_sha")
+      .select(col("doc_id"), col("clean_sha"),
+        col("raw_dup_count"), col("clean_dup_count"))
+  }
+
   private val langStopwords: Seq[(String, String)] = Seq(
     // (lang, regex of high-frequency function words)
     ("en", "\\b(the|and|of|to|in|is|that|for)\\b"),

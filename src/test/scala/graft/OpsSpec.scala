@@ -1088,6 +1088,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists { case (l, p, _, _) => l != p })
   }
 
+  test("normalized dedup: raw keys miss every planted twin; clean keys collapse them all") {
+    import spark.implicits._
+    val got = TextOps.normalizedDedup(graft.synth.NormPairDocs.docs(spark, 50L))
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == 50)
+    // every raw text is unique; every cleaned text pairs exactly
+    assert(got.forall(_._3 == 1L), "raw dedup must miss the twins")
+    assert(got.forall(_._4 == 2L), "normalized dedup must pair every twin")
+    // twins share the clean sha; the sha equals a hand-built expectation
+    val byPair = got.groupBy(_._1 / 2)
+    byPair.foreach { case (pair, rows) =>
+      assert(rows.map(_._2).distinct.length == 1, s"pair $pair clean shas differ")
+      val expect = sha256Hex(s"norm pair $pair shared body caf\u00e9 example end")
+      assert(rows.head._2 == expect, s"pair $pair clean sha")
+    }
+  }
+
   test("source dup matrix: diagonal and cross cells match local recompute; diagonal fires") {
     import spark.implicits._
     val raw = spark.read.parquet(s"$dir/documents.parquet")
