@@ -1020,6 +1020,24 @@ object SparkEntry {
     * cost of the q26/q59/q74 oracles: 100-250 s each; materialized they
     * run in under a second).
     */
+  /** The q84/q89 pixel-feature oracle body, shared with q187: every
+    * lossless codec round-trip must produce the SAME text-derived
+    * expected features. */
+  private lazy val codecFeatureOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, ${MultimodalOps.ImgMaxChars}) AS t
+                    FROM documents),
+         p AS (SELECT doc_id,
+                      [ord(substr(t, i, 1)) % 256 for i in range(1, len(t) + 1)] AS px,
+                      greatest((len(t) + ${MultimodalOps.ImgWidth} - 1) // ${MultimodalOps.ImgWidth}, 1) AS h
+               FROM d)
+         SELECT doc_id,
+                CAST(${MultimodalOps.ImgWidth} AS INTEGER) AS width,
+                CAST(h AS INTEGER) AS height,
+                CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_luma,
+                CAST(coalesce(list_max(px), 0) AS INTEGER) AS max_luma,
+                CAST(coalesce(list_sum([coalesce(px[((i // 8) * h // 8) * ${MultimodalOps.ImgWidth} + (i % 8) * ${MultimodalOps.ImgWidth / MultimodalOps.ThumbSide} + 1], 0) for i in range(0, 64)]), 0) AS BIGINT) AS thumb_sum
+         FROM p"""
+
   /** The q54 IVF-search oracle body — shared verbatim with q185 (the
     * persisted-index scan must produce IDENTICAL results, so it gets the
     * identical oracle). */
@@ -2701,20 +2719,11 @@ object SparkEntry {
          LIMIT 50""",
     // q89: identical expected values to q84 — the BMP round-trip must be
     // just as pixel-exact as the PNG one
-    "q89_bmp_codec" ->
-      s"""WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, ${MultimodalOps.ImgMaxChars}) AS t
-                    FROM documents),
-         p AS (SELECT doc_id,
-                      [ord(substr(t, i, 1)) % 256 for i in range(1, len(t) + 1)] AS px,
-                      greatest((len(t) + ${MultimodalOps.ImgWidth} - 1) // ${MultimodalOps.ImgWidth}, 1) AS h
-               FROM d)
-         SELECT doc_id,
-                CAST(${MultimodalOps.ImgWidth} AS INTEGER) AS width,
-                CAST(h AS INTEGER) AS height,
-                CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_luma,
-                CAST(coalesce(list_max(px), 0) AS INTEGER) AS max_luma,
-                CAST(coalesce(list_sum([coalesce(px[((i // 8) * h // 8) * ${MultimodalOps.ImgWidth} + (i % 8) * ${MultimodalOps.ImgWidth / MultimodalOps.ThumbSide} + 1], 0) for i in range(0, 64)]), 0) AS BIGINT) AS thumb_sum
-         FROM p""",
+// identical expected values to q84 — the BMP round-trip must be just
+    // as pixel-exact as the PNG one (GIF was probed and REJECTED here:
+    // ImageIO's GIF writer palette-quantizes even 256-level grayscale,
+    // so it belongs to the q98 lossy family, not this exact one)
+    "q89_bmp_codec" -> codecFeatureOracleSql,
     // q103: DuckDB rebuilds the Bloom filter bit-for-bit from the same
     // double-hash arithmetic (all operands < 2^21 — no overflow in either
     // engine), re-runs the prefilter, and measures the same one-sided
