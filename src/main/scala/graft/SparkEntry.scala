@@ -749,7 +749,10 @@ object SparkEntry {
     // collapse only under the q172+q181 normalize chain — the measured
     // value of normalizing before content-hashing
     "q186_norm_dedup" -> ((s, _) =>
-      TextOps.normalizedDedup(graft.synth.NormPairDocs.docs(s, VerifyNfcDocs)))
+      TextOps.normalizedDedup(graft.synth.NormPairDocs.docs(s, VerifyNfcDocs))),
+    // incremental IVF append: frozen base-trained centroids assign the
+    // appended vectors — the no-retrain index-maintenance path
+    "q187_ivf_append" -> ((s, d) => SimilarityOps.ivfAppendTopK(s, d))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -1675,6 +1678,9 @@ object SparkEntry {
     // q185: IDENTICAL oracle to q54 — the persisted index must change
     // the physical plan, never the answer
     "q185_ivf_index_scan" -> ivfTopkOracleSql,
+    // q187: the q54 chain against the FROZEN base-trained centroids
+    "q187_ivf_append" ->
+      ivfTopkOracleSql.replace("__SYNTH__/centroids.parquet", "__SYNTH__/centroids_base.parquet"),
     // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
     // backref dehyphenation + control class) and regroups both keys
     "q186_norm_dedup" ->

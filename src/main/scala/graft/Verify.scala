@@ -190,6 +190,12 @@ object Verify {
       // DuckDB independently recomputes assignment + probe + search.
       ops.SimilarityOps.ivfCentroids(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$synthDir/centroids.parquet")
+      // frozen BASE-subset centroids for the q187 append-path oracle
+      ops.SimilarityOps.ivfCentroidsOf(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < ops.SimilarityOps.IvfAppendBase)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$synthDir/centroids_base.parquet")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] intermediate materialization failed: ${e.getMessage}")
     }

@@ -514,9 +514,16 @@ object SimilarityOps {
     */
   def ivfTopKOf(
       vecs: DataFrame, queries: DataFrame, k: Int = DefaultK,
-      nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame = {
+      nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame =
+    ivfTopKWith(vecs, queries, ivfCentroidsOf(vecs, nList, iters), k, nProbe)
+
+  /** The IVF search phase alone, over PROVIDED coarse centroids — the
+    * entry the frozen-centroid append path (q187) shares with the
+    * train-and-search composition above. */
+  def ivfTopKWith(
+      vecs: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int = DefaultK, nProbe: Int = IvfNProbe): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val centroids = ivfCentroidsOf(vecs, nList, iters)
     // (vec_id, cell, embedding) — the argmin agg carries ids only; the
     // embeddings rejoin here (at scale this materializes as the
     // cell-partitioned index, written once and reused across query sets)
@@ -715,6 +722,28 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_x10000"))
+  }
+
+  /** Base-corpus size for the q187 frozen-centroid append split. */
+  val IvfAppendBase = 300L
+
+  /** Incremental IVF append (q187) — the index MAINTENANCE path: the
+    * coarse quantizer trains once on the base corpus (vec_id <
+    * IvfAppendBase) and is then FROZEN; appended vectors are assigned
+    * with those frozen centroids and searched together with the base —
+    * no retrain on ingest, which is how a production ANN index absorbs
+    * a continuous crawl (periodic retrains happen out-of-band; q54 IS
+    * that retrain). Same search shape as q54, oracled end-to-end
+    * against base-trained centroids materialized by Verify.
+    */
+  def ivfAppendTopK(
+      spark: SparkSession, dir: String, k: Int = DefaultK,
+      nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame = {
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val frozen = ivfCentroidsOf(vecs.filter(col("vec_id") < IvfAppendBase), nList, iters)
+    val queries = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    ivfTopKWith(vecs, queries, frozen, k, nProbe)
   }
 
   /** Cell prototypicality outliers (q182) — the OTHER half of the D4

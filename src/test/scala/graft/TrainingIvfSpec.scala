@@ -428,6 +428,36 @@ class TrainingIvfSpec extends AnyFunSuite {
     assert(cells.size == SimilarityOps.IvfNList, s"index partitions: $cells")
   }
 
+  test("ivfAppendTopK: frozen base-trained centroids, full-corpus search — exact local match") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val base = vecs.filter(_._1 < SimilarityOps.IvfAppendBase)
+    assert(base.length < vecs.length, "the append delta must be non-empty")
+    val cents = localCentroids(base, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents) // FROZEN centroids assign everyone
+    val byId = vecs.toMap
+    val expected = vecs.map(_._1).filter(_ < SimilarityOps.NQueries).flatMap { q =>
+      val probed = cents.toSeq.map { case (c, cv) =>
+        (math.floor(TextAlgos.l2(byId(q), cv) * 10000).toLong, c)
+      }.sorted.take(SimilarityOps.IvfNProbe).map(_._2).toSet
+      vecs
+        .filter { case (id, _) => id != q && probed.contains(assign(id)) }
+        .map { case (id, v) => (id, math.floor(TextAlgos.cosine(byId(q), v) * 10000).toLong) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(SimilarityOps.DefaultK)
+        .zipWithIndex
+        .map { case ((id, c), r) => (q, id, r + 1, c) }
+    }.toSet
+    val got = SimilarityOps.ivfAppendTopK(spark, dir)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty)
+    // appended (post-base) vectors are genuinely searchable
+    assert(got.exists(_._2 >= SimilarityOps.IvfAppendBase),
+      "some neighbor must come from the appended delta")
+  }
+
   test("cellTopicCards: cell-level TF-IDF scores and ranks match local recompute") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
