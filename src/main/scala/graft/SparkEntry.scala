@@ -752,7 +752,13 @@ object SparkEntry {
       TextOps.normalizedDedup(graft.synth.NormPairDocs.docs(s, VerifyNfcDocs))),
     // incremental IVF append: frozen base-trained centroids assign the
     // appended vectors — the no-retrain index-maintenance path
-    "q187_ivf_append" -> ((s, d) => SimilarityOps.ivfAppendTopK(s, d))
+    "q187_ivf_append" -> ((s, d) => SimilarityOps.ivfAppendTopK(s, d)),
+    // cell drift after append: per frozen cell base/appended counts and
+    // ratio — the retrain trigger for the q187 path
+    "q188_ivf_cell_drift" -> ((s, d) => SimilarityOps.ivfCellDrift(s, d)),
+    // frozen-vs-retrained recall: the staleness cost of serving from
+    // the frozen index (q59 overlap recipe between q187 and q54)
+    "q189_ivf_append_recall" -> ((s, d) => SimilarityOps.ivfAppendRecall(s, d))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -1681,6 +1687,64 @@ object SparkEntry {
     // q187: the q54 chain against the FROZEN base-trained centroids
     "q187_ivf_append" ->
       ivfTopkOracleSql.replace("__SYNTH__/centroids.parquet", "__SYNTH__/centroids_base.parquet"),
+    // q188: frozen assignment + conditional counts in DuckDB
+    "q188_ivf_cell_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+               FROM read_parquet('__SYNTH__/centroids_base.parquet/*.parquet')),
+         a AS (SELECT vec_id,
+                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id)
+         SELECT cell,
+                CAST(sum(CASE WHEN vec_id < ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                CAST(sum(CASE WHEN vec_id >= ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
+                CAST((sum(CASE WHEN vec_id >= ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) * 10000)
+                     // greatest(sum(CASE WHEN vec_id < ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END), 1) AS BIGINT) AS appended_ratio_x10000
+         FROM a GROUP BY 1""",
+    // q189: both index derivations (retrained + frozen) in one chain,
+    // then the q59 overlap arithmetic
+    "q189_ivf_append_recall" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < ${ops.SimilarityOps.NQueries}),
+         cf AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+                FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         cb AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+                FROM read_parquet('__SYNTH__/centroids_base.parquet/*.parquet')),
+         af AS MATERIALIZED (SELECT vec_id,
+                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN cf GROUP BY vec_id),
+         ab AS MATERIALIZED (SELECT vec_id,
+                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN cb GROUP BY vec_id),
+         pf AS (SELECT query_id, qv, cell FROM (
+                 SELECT q.query_id, q.qv, cf.cell,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY CAST(floor(list_distance(q.qv, cf.cv) * 10000) AS BIGINT) ASC, cf.cell ASC) AS pr
+                 FROM q CROSS JOIN cf) z WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
+         pb AS (SELECT query_id, qv, cell FROM (
+                 SELECT q.query_id, q.qv, cb.cell,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY CAST(floor(list_distance(q.qv, cb.cv) * 10000) AS BIGINT) ASC, cb.cell ASC) AS pr
+                 FROM q CROSS JOIN cb) z WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
+         tf AS (SELECT query_id, neighbor_id FROM (
+                 SELECT p.query_id, i.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY CAST(floor(list_cosine_similarity(p.qv, e2.v) * 10000) AS BIGINT) DESC, i.vec_id ASC) AS rank
+                 FROM pf p JOIN af i ON p.cell = i.cell AND i.vec_id <> p.query_id
+                 JOIN e e2 ON e2.vec_id = i.vec_id) z WHERE rank <= ${ops.SimilarityOps.DefaultK}),
+         tb AS (SELECT query_id, neighbor_id FROM (
+                 SELECT p.query_id, i.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY CAST(floor(list_cosine_similarity(p.qv, e2.v) * 10000) AS BIGINT) DESC, i.vec_id ASC) AS rank
+                 FROM pb p JOIN ab i ON p.cell = i.cell AND i.vec_id <> p.query_id
+                 JOIN e e2 ON e2.vec_id = i.vec_id) z WHERE rank <= ${ops.SimilarityOps.DefaultK}),
+         h AS (SELECT tb.query_id, CAST(count(*) AS BIGINT) AS hits
+               FROM tb JOIN tf ON tb.query_id = tf.query_id AND tb.neighbor_id = tf.neighbor_id
+               GROUP BY 1)
+         SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+                CAST(${ops.SimilarityOps.DefaultK} AS INTEGER) AS k,
+                CAST((coalesce(h.hits, 0) * 10000) // ${ops.SimilarityOps.DefaultK} AS BIGINT) AS recall_x10000
+         FROM q LEFT JOIN h USING (query_id)""",
     // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
     // backref dehyphenation + control class) and regroups both keys
     "q186_norm_dedup" ->

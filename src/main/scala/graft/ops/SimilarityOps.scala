@@ -746,6 +746,47 @@ object SimilarityOps {
     ivfTopKWith(vecs, queries, frozen, k, nProbe)
   }
 
+  /** Cell drift after append (q188) — the RETRAIN TRIGGER for the q187
+    * maintenance path: per frozen cell, how many base vs appended
+    * vectors it now holds and the appended/base ratio. A cell whose
+    * ratio explodes is where the frozen quantizer no longer fits the
+    * data distribution; production indexes retrain when this drifts,
+    * and this frame is the instrument that says when. Exact integers,
+    * one assignment pass, one cell-keyed agg.
+    */
+  def ivfCellDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val frozen = ivfCentroidsOf(vecs.filter(col("vec_id") < IvfAppendBase))
+    assignCells(vecs, frozen)
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("vec_id") < IvfAppendBase, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") >= IvfAppendBase, 1L).otherwise(0L)).as("n_appended"))
+      .withColumn("appended_ratio_x10000",
+        expr("(n_appended * 10000) div greatest(n_base, 1L)"))
+  }
+
+  /** Frozen-vs-retrained recall (q189) — the STALENESS COST of the q187
+    * append path: per query, how many of the freshly-retrained index's
+    * top-k the frozen-centroid index still finds (the q59 overlap
+    * recipe). Read together with q188: drift says the distribution
+    * moved, this says what that movement costs in answer quality.
+    */
+  def ivfAppendRecall(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val fresh = ivfTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    val frozen = ivfAppendTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    val hits = frozen
+      .join(broadcast(fresh), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    table(spark, dir, "embeddings")
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k).as("k"))
+      .withColumn("recall_x10000", expr(s"(hits * 10000) div $k"))
+  }
+
   /** Cell prototypicality outliers (q182) — the OTHER half of the D4
     * recipe (Tirumala et al. 2023: SemDeDup prunes cluster-redundant
     * points, prototypicality pruning flags cluster-ATYPICAL ones): a

@@ -458,6 +458,44 @@ class TrainingIvfSpec extends AnyFunSuite {
       "some neighbor must come from the appended delta")
   }
 
+  test("ivfCellDrift: frozen-cell base/appended counts match local recompute; drift nonzero") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val base = vecs.filter(_._1 < SimilarityOps.IvfAppendBase)
+    val cents = localCentroids(base, SimilarityOps.IvfNList, SimilarityOps.IvfIters)
+    val assign = localAssign(vecs, cents)
+    val expected = vecs.groupBy(v => assign(v._1)).map { case (cell, ms) =>
+      val nb = ms.count(_._1 < SimilarityOps.IvfAppendBase).toLong
+      val na = ms.length - nb
+      (cell, nb, na, na * 10000L / math.max(nb, 1L))
+    }.toSet
+    val got = SimilarityOps.ivfCellDrift(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.exists(_._3 > 0), "appended vectors must land in the frozen cells")
+  }
+
+  test("ivfAppendRecall: overlap arithmetic exact between the two (self-verified) indexes") {
+    import spark.implicits._
+    val fresh = SimilarityOps.ivfTopK(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val frozen = SimilarityOps.ivfAppendTopK(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val k = SimilarityOps.DefaultK
+    val expected = fresh.keySet.union(frozen.keySet).map { q =>
+      val h = (fresh.getOrElse(q, Set.empty) intersect frozen.getOrElse(q, Set.empty)).size.toLong
+      (q, h, k, h * 10000L / k)
+    }
+    val got = SimilarityOps.ivfAppendRecall(spark, dir)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the frozen index keeps most answers on this corpus (staleness cost bounded)
+    assert(got.toSeq.map(_._2).sum >= got.size, "frozen index lost almost everything")
+  }
+
   test("cellTopicCards: cell-level TF-IDF scores and ranks match local recompute") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
