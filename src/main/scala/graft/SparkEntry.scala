@@ -75,6 +75,26 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data-pipeline operator families).
     */
+  /** Fixed scratch dir per (query, input tag): wiped and recreated on
+    * every use, so repeated Verify/Bench invocations REUSE one path
+    * instead of accumulating checkpoint/index trees under /tmp (the
+    * q169 bucketed-layout discipline; a fresh createTempDirectory per
+    * call leaked the full parquet index per run).
+    */
+  private def scratchDir(query: String, input: String): String = {
+    val p = java.nio.file.Paths.get(
+      s"/tmp/graft_scratch/${query}_${java.lang.Integer.toHexString(input.hashCode)}")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational operator inventory (SURVEY.md §2), DuckDB-oracled ---
     "q01_agg" -> ((s, d) => RelationalOps.q1Agg(s, d)),
@@ -714,7 +734,7 @@ object SparkEntry {
     "q180_stream_drop_audit" -> ((s, _) =>
       graft.streaming.StreamingExtract.watermarkDropAudit(s,
         RelationalOps.stragglerStream(s, RelationalOps.VerifyArrivalEvents),
-        java.nio.file.Files.createTempDirectory("graft-wm-q180").toString)),
+        scratchDir("wm_q180", "synth"))),
     // line-break dehyphenation over planted wraps — the PDF-extraction
     // repair, conservative lowercase-lowercase merge rule, sha-pinned
     "q181_dehyphenate" -> ((s, _) =>
@@ -743,8 +763,7 @@ object SparkEntry {
     // parquet index where probing = partition pruning at the scan;
     // results identical to q54 (shared oracle)
     "q185_ivf_index_scan" -> ((s, d) =>
-      SimilarityOps.ivfIndexedTopK(s, d,
-        java.nio.file.Files.createTempDirectory("graft-ivf-index").toString)),
+      SimilarityOps.ivfIndexedTopK(s, d, scratchDir("ivf_index", d))),
     // normalization-unlocked dedup: planted NFD/wrapped/control twins
     // collapse only under the q172+q181 normalize chain — the measured
     // value of normalizing before content-hashing
@@ -758,7 +777,16 @@ object SparkEntry {
     "q188_ivf_cell_drift" -> ((s, d) => SimilarityOps.ivfCellDrift(s, d)),
     // frozen-vs-retrained recall: the staleness cost of serving from
     // the frozen index (q59 overlap recipe between q187 and q54)
-    "q189_ivf_append_recall" -> ((s, d) => SimilarityOps.ivfAppendRecall(s, d))
+    "q189_ivf_append_recall" -> ((s, d) => SimilarityOps.ivfAppendRecall(s, d)),
+    // corpus-health catalog closure: the q166+ analytics frames (funnel,
+    // scorecard, vocab drift, IVF cell drift) registered as SQL views and
+    // summarized by ONE shared ad-hoc statement (SqlSurface.CorpusHealthSql,
+    // run verbatim by the oracle over independent DuckDB chains)
+    "q190_corpus_health" -> ((s, d) =>
+      SqlSurface.corpusHealth(s, d,
+        graft.synth.WebDocs.docs(s, VerifyWebDocs),
+        SynthDataset.turns(s, VerifyConvs).toDF(),
+        verifyNextSnapshot(s).toDF()))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -1029,9 +1057,9 @@ object SparkEntry {
     * cost of the q26/q59/q74 oracles: 100-250 s each; materialized they
     * run in under a second).
     */
-  /** The q84/q89 pixel-feature oracle body, shared with q187: every
-    * lossless codec round-trip must produce the SAME text-derived
-    * expected features. */
+  /** The q84/q89 pixel-feature oracle body: every lossless codec
+    * round-trip (PNG for q84, BMP for q89) must produce the SAME
+    * text-derived expected features. */
   private lazy val codecFeatureOracleSql: String =
     s"""WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, ${MultimodalOps.ImgMaxChars}) AS t
                     FROM documents),
@@ -1046,6 +1074,95 @@ object SparkEntry {
                 CAST(coalesce(list_max(px), 0) AS INTEGER) AS max_luma,
                 CAST(coalesce(list_sum([coalesce(px[((i // 8) * h // 8) * ${MultimodalOps.ImgWidth} + (i % 8) * ${MultimodalOps.ImgWidth / MultimodalOps.ThumbSide} + 1], 0) for i in range(0, 64)]), 0) AS BIGINT) AS thumb_sum
          FROM p"""
+
+  /** Factored oracle body for curationFunnel — shared with the
+    * q190 corpus-health composition, which runs
+    * `SqlSurface.CorpusHealthSql` verbatim over these independently
+    * derived chains. */
+  private lazy val curationFunnelOracleSql: String =
+    s"""WITH $curationCtes,
+         balanced AS (SELECT doc_id FROM r CROSS JOIN b WHERE rn <= b.min_cnt),
+         stages AS (
+           SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM langed
+           UNION ALL
+           SELECT '2_quality', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+           FROM langed WHERE n_tokens BETWEEN 10 AND 100000 AND mwl BETWEEN 150 AND 1200
+           UNION ALL
+           SELECT '3_lang', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM good
+           UNION ALL
+           SELECT '4_dedup', count(*), CAST(coalesce(sum(l.n_tokens), 0) AS BIGINT)
+           FROM canon c JOIN langed l USING (doc_id)
+           UNION ALL
+           SELECT '5_balanced', count(*), CAST(coalesce(sum(l.n_tokens), 0) AS BIGINT)
+           FROM balanced JOIN langed l USING (doc_id)),
+         raw0 AS (SELECT n_docs AS nd0 FROM stages WHERE stage = '1_raw')
+         SELECT stage, n_docs, n_tokens,
+                CAST((n_docs * 10000) // nd0 AS BIGINT) AS retained_x10000
+         FROM stages CROSS JOIN raw0"""
+
+  /** Factored oracle body for hostScorecard — shared with the
+    * q190 corpus-health composition, which runs
+    * `SqlSurface.CorpusHealthSql` verbatim over these independently
+    * derived chains. */
+  private lazy val hostScorecardOracleSql: String =
+    s"""WITH ${ops.WebOps.duckdbRankCtes(ops.WebOps.RankIters, "__SYNTH__/web_docs.parquet/*.parquet")},
+         ${hostQualityCtesP("q")},
+         su AS (SELECT doc_id, unnest(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS url
+                FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
+         sh AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host FROM su),
+         sc AS (SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1)
+         SELECT sc.host, sc.n_urls, sc.n_docs, qg.mean_logit_x100,
+                qg.mean_logit_x100 >= ${ops.WebOps.HostReputationThresholdX100} AS reputable,
+                CAST(coalesce(rf.rank, 0) AS BIGINT) AS rank_x1e12
+         FROM sc JOIN qg USING (host)
+         LEFT JOIN r${ops.WebOps.RankIters} rf USING (host)"""
+
+  /** Factored oracle body for vocabDrift — shared with the
+    * q190 corpus-health composition, which runs
+    * `SqlSurface.CorpusHealthSql` verbatim over these independently
+    * derived chains. */
+  private lazy val vocabDriftOracleSql: String =
+    s"""WITH g AS (SELECT conv_id, turn_idx, text
+                    FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
+         nx AS (SELECT CASE WHEN turn_idx = 0 THEN text || ' drift' ELSE text END AS text
+                FROM g WHERE conv_id >= 'conv-000005'
+                UNION ALL
+                SELECT '<p>late-arriving appended turn body text</p>' AS text
+                FROM (SELECT DISTINCT conv_id FROM g) c
+                WHERE conv_id >= 'conv-000005' AND CAST(substr(conv_id, 6) AS BIGINT) % 10 = 0),
+         tp AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token FROM g),
+         tn AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token FROM nx),
+         cp AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_prev FROM tp GROUP BY 1),
+         cn AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_next FROM tn GROUP BY 1),
+         j AS (SELECT coalesce(cp.token, cn.token) AS token,
+                      coalesce(cnt_prev, 0) AS cnt_prev, coalesce(cnt_next, 0) AS cnt_next
+               FROM cp FULL OUTER JOIN cn ON cp.token = cn.token),
+         d AS (SELECT token, cnt_prev, cnt_next,
+                      cnt_next - cnt_prev AS delta,
+                      CAST((cnt_next * 10000) // greatest(cnt_prev, 1) AS BIGINT) AS ratio_x10000
+               FROM j WHERE cnt_next <> cnt_prev)
+         SELECT token, cnt_prev, cnt_next, delta, ratio_x10000
+         FROM d ORDER BY abs(delta) DESC, token ASC
+         LIMIT ${ops.TranscriptOps.DriftTopK}"""
+
+  /** Factored oracle body for cellDrift — shared with the
+    * q190 corpus-health composition, which runs
+    * `SqlSurface.CorpusHealthSql` verbatim over these independently
+    * derived chains. */
+  private lazy val cellDriftOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+               FROM read_parquet('__SYNTH__/centroids_base.parquet/*.parquet')),
+         a AS (SELECT vec_id,
+                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id)
+         SELECT cell,
+                CAST(sum(CASE WHEN vec_id < ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                CAST(sum(CASE WHEN vec_id >= ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
+                CAST((sum(CASE WHEN vec_id >= ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) * 10000)
+                     // greatest(sum(CASE WHEN vec_id < ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END), 1) AS BIGINT) AS appended_ratio_x10000
+         FROM a GROUP BY 1"""
 
   /** The q54 IVF-search oracle body — shared verbatim with q185 (the
     * persisted-index scan must produce IDENTICAL results, so it gets the
@@ -1340,27 +1457,7 @@ object SparkEntry {
       s"""WITH $curationCtes
          SELECT doc_id, predicted_lang FROM r CROSS JOIN b WHERE rn <= b.min_cnt""",
     // q176: the same chain rolled into per-stage counts + retention
-    "q176_curation_funnel" ->
-      s"""WITH $curationCtes,
-         balanced AS (SELECT doc_id FROM r CROSS JOIN b WHERE rn <= b.min_cnt),
-         stages AS (
-           SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM langed
-           UNION ALL
-           SELECT '2_quality', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
-           FROM langed WHERE n_tokens BETWEEN 10 AND 100000 AND mwl BETWEEN 150 AND 1200
-           UNION ALL
-           SELECT '3_lang', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM good
-           UNION ALL
-           SELECT '4_dedup', count(*), CAST(coalesce(sum(l.n_tokens), 0) AS BIGINT)
-           FROM canon c JOIN langed l USING (doc_id)
-           UNION ALL
-           SELECT '5_balanced', count(*), CAST(coalesce(sum(l.n_tokens), 0) AS BIGINT)
-           FROM balanced JOIN langed l USING (doc_id)),
-         raw0 AS (SELECT n_docs AS nd0 FROM stages WHERE stage = '1_raw')
-         SELECT stage, n_docs, n_tokens,
-                CAST((n_docs * 10000) // nd0 AS BIGINT) AS retained_x10000
-         FROM stages CROSS JOIN raw0""",
+    "q176_curation_funnel" -> curationFunnelOracleSql,
     "q41_canon_signature" ->
       """SELECT l_orderkey, l_linenumber,
          sha256(concat_ws('|', l_orderkey, l_linenumber,
@@ -1688,19 +1785,7 @@ object SparkEntry {
     "q187_ivf_append" ->
       ivfTopkOracleSql.replace("__SYNTH__/centroids.parquet", "__SYNTH__/centroids_base.parquet"),
     // q188: frozen assignment + conditional counts in DuckDB
-    "q188_ivf_cell_drift" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
-               FROM read_parquet('__SYNTH__/centroids_base.parquet/*.parquet')),
-         a AS (SELECT vec_id,
-                  first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
-               FROM e CROSS JOIN c GROUP BY vec_id)
-         SELECT cell,
-                CAST(sum(CASE WHEN vec_id < ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
-                CAST(sum(CASE WHEN vec_id >= ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
-                CAST((sum(CASE WHEN vec_id >= ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END) * 10000)
-                     // greatest(sum(CASE WHEN vec_id < ${ops.SimilarityOps.IvfAppendBase} THEN 1 ELSE 0 END), 1) AS BIGINT) AS appended_ratio_x10000
-         FROM a GROUP BY 1""",
+    "q188_ivf_cell_drift" -> cellDriftOracleSql,
     // q189: both index derivations (retrained + frozen) in one chain,
     // then the q59 overlap arithmetic
     "q189_ivf_append_recall" ->
@@ -1745,6 +1830,17 @@ object SparkEntry {
                 CAST(${ops.SimilarityOps.DefaultK} AS INTEGER) AS k,
                 CAST((coalesce(h.hits, 0) * 10000) // ${ops.SimilarityOps.DefaultK} AS BIGINT) AS recall_x10000
          FROM q LEFT JOIN h USING (query_id)""",
+    // q190: the four analytics chains derived INDEPENDENTLY in DuckDB
+    // (the factored q176/q178/q179/q188 oracle bodies as named
+    // subqueries), then the engine's shared summary statement
+    // (SqlSurface.CorpusHealthSql) runs VERBATIM over them — the catalog
+    // composition is proven without trusting any registered view
+    "q190_corpus_health" ->
+      s"""WITH curation_funnel AS ($curationFunnelOracleSql),
+         host_scorecard AS ($hostScorecardOracleSql),
+         vocab_drift AS ($vocabDriftOracleSql),
+         ivf_cell_drift AS ($cellDriftOracleSql)
+         ${SqlSurface.CorpusHealthSql}""",
     // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
     // backref dehyphenation + control class) and regroups both keys
     "q186_norm_dedup" ->
@@ -2286,44 +2382,11 @@ object SparkEntry {
          FROM r JOIN sz USING (cell) WHERE r.rn <= ${ops.SimilarityOps.TopicCardK}""",
     // q178: composes the three component oracles — the q62 host counts,
     // the PREFIXED q157 quality chain (qg), and the q85 rank chain (r5)
-    "q178_host_scorecard" ->
-      s"""WITH ${ops.WebOps.duckdbRankCtes(ops.WebOps.RankIters, "__SYNTH__/web_docs.parquet/*.parquet")},
-         ${hostQualityCtesP("q")},
-         su AS (SELECT doc_id, unnest(regexp_extract_all(text, '${ops.WebOps.UrlRe}')) AS url
-                FROM read_parquet('__SYNTH__/web_docs.parquet/*.parquet')),
-         sh AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '${ops.WebOps.HostRe}', 1)), '^www\\.', '') AS host FROM su),
-         sc AS (SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1)
-         SELECT sc.host, sc.n_urls, sc.n_docs, qg.mean_logit_x100,
-                qg.mean_logit_x100 >= ${ops.WebOps.HostReputationThresholdX100} AS reputable,
-                CAST(coalesce(rf.rank, 0) AS BIGINT) AS rank_x1e12
-         FROM sc JOIN qg USING (host)
-         LEFT JOIN r${ops.WebOps.RankIters} rf USING (host)""",
+    "q178_host_scorecard" -> hostScorecardOracleSql,
     // q179: DuckDB rebuilds BOTH snapshots' token histograms from the
     // golden table + the planted change-set rules, then the same
     // delta/ratio/top-K arithmetic
-    "q179_vocab_drift" ->
-      s"""WITH g AS (SELECT conv_id, turn_idx, text
-                    FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
-         nx AS (SELECT CASE WHEN turn_idx = 0 THEN text || ' drift' ELSE text END AS text
-                FROM g WHERE conv_id >= 'conv-000005'
-                UNION ALL
-                SELECT '<p>late-arriving appended turn body text</p>' AS text
-                FROM (SELECT DISTINCT conv_id FROM g) c
-                WHERE conv_id >= 'conv-000005' AND CAST(substr(conv_id, 6) AS BIGINT) % 10 = 0),
-         tp AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token FROM g),
-         tn AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token FROM nx),
-         cp AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_prev FROM tp GROUP BY 1),
-         cn AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_next FROM tn GROUP BY 1),
-         j AS (SELECT coalesce(cp.token, cn.token) AS token,
-                      coalesce(cnt_prev, 0) AS cnt_prev, coalesce(cnt_next, 0) AS cnt_next
-               FROM cp FULL OUTER JOIN cn ON cp.token = cn.token),
-         d AS (SELECT token, cnt_prev, cnt_next,
-                      cnt_next - cnt_prev AS delta,
-                      CAST((cnt_next * 10000) // greatest(cnt_prev, 1) AS BIGINT) AS ratio_x10000
-               FROM j WHERE cnt_next <> cnt_prev)
-         SELECT token, cnt_prev, cnt_next, delta, ratio_x10000
-         FROM d ORDER BY abs(delta) DESC, token ASC
-         LIMIT ${ops.TranscriptOps.DriftTopK}""",
+    "q179_vocab_drift" -> vocabDriftOracleSql,
     // q180: DuckDB regenerates the straggler stream and applies the
     // MEASURED lagged-watermark rule (late-event filter = batch-(k-2)
     // high-water mark, ms-floored, minus the delay; drop iff the
@@ -2486,7 +2549,10 @@ object SparkEntry {
          FROM a""",
     // BPE family: DuckDB independently retrains the merges from raw text
     // via BpeOps.duckdbTrainCtes (same packed-string replace semantics,
-    // same tie-breaks) — nothing engine-materialized is trusted
+    // same tie-breaks, same MinWordCount training floor; encodes go
+    // through the unfloored duckdbMapCtes mapping chain, mirroring the
+    // engine's total merge-fold encoder) — nothing engine-materialized
+    // is trusted
     "q79_bpe_pair_counts" ->
       s"""WITH ${BpeOps.duckdbTrainCtes(0)},
          p1 AS (SELECT pr.l AS lhs, pr.r AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
@@ -2505,8 +2571,8 @@ object SparkEntry {
     },
     "q81_bpe_encode" -> {
       val n = BpeOps.DefaultMerges
-      s"""WITH ${BpeOps.duckdbTrainCtes(n)},
-         enc AS (SELECT word, trim(packed) AS e FROM w$n),
+      s"""WITH ${BpeOps.duckdbTrainCtes(n)}${BpeOps.duckdbMapCtes(n)},
+         enc AS (SELECT word, trim(packed) AS e FROM v$n),
          docw AS (SELECT doc_id,
                          list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
                   FROM documents),
@@ -2555,20 +2621,7 @@ object SparkEntry {
     // the engine's features come from a REAL PNG decode of a real PNG
     // encode; the oracle recomputes the planted pixels from text, so a
     // match proves the codec round-trip is pixel-exact
-    "q84_image_codec" ->
-      s"""WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, ${MultimodalOps.ImgMaxChars}) AS t
-                    FROM documents),
-         p AS (SELECT doc_id,
-                      [ord(substr(t, i, 1)) % 256 for i in range(1, len(t) + 1)] AS px,
-                      greatest((len(t) + ${MultimodalOps.ImgWidth} - 1) // ${MultimodalOps.ImgWidth}, 1) AS h
-               FROM d)
-         SELECT doc_id,
-                CAST(${MultimodalOps.ImgWidth} AS INTEGER) AS width,
-                CAST(h AS INTEGER) AS height,
-                CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_luma,
-                CAST(coalesce(list_max(px), 0) AS INTEGER) AS max_luma,
-                CAST(coalesce(list_sum([coalesce(px[((i // 8) * h // 8) * ${MultimodalOps.ImgWidth} + (i % 8) * ${MultimodalOps.ImgWidth / MultimodalOps.ThumbSide} + 1], 0) for i in range(0, 64)]), 0) AS BIGINT) AS thumb_sum
-         FROM p""",
+    "q84_image_codec" -> codecFeatureOracleSql,
     // DuckDB re-runs ALL PageRank rounds from raw text via the generated
     // CTE chain (same regexes, same integer floor arithmetic)
     "q85_host_rank" ->
@@ -2788,11 +2841,10 @@ object SparkEntry {
          ORDER BY n_failures DESC, n_violations DESC, t.conv_id ASC
          LIMIT 50""",
     // q89: identical expected values to q84 — the BMP round-trip must be
-    // just as pixel-exact as the PNG one
-// identical expected values to q84 — the BMP round-trip must be just
-    // as pixel-exact as the PNG one (GIF was probed and REJECTED here:
-    // ImageIO's GIF writer palette-quantizes even 256-level grayscale,
-    // so it belongs to the q98 lossy family, not this exact one)
+    // just as pixel-exact as the PNG one (GIF was probed and REJECTED
+    // here: ImageIO's GIF writer palette-quantizes even 256-level
+    // grayscale, so it belongs to the q98 lossy family, not this exact
+    // one)
     "q89_bmp_codec" -> codecFeatureOracleSql,
     // q103: DuckDB rebuilds the Bloom filter bit-for-bit from the same
     // double-hash arithmetic (all operands < 2^21 — no overflow in either
@@ -3546,8 +3598,8 @@ object SparkEntry {
     // integer arithmetic
     "q143_bpe_fertility" -> {
       val n = BpeOps.DefaultMerges
-      s"""WITH ${BpeOps.duckdbTrainCtes(n)},
-         enc AS (SELECT word, trim(packed) AS e FROM w$n),
+      s"""WITH ${BpeOps.duckdbTrainCtes(n)}${BpeOps.duckdbMapCtes(n)},
+         enc AS (SELECT word, trim(packed) AS e FROM v$n),
          docw AS (SELECT doc_id, lang,
                          list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
                   FROM documents),

@@ -128,6 +128,70 @@ object SqlSurface {
     adHoc(spark, CrossFamilySql)
   }
 
+  /** Views registered by [[registerAnalyticsViews]] — the corpus-ops
+    * analytics frames (curation funnel, host scorecard, vocabulary
+    * drift, IVF cell drift) that close the catalog over the q166+
+    * monitoring surface.
+    */
+  val AnalyticsViews: Seq[String] = Seq(
+    "curation_funnel", "host_scorecard", "vocab_drift", "ivf_cell_drift")
+
+  /** Register the analytics frames as session temp views. `webDocs` is
+    * the web corpus the scorecard grades; `turnsPrev`/`turnsNext` the
+    * two snapshots the drift report diffs.
+    */
+  def registerAnalyticsViews(
+      spark: SparkSession, dir: String, webDocs: DataFrame,
+      turnsPrev: DataFrame, turnsNext: DataFrame): Unit = {
+    CurationOps.curationFunnel(spark, dir).createOrReplaceTempView("curation_funnel")
+    WebOps.hostScorecard(webDocs).createOrReplaceTempView("host_scorecard")
+    TranscriptOps.vocabDrift(turnsPrev, turnsNext).createOrReplaceTempView("vocab_drift")
+    SimilarityOps.ivfCellDrift(spark, dir).createOrReplaceTempView("ivf_cell_drift")
+  }
+
+  /** One ad-hoc corpus-health statement over the four analytics views:
+    * per family, the row count plus two exact family-level signals
+    * (funnel: raw docs + final retention; scorecard: reputable hosts +
+    * max rank; drift: total + max absolute token delta; cell drift:
+    * appended vectors + max drift ratio). Shared VERBATIM with the q190
+    * oracle, which substitutes independently derived DuckDB chains for
+    * the four view names — the engine's frames never feed the oracle.
+    * Every subquery aggregates an already-bounded analytics frame
+    * (stages / hosts / top-K movers / cells), so the statement itself is
+    * scale-free.
+    */
+  val CorpusHealthSql: String =
+    """SELECT '1_funnel' AS family,
+           (SELECT CAST(count(*) AS BIGINT) FROM curation_funnel) AS n_rows,
+           (SELECT n_docs FROM curation_funnel WHERE stage = '1_raw') AS metric_a,
+           (SELECT retained_x10000 FROM curation_funnel WHERE stage = '5_balanced') AS metric_b
+       UNION ALL
+       SELECT '2_scorecard',
+           (SELECT CAST(count(*) AS BIGINT) FROM host_scorecard),
+           (SELECT CAST(count(*) AS BIGINT) FROM host_scorecard WHERE reputable),
+           (SELECT CAST(coalesce(max(rank_x1e12), 0) AS BIGINT) FROM host_scorecard)
+       UNION ALL
+       SELECT '3_vocab_drift',
+           (SELECT CAST(count(*) AS BIGINT) FROM vocab_drift),
+           (SELECT CAST(coalesce(sum(abs(delta)), 0) AS BIGINT) FROM vocab_drift),
+           (SELECT CAST(coalesce(max(abs(delta)), 0) AS BIGINT) FROM vocab_drift)
+       UNION ALL
+       SELECT '4_cell_drift',
+           (SELECT CAST(count(*) AS BIGINT) FROM ivf_cell_drift),
+           (SELECT CAST(coalesce(sum(n_appended), 0) AS BIGINT) FROM ivf_cell_drift),
+           (SELECT CAST(coalesce(max(appended_ratio_x10000), 0) AS BIGINT) FROM ivf_cell_drift)
+       ORDER BY family"""
+
+  /** Flagship corpus-health query (q190): register the analytics views,
+    * run the shared statement.
+    */
+  def corpusHealth(
+      spark: SparkSession, dir: String, webDocs: DataFrame,
+      turnsPrev: DataFrame, turnsNext: DataFrame): DataFrame = {
+    registerAnalyticsViews(spark, dir, webDocs, turnsPrev, turnsNext)
+    adHoc(spark, CorpusHealthSql)
+  }
+
   /** Register every STRUCTURED-EXTRACTION output as a temp view —
     * completing the ad-hoc catalog for the markup/layout families the
     * round added (the q68/q88 move extended to q133-q155's outputs).

@@ -197,6 +197,39 @@ object StreamingExtract {
     * pass; the audit join aggregates both sides to per-type counts
     * before comparing.
     */
+  /** State-store partition count for the audit/window streams. A
+    * streaming aggregation pins its state partitioning from
+    * `spark.sql.shuffle.partitions` at the FIRST batch, and every
+    * micro-batch then commits one delta per state partition — with the
+    * session's 32 partitions over a keyspace of a handful of event
+    * types, that is pure fixed cost (hundreds of state-file commits per
+    * drain). 8 keeps headroom over |event_type| while cutting the
+    * per-batch commit fan-out 4x; a production deployment with a wide
+    * key space would raise it with the keyspace, not with the corpus.
+    */
+  val StreamStatePartitions = 8
+
+  /** Run `f` with `spark.sql.shuffle.partitions` = [[StreamStatePartitions]],
+    * restored afterwards — scoped to the streaming query starts below so
+    * the batch surface keeps the session's parallelism.
+    */
+  private def withStreamStateConf[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamStatePartitions.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
+  /** The single part- file of a one-partition parquet write. The
+    * directory stream is closed eagerly — `Files.list` leaks a directory
+    * fd per call otherwise, once per replay block here.
+    */
+  private def firstPartFile(dir: String): java.nio.file.Path =
+    scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { st =>
+      st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+    }
+
   def watermarkDropAudit(
       spark: SparkSession,
       events: DataFrame, // (event_id, event_type, us)
@@ -215,8 +248,7 @@ object StreamingExtract {
       val tmp = s"$base/tmp_b$b"
       src.filter(col("blk") === b).drop("blk")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val part = firstPartFile(tmp)
       val dest = java.nio.file.Paths.get(in, f"block-$b%05d.parquet")
       java.nio.file.Files.move(part, dest,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -224,7 +256,7 @@ object StreamingExtract {
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
     }
     val schema = spark.read.parquet(in).schema
-    def drain(): Unit = {
+    def drain(): Unit = withStreamStateConf(spark) {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .withWatermark("ts", s"$delayMs milliseconds")
@@ -238,24 +270,28 @@ object StreamingExtract {
         .start()
       q.awaitTermination()
     }
-    drain()
-    // sentinel file (one more deterministic batch, 3 h past the corpus
-    // max) pushes the persisted watermark beyond every real window so
-    // the resumed drain emits them all; its own row is filtered out
+    // Two sentinel files (3 h / 6 h past the corpus max, mod-times after
+    // every real block) close the watermark inside ONE drain: sentinel
+    // A's batch advances the watermark beyond every real window, and
+    // sentinel B's batch — operating under the post-A watermark — emits
+    // them all. The previous shape paid a full second AvailableNow
+    // start + checkpoint resume for the same effect; admission of real
+    // events is untouched (their batches precede both sentinels), and
+    // both sentinel rows filter out of the result by type.
     val maxUs = src.agg(max(col("us"))).head().getLong(0)
     import spark.implicits._
-    val sentinel = Seq((-1L, WatermarkSentinel, maxUs + 3L * 3600 * 1000000))
-      .toDF("event_id", "event_type", "us")
-      .withColumn("ts", timestamp_micros(col("us")))
-    val stmp = s"$base/tmp_sentinel"
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stmp)
-    val spart = java.nio.file.Files.list(java.nio.file.Paths.get(stmp))
-      .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
-    val sdest = java.nio.file.Paths.get(in, "block-zz-sentinel.parquet")
-    java.nio.file.Files.move(spart, sdest,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.setLastModifiedTime(sdest,
-      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + (blocks.length + 1) * 1000L))
+    Seq((-1L, 1), (-2L, 2)).foreach { case (eid, k) =>
+      val sentinel = Seq((eid, WatermarkSentinel, maxUs + k * 3L * 3600 * 1000000))
+        .toDF("event_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val stmp = s"$base/tmp_sentinel$k"
+      sentinel.coalesce(1).write.mode("overwrite").parquet(stmp)
+      val sdest = java.nio.file.Paths.get(in, s"block-zz-sentinel$k.parquet")
+      java.nio.file.Files.move(firstPartFile(stmp), sdest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(sdest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + (blocks.length + k) * 1000L))
+    }
     drain()
     val admitted = spark.read.parquet(out)
       .filter(col("event_type") =!= WatermarkSentinel)
@@ -278,15 +314,17 @@ object StreamingExtract {
     * the whole result every batch).
     *
     * Append mode only emits a window once the watermark passes its end,
-    * so a single drain would withhold the trailing windows. Instead of
-    * weakening to complete mode, the drain runs TWICE over one
-    * checkpoint: the first pass consumes the corpus; the second pass
-    * feeds one sentinel event 3 hours past the corpus max, advancing the
-    * PERSISTED watermark beyond every real window so the resume emits
-    * them all. The sentinel's own window stays open forever and is
-    * filtered back out — so the result equals the batch aggregation
-    * exactly, and the equality also exercises the checkpoint-resume path
-    * (the second run recovers watermark state written by the first).
+    * so a corpus-only drain would withhold the trailing windows. One
+    * sentinel event 3 hours past the corpus max (landed WITH the corpus)
+    * advances the end-of-batch watermark beyond every real window, and
+    * the no-data finalize micro-batch AvailableNow runs before
+    * terminating (`spark.sql.streaming.noDataMicroBatches.enabled`,
+    * default on — asserted at run time) emits them all inside a SINGLE
+    * drain: two micro-batches total, where the previous shape paid two
+    * full AvailableNow starts plus a checkpoint resume. The sentinel's
+    * own window stays open forever and is filtered back out — so the
+    * result equals the batch aggregation exactly through a real
+    * checkpointed stream.
     */
   def eventWindows(
       spark: SparkSession,
@@ -297,13 +335,23 @@ object StreamingExtract {
     import spark.implicits._
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
-    events.select(cols.map(col): _*).filter(col("ts").isNotNull)
+    val landed = events.select(cols.map(col): _*).filter(col("ts").isNotNull)
       // event-time watermarks require TIMESTAMP (with local tz) — the raw
       // table's NTZ timestamps are value-identical under the UTC session
       .withColumn("ts", col("ts").cast("timestamp"))
-      .write.mode("overwrite").parquet(in)
+    landed.write.mode("overwrite").parquet(in)
+    // single-drain watermark closure needs the finalize no-data batch
+    assert(spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled",
+      "true") == "true", "eventWindows requires noDataMicroBatches")
+    // max over the rewritten (TIMESTAMP-typed) landing data, not the raw
+    // frame — the source table may carry NTZ timestamps
+    val maxTs = spark.read.parquet(in).agg(max(col("ts"))).head().getTimestamp(0)
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000), -1L,
+        WatermarkSentinel, 0.0))
+      .toDF(cols: _*)
+      .write.mode("append").parquet(in)
     val schema = spark.read.parquet(in).schema
-    def drain(): Unit = {
+    def drain(): Unit = withStreamStateConf(spark) {
       val q = spark.readStream.schema(schema).parquet(in)
         .withWatermark("ts", watermark)
         .groupBy(window(col("ts"), windowLen), col("event_type"))
@@ -321,14 +369,6 @@ object StreamingExtract {
         .start()
       q.awaitTermination()
     }
-    drain()
-    // max over the rewritten (TIMESTAMP-typed) landing data, not the raw
-    // frame — the source table may carry NTZ timestamps
-    val maxTs = spark.read.parquet(in).agg(max(col("ts"))).head().getTimestamp(0)
-    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000), -1L,
-        WatermarkSentinel, 0.0))
-      .toDF(cols: _*)
-      .write.mode("append").parquet(in)
     drain()
     spark.read.parquet(out).filter(col("event_type") =!= WatermarkSentinel)
   }

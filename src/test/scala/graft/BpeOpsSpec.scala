@@ -18,8 +18,12 @@ class BpeOpsSpec extends AnyFunSuite {
   private def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
     .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** True-BPE reference over a word histogram. */
-  private def refBpe(hist: Map[String, Long], nMerges: Int)
+  /** True-BPE reference over a word histogram. `floor` mirrors the
+    * engine's MinWordCount: pair statistics come only from words at or
+    * above the floor, but learned merges apply to EVERY word (the
+    * mapping stays total — the engine's encodeWord contract).
+    */
+  private def refBpe(hist: Map[String, Long], nMerges: Int, floor: Long = 1L)
       : (Seq[(Int, String, String, Long)], Map[String, Seq[String]]) = {
     def mergeLeftmost(s: Seq[String], l: String, r: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -37,7 +41,7 @@ class BpeOpsSpec extends AnyFunSuite {
     while (r <= nMerges && !done) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
-      for ((w, c) <- hist; pair <- syms(w).sliding(2) if pair.length == 2)
+      for ((w, c) <- hist if c >= floor; pair <- syms(w).sliding(2) if pair.length == 2)
         counts((pair(0), pair(1))) += c
       if (counts.isEmpty) done = true
       else {
@@ -72,7 +76,7 @@ class BpeOpsSpec extends AnyFunSuite {
   test("train matches the naive leftmost-first reference on merges and symbolizations") {
     val n = 10
     val (refMerges, refSyms) = refBpe(localHist, n)
-    val (gotMerges, gotMap) = BpeOps.train(corpus, n)
+    val (gotMerges, gotMap) = BpeOps.train(corpus, n, minCount = 1L)
     assert(gotMerges == refMerges, "merge tables differ")
     assert(refMerges.size == n, "corpus must sustain all rounds")
     val gotSyms = gotMap.toMap
@@ -98,7 +102,7 @@ class BpeOpsSpec extends AnyFunSuite {
     val hist = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
     val (refMerges, refSyms) = refBpe(hist, 64)
     assert(refMerges.size == 64, s"corpus exhausted at ${refMerges.size} rounds")
-    val (gotMerges, gotMap) = BpeOps.train(docs, 64)
+    val (gotMerges, gotMap) = BpeOps.train(docs, 64, minCount = 1L)
     assert(gotMerges == refMerges, "64-round merge tables differ")
     val gotSyms = gotMap.toMap
     refSyms.foreach { case (w, s) =>
@@ -110,15 +114,38 @@ class BpeOpsSpec extends AnyFunSuite {
     import spark.implicits._
     // one two-char word: exactly one merge possible, then nothing left
     val tiny = Seq((0L, "ab ab a")).toDF("doc_id", "text")
-    val (merges, mapping) = BpeOps.train(tiny, 5)
+    val (merges, mapping) = BpeOps.train(tiny, 5, minCount = 1L)
     assert(merges == Seq((1, "a", "b", 2L)))
     assert(mapping.toMap == Map("ab" -> "ab", "a" -> "a"))
+  }
+
+  test("training floor: singleton words carry no merge signal but still encode totally") {
+    import spark.implicits._
+    // unfloored, (z,z) would win round 1 (9 weighted pairs from the
+    // singleton run vs 3 for (q,q)); the MinWordCount floor must exclude
+    // the singleton from TRAINING while the learned merges still apply
+    // to it at encode time
+    val docs = Seq((0L, "qq qq qq zzzzzzzzzz qqq")).toDF("doc_id", "text")
+    val hist = Map("qq" -> 3L, "zzzzzzzzzz" -> 1L, "qqq" -> 1L)
+    val (unflooredMerges, _) = refBpe(hist, 1, 1L)
+    assert(unflooredMerges.head._2 == "z" && unflooredMerges.head._3 == "z",
+      "plant must make (z,z) the unfloored argmax")
+    val (merges, mapping) = BpeOps.train(docs, 5) // default MinWordCount floor
+    assert(merges == Seq((1, "q", "q", 3L)), s"floored merges: $merges")
+    assert(mapping.toMap == Map("qq" -> "qq"), "mapping covers floored words only")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-floor").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val enc = BpeOps.encode(spark, dir, 5).as[(Long, Int, Long, String)].collect()
+    // qq->1 token (x3), zzzzzzzzzz->10 chars untouched, qqq->leftmost (qq, q)
+    assert(enc.toSeq == Seq((0L, 5, 3L * 1 + 10 + 2,
+      sha(Seq("qq", "qq", "qq",
+        "z  z  z  z  z  z  z  z  z  z", "qq  q").mkString(" | ")))))
   }
 
   test("fertility matches the reference per-lang byte/token rollup") {
     import spark.implicits._
     val n = BpeOps.DefaultMerges
-    val (_, refSyms) = refBpe(localHist, n)
+    val (_, refSyms) = refBpe(localHist, n, BpeOps.MinWordCount)
     val docWords = Map(
       0L -> Seq("aaaaa", "abab", "ababab", "banana"),
       1L -> Seq("banana", "bandana", "banana", "scan", "scanner"),
@@ -150,7 +177,7 @@ class BpeOpsSpec extends AnyFunSuite {
   test("encode matches the reference symbol counts and bytes; pair counts match") {
     import spark.implicits._
     val n = BpeOps.DefaultMerges
-    val (_, refSyms) = refBpe(localHist, n)
+    val (_, refSyms) = refBpe(localHist, n, BpeOps.MinWordCount)
     val docWords = Map(
       0L -> Seq("aaaaa", "abab", "ababab", "banana"),
       1L -> Seq("banana", "bandana", "banana", "scan", "scanner"),
@@ -176,7 +203,8 @@ class BpeOpsSpec extends AnyFunSuite {
     val refCounts = {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
-      for ((w, c) <- localHist; pair <- w.map(_.toString).sliding(2) if pair.length == 2)
+      for ((w, c) <- localHist if c >= BpeOps.MinWordCount;
+           pair <- w.map(_.toString).sliding(2) if pair.length == 2)
         counts((pair(0), pair(1))) += c
       counts.toMap
     }

@@ -613,13 +613,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"histogram aggregation must be map-side partial:\n$p")
   }
 
-  test("BPE encode never shuffles the corpus: merges ride a broadcast map literal") {
+  test("BPE encode never shuffles the corpus: merges ride the in-row replace fold") {
     val p = plan(graft.ops.BpeOps.encode(spark, dir))
     // the returned frame is a pure projection over the documents scan —
-    // training already happened driver-side on the vocab histogram
+    // training already happened driver-side on the floored histogram and
+    // encoding is the per-word fold of the learned literal replaces
     assert(!p.contains("Exchange"), s"encode must be narrow:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      s"encode must look words up in the map literal, not join:\n$p")
+      s"encode must fold the merges in-row, not join:\n$p")
   }
 
   test("sessionization: one user-keyed shuffle; rollup reuses the window partitioning") {
@@ -1082,13 +1083,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected broadcast 1-row scalar attach:\n$p")
   }
 
-  test("bpe fertility: vocab rides as a literal map — one lang agg exchange, no join") {
+  test("crawl budget + polite schedule: remainder ranks are two-phase — no unpartitioned window") {
+    // |hosts| is 10⁷–10⁸ at web scale; a global-order row_number would
+    // funnel them through one task. Both seat rankings must ride the
+    // part-partitioned two-phase rank (offset + local row_number).
+    for (df <- Seq(
+        graft.ops.WebOps.crawlBudget(graft.synth.WebDocs.docs(spark, 40L)),
+        graft.ops.WebOps.politeCrawlSchedule(graft.synth.WebDocs.docs(spark, 40L)))) {
+      val p = plan(df)
+      val specs = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSeq
+      assert(specs.nonEmpty && specs.forall(_ == "windowspecdefinition(part"),
+        s"every window must partition by the range-partition id, got $specs:\n$p")
+    }
+  }
+
+  test("bpe fertility: merges fold in-row — one lang agg exchange, no join") {
     val p = plan(graft.ops.BpeOps.fertility(spark, dir))
     assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"expected only the lang aggregation exchange:\n$p")
     assert(p.contains("partial_count"), s"missing map-side partial agg:\n$p")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
-      s"fertility must not join (vocab is a literal):\n$p")
+      s"fertility must not join (merges fold in-row):\n$p")
   }
 
   test("encoding audit: pure narrow projection — zero exchanges, zero joins") {

@@ -87,6 +87,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
       grids.size.toLong, 0L, 0L)))
   }
 
+  test("analytics views: corpus-health summary equals component-frame recompute") {
+    import graft.ops.{CurationOps, SimilarityOps, TranscriptOps, WebOps}
+    val dir = "/root/testdata/sf0.001"
+    val web = graft.synth.WebDocs.docs(spark, 40L)
+    val prev = graft.synth.SynthDataset.turns(spark, 30).toDF()
+    val next = prev.withColumn("text",
+      when($"turn_idx" === 0, concat($"text", lit(" drift"))).otherwise($"text"))
+    val got = SqlSurface.corpusHealth(spark, dir, web, prev, next)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set("1_funnel", "2_scorecard", "3_vocab_drift", "4_cell_drift"))
+    // recompute each family's summary from the component frame directly —
+    // the frames themselves are oracled by q176/q178/q179/q188
+    val f = CurationOps.curationFunnel(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got("1_funnel") == ((f.size.toLong, f("1_raw")._1, f("5_balanced")._2)))
+    val sc = WebOps.hostScorecard(web).collect()
+      .map(r => (r.getBoolean(r.fieldIndex("reputable")),
+        r.getLong(r.fieldIndex("rank_x1e12"))))
+    assert(got("2_scorecard") == ((sc.length.toLong, sc.count(_._1).toLong,
+      (0L +: sc.map(_._2)).max)))
+    val vd = TranscriptOps.vocabDrift(prev, next).collect()
+      .map(r => math.abs(r.getLong(r.fieldIndex("delta"))))
+    assert(got("3_vocab_drift") == ((vd.length.toLong, vd.sum, (0L +: vd).max)))
+    val cd = SimilarityOps.ivfCellDrift(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("n_appended")),
+        r.getLong(r.fieldIndex("appended_ratio_x10000"))))
+    assert(got("4_cell_drift") == ((cd.length.toLong, cd.map(_._1).sum,
+      (0L +: cd.map(_._2)).max)))
+  }
+
   test("policy query: per-doc rollup, top-50 by violations with stable tiebreak") {
     val recs = ShredOps.structuredRecords(spark, 80).toDF()
     val rows = SqlSurface.policySummary(spark, recs).collect()
