@@ -18,10 +18,11 @@ import graft.synth.WebDocs
   * deterministic on a noisy shared VM; quiet-window skew/uniform cost
   * ratios are recorded in BASELINE.md.
   */
-class SkewSpec extends AnyFunSuite {
-  private lazy val spark = SparkSessionFixture.spark
-
-  private val Mega = "mega-hub.example.com"
+/** Skewed corpus builder — a top-level object so the row closure stays
+  * serializable (a suite-member method would capture the suite).
+  */
+private[graft] object SkewCorpus {
+  val Mega = "mega-hub.example.com"
 
   /** WebDocs corpus with the mega-host appended to EVERY doc: each doc
     * that already carries a URL gains an edge (its first host → mega),
@@ -29,13 +30,19 @@ class SkewSpec extends AnyFunSuite {
     * the uniform WebDocs spectrum — a 10⁸-host crawl with one viral hub,
     * scaled down.
     */
-  private def megaText(id: Long): String =
+  def megaText(id: Long): String =
     WebDocs.text(id) + s" hub https://$Mega/x/$id"
 
-  private def skewed(n: Long): DataFrame = {
+  def skewed(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).map(id => (id, megaText(id))).toDF("doc_id", "text")
   }
+}
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import SkewCorpus.{Mega, megaText}
+  private def skewed(n: Long): DataFrame = SkewCorpus.skewed(spark, n)
 
   /** The WebOpsSpec naive integer PageRank, parameterized by corpus. */
   private def naiveRank(nDocs: Long, text: Long => String): Map[String, Long] = {
@@ -69,14 +76,25 @@ class SkewSpec extends AnyFunSuite {
     val got = WebOps.hostRank(skewed(nDocs))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == want)
-    // the plant is a real Zipf head: mega's in-degree dwarfs every other
-    // host's (engine-side edge recount, independent of naiveRank)
-    val inDeg = WebOps.hostEdges(skewed(nDocs))
-      .groupBy(col("dst")).agg(count(lit(1)).as("d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val others = inDeg.collect { case (h, d) if h != Mega => d }
-    assert(inDeg(Mega) >= 5 * others.max,
-      s"mega in-degree ${inDeg(Mega)} vs max other ${others.max}")
+    // the plant is a real Zipf head over the RAW link mentions — the rows
+    // the edge-dedup's map-side combine actually absorbs. (The DISTINCT
+    // host graph itself bounds any in-degree by |hosts|, which is the
+    // other half of why the reduce never melts: raw skew dies at the
+    // partial aggregate, and what crosses the exchange is host-pair
+    // bounded.)
+    val urlRe = new scala.util.matching.Regex(WebOps.UrlRe)
+    val hostRe = new scala.util.matching.Regex(WebOps.HostRe)
+    val rawDst = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    (0L until nDocs).foreach { id =>
+      val hosts = urlRe.findAllIn(megaText(id)).toSeq
+        .map(u => hostRe.findFirstMatchIn(u).get.group(1)
+          .toLowerCase.replaceFirst("^www\\.", ""))
+      if (hosts.size >= 2)
+        hosts.tail.distinct.foreach(d => if (d != hosts.head) rawDst(d) += 1)
+    }
+    val others = rawDst.collect { case (h, d) if h != Mega => d }
+    assert(rawDst(Mega) >= 5 * others.max,
+      s"mega raw mentions ${rawDst(Mega)} vs max other ${others.max}")
     // and mega wins the rank fixed point (sanity: the skew reaches the result)
     assert(got.maxBy(_._2)._1 == Mega)
   }
@@ -87,7 +105,10 @@ class SkewSpec extends AnyFunSuite {
     // hot key crosses the wire pre-combined
     val edges = WebOps.hostEdges(skewed(200L))
     val pEdges = edges.queryExecution.executedPlan.toString
-    assert(pEdges.contains("partial"),
+    // a distinct's map-side combine prints as a second HashAggregate
+    // below the exchange (functions=[] so no partial_ label)
+    assert("HashAggregate".r.findAllIn(pEdges).size >= 2
+        && pEdges.contains("Exchange hashpartitioning"),
       s"edge distinct must partial-aggregate map-side:\n$pEdges")
     val pDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("d"))
       .queryExecution.executedPlan.toString
