@@ -786,7 +786,12 @@ object SparkEntry {
       SqlSurface.corpusHealth(s, d,
         graft.synth.WebDocs.docs(s, VerifyWebDocs),
         SynthDataset.turns(s, VerifyConvs).toDF(),
-        verifyNextSnapshot(s).toDF()))
+        verifyNextSnapshot(s).toDF())),
+    // quantized persisted-index serving tier: q185's cell-partitioned
+    // pruned index storing q154's int8 codes, scored with q156's exact
+    // integer cos2; per-query recall vs the float brute baseline
+    "q191_ivf_quantized_index" -> ((s, d) =>
+      SimilarityOps.ivfQuantizedIndexTopK(s, d, scratchDir("ivf_q_index", d)))
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -1841,6 +1846,64 @@ object SparkEntry {
          vocab_drift AS ($vocabDriftOracleSql),
          ivf_cell_drift AS ($cellDriftOracleSql)
          ${SqlSurface.CorpusHealthSql}""",
+    // q191: DuckDB re-derives EVERYTHING — float router (centroids ->
+    // assignment -> probe cells, the q54 chain), int8 codes (the q154
+    // chain), integer cos2 candidate ranking within probed cells (the
+    // q156 arithmetic), the float brute top-k, and the overlap
+    "q191_ivf_quantized_index" -> {
+      val n = ops.SimilarityOps.NQueries
+      val k = ops.SimilarityOps.DefaultK
+      s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+                    FROM read_parquet('__SYNTH__/centroids.parquet/*.parquet')),
+         e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS MATERIALIZED (SELECT vec_id,
+                      first(cell ORDER BY CAST(floor(list_distance(v, cv) * 10000) AS BIGINT) ASC, cell ASC) AS cell
+               FROM e CROSS JOIN c GROUP BY vec_id),
+         am AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS amax
+               FROM e),
+         qc AS MATERIALIZED (SELECT vec_id, codes,
+                  CAST(list_inner_product(codes, codes) AS BIGINT) AS n2 FROM (
+                  SELECT vec_id,
+                    list_transform(v, x -> CAST(floor(x / amax * 127.0 + 0.5) AS INTEGER)) AS codes
+                  FROM am) z),
+         idxq AS MATERIALIZED (SELECT a.vec_id, a.cell, qc.codes, qc.n2
+               FROM a JOIN qc USING (vec_id)),
+         p AS MATERIALIZED (SELECT query_id, cell FROM (
+                 SELECT e.vec_id AS query_id, c.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY CAST(floor(list_distance(e.v, c.cv) * 10000) AS BIGINT) ASC, c.cell ASC) AS pr
+                 FROM e CROSS JOIN c WHERE e.vec_id < $n) z
+                 WHERE pr <= ${ops.SimilarityOps.IvfNProbe}),
+         pq AS (SELECT p.query_id, p.cell, q2.codes AS qcodes, q2.n2 AS qn2
+                FROM p JOIN qc q2 ON q2.vec_id = p.query_id),
+         sd AS (SELECT pq.query_id, i.vec_id AS neighbor_id,
+                  CAST(list_inner_product(pq.qcodes, i.codes) AS BIGINT) AS dot,
+                  pq.qn2, i.n2
+                FROM pq JOIN idxq i ON pq.cell = i.cell AND i.vec_id <> pq.query_id),
+         sc AS (SELECT query_id, neighbor_id,
+                  CASE WHEN dot < 0 THEN -((dot * dot * 10000) // (qn2 * n2))
+                       ELSE (dot * dot * 10000) // (qn2 * n2) END AS s2
+                FROM sd),
+         qt AS (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY s2 DESC, neighbor_id ASC) AS rn FROM sc) t
+                WHERE rn <= $k),
+         fs AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+                  CAST(floor(list_cosine_similarity(q.v, e2.v) * 10000) AS BIGINT) AS cos
+                FROM e q, e e2 WHERE q.vec_id < $n AND e2.vec_id <> q.vec_id),
+         ft AS (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM fs) t
+                WHERE rn <= $k),
+         ov AS (SELECT query_id, count(*) AS n FROM (
+                  SELECT * FROM ft INTERSECT SELECT * FROM qt) t GROUP BY 1)
+         SELECT q.vec_id AS query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 10000 // $k AS BIGINT) AS recall_x10000
+         FROM e q LEFT JOIN ov ON ov.query_id = q.vec_id
+         WHERE q.vec_id < $n"""
+    },
     // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
     // backref dehyphenation + control class) and regroups both keys
     "q186_norm_dedup" ->

@@ -724,6 +724,82 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_x10000"))
   }
 
+  /** Quantized persisted-index IVF search (q191) — the COMPOSED 100 TB
+    * serving tier: the q185 physical layout (parquet partitioned by
+    * cell, probing = partition pruning at the scan) storing the q154
+    * int8 CODES instead of float vectors — a 4x smaller index whose
+    * probed cells are the only bytes read — scored with q156's
+    * exact-integer signed cos² (per-vector amax scalars cancel in the
+    * cosine, zero float ops in the hot loop). The coarse ROUTER stays
+    * float (centroid probe selection — the standard IVF/PQ split:
+    * quantize the stored vectors, not the router). Output is the
+    * q59-shaped per-query recall row against the float brute-force
+    * baseline: the acceptance instrument for serving from the
+    * compressed pruned index (`SimilaritySpec` pins mean recall at or
+    * above the q156 0.8 bar).
+    */
+  def ivfQuantizedIndexTopK(
+      spark: SparkSession, dir: String, base: String, k: Int = DefaultK,
+      nList: Int = IvfNList, nProbe: Int = IvfNProbe, iters: Int = IvfIters): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // build phase: cell-partitioned CODE index (q185's layout, q154's codes)
+    val centroids = ivfCentroids(spark, dir, nList, iters)
+    val codes = codeFrame(spark, dir)
+      .select(col("vec_id"), col("codes"),
+        aggregate(transform(col("codes"), c => (c * c).cast("long")),
+          lit(0L), (a, x) => a + x).as("n2"))
+    assignCells(vecs, centroids).join(codes, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/index")
+    centroids.write.mode("overwrite").parquet(s"$base/centroids")
+    // query phase: float router picks the probe cells (q54/q185 rule)
+    val cents = spark.read.parquet(s"$base/centroids")
+    val queries = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_x10000").asc, col("cell").asc)
+    val probedQ = queries
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        expr("graft_l2_x10000(q_embedding, centroid)").as("l2_x10000"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val qcodes = codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"),
+        col("n2").as("qn2"))
+    val probed = probedQ.join(qcodes, "query_id")
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // <= nQueries x nProbe ids by contract
+    val idx = spark.read.parquet(s"$base/index")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = idx
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => (a * b).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("s2", expr("""CASE WHEN dot < 0
+          THEN -((dot * dot * 10000) div (qn2 * n2))
+          ELSE (dot * dot * 10000) div (qn2 * n2) END"""))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s2").desc, col("vec_id").asc)
+    val quantTop = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // recall vs the float brute baseline — the q59 overlap recipe
+    val floatTop = bruteTopK(spark, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = quantTop.join(floatTop, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(hits, 0L) * 10000 div $k").as("recall_x10000"))
+  }
+
   /** Base-corpus size for the q187 frozen-centroid append split. */
   val IvfAppendBase = 300L
 

@@ -464,6 +464,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("quantized ivf index scan: probing prunes the CODE index partitions at the scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-q-plan").toString
+    val p = plan(graft.ops.SimilarityOps.ivfQuantizedIndexTopK(spark, dir, base))
+    // same pruning contract as q185, now over the 4x-smaller code pages
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probe set did not prune index partitions:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("cell outliers: histogram thresholds broadcast; no per-cell rank window on the corpus") {
     val p = plan(graft.ops.SimilarityOps.cellOutliers(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")
