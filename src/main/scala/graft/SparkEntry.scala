@@ -37,6 +37,9 @@ object SparkEntry {
   /** Synthetic web docs (planted emails/phones/URLs) for q61/q62. */
   val VerifyWebDocs = 240L
 
+  /** Planted real-PDF container corpus size for q192. */
+  val VerifyPdfDocs = 300L
+
   /** Base conversations in the planted retry/loop corpus (q116-q118). */
   val VerifyRetryConvs = 240L
 
@@ -791,7 +794,31 @@ object SparkEntry {
     // pruned index storing q154's int8 codes, scored with q156's exact
     // integer cos2; per-query recall vs the float brute baseline
     "q191_ivf_quantized_index" -> ((s, d) =>
-      SimilarityOps.ivfQuantizedIndexTopK(s, d, scratchDir("ivf_q_index", d)))
+      SimilarityOps.ivfQuantizedIndexTopK(s, d, scratchDir("ivf_q_index", d))),
+    // real-PDF container extraction: complete uncompressed PDF BYTES
+    // (objects, page tree, content-stream text operators, xref) parsed
+    // from scratch and read back in reading order — S2-S4 upgraded from
+    // the positioned-run IR stand-in to real container bytes; oracled
+    // against the generator's by-construction goldens (the q28/q121
+    // trust model). Narrow per-doc map, zero exchanges.
+    "q192_pdf_container" -> ((s, _) => {
+      import s.implicits._
+      graft.synth.PdfDocs.docs(s, VerifyPdfDocs)
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          graft.extract.PdfContentParser.parse(
+            new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)) match {
+            case Left(f) => (id, -1, -1, "FAILED:" + f)
+            case Right(doc) =>
+              val ex = graft.extract.PdfContainerExtractor.order(doc)
+              (id, doc.pageHeights.length, doc.runs.length, ex.text)
+          }
+        }
+        .toDF("doc_id", "n_pages", "n_runs", "text")
+        .select(col("doc_id"), col("n_pages"), col("n_runs"),
+          length(col("text")).as("n_chars"),
+          sha2(col("text"), 256).as("text_sha"))
+    })
   )
 
   /** Planted NFC/NFD/control corpus size for q172. */
@@ -1904,6 +1931,16 @@ object SparkEntry {
          FROM e q LEFT JOIN ov ON ov.query_id = q.vec_id
          WHERE q.vec_id < $n"""
     },
+    // q192: DuckDB reads the generator's by-construction golden table —
+    // expected reading-ordered text per doc, derived from the layout
+    // plan, never from any parser — and re-derives the compared columns
+    "q192_pdf_container" ->
+      """SELECT doc_id,
+                CAST(n_pages AS INTEGER) AS n_pages,
+                CAST(n_runs AS INTEGER) AS n_runs,
+                CAST(length(expected_text) AS INTEGER) AS n_chars,
+                sha256(expected_text) AS text_sha
+         FROM read_parquet('__SYNTH__/pdf_golden.parquet/*.parquet')""",
     // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
     // backref dehyphenation + control class) and regroups both keys
     "q186_norm_dedup" ->

@@ -140,6 +140,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/norm_pair_docs.parquet")
       }
+      synthWrite("pdf_golden", "q192 real-PDF container oracle (generator's by-construction reading order)") {
+        synth.PdfDocs.golden(spark, SparkEntry.VerifyPdfDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/pdf_golden.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

@@ -74,14 +74,23 @@ object PdfIrExtractor {
       li += 1
     }
     if (runs.isEmpty) return Extracted("", Seq.empty, Some("pdfir_empty"))
+    orderRuns(runs.toArray)
+  }
 
+  /** Reading-order reconstruction over positioned runs — THE shared core
+    * of the pdfir stand-in path above and the real-container path
+    * (`PdfContainerExtractor`): per-page column split by largest x-gap,
+    * then (page, column, y, x) order, confidence annotations stripped,
+    * one `line` span per run. Callers guarantee `runs` nonempty.
+    */
+  private[extract] def orderRuns(runsIn: Array[Run]): Extracted = {
     // per-page column split by largest x-gap (two-column detection).
     // Array-based two-sort pipeline (was groupBy + per-page tuple
     // sortBy — the collection/boxing churn dominated the pdfir path):
     // sort by (page, x) once to find each page's largest gap between
     // consecutive DISTINCT x positions, then assign columns and sort by
     // (page, col, y, x).
-    val arr = runs.toArray
+    val arr = runsIn.clone()
     java.util.Arrays.sort(arr, (a: Run, b: Run) =>
       if (a.page != b.page) Integer.compare(a.page, b.page)
       else Integer.compare(a.x, b.x))

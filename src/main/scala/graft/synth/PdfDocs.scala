@@ -1,0 +1,216 @@
+package graft.synth
+
+import graft.text.TextAlgos.mix64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Deterministic synthetic REAL-PDF corpus: each doc is a complete
+  * uncompressed PDF container (header, catalog/page-tree objects,
+  * content streams of text operators, xref table, trailer) whose byte
+  * layout — positions, operator choice per run, emission scramble,
+  * string escapes — is a pure function of `doc_id`.
+  *
+  * Trust model (the q28/q121 golden pattern): the generator KNOWS each
+  * page's layout — columns, line order, run text — so it emits the
+  * expected reading-ordered text by construction, WITHOUT running any
+  * extractor. `graft.Verify` materializes that golden table for DuckDB;
+  * the engine must reproduce it from the container BYTES alone, through
+  * the from-scratch parser (`extract.PdfContentParser`) and the shared
+  * reading-order core (`extract.PdfIrExtractor.orderRuns`).
+  *
+  * Planted surface per doc:
+  *  - 1-3 pages, each single- or two-column (column x-gap >= the
+  *    extractor's ColumnGap so the split genuinely fires);
+  *  - runs emitted in a SCRAMBLED stream order (rotation by a hash
+  *    draw), so reading order must come from positions, not stream
+  *    order;
+  *  - four positioning-operator modes per run (Tm+Tj, relative Td+Tj,
+  *    Tm+TJ with kern splits, TL/Tm/' next-line showing);
+  *  - escape-needing text: parens, backslash, and an octal-escaped
+  *    character on a hash-chosen subset.
+  */
+object PdfDocs {
+
+  val PageW = 612
+  val PageH = 792
+  val Col0X = 72
+  val Col1X = 420 // gap from col 0 >= extractor ColumnGap (200)
+
+  private val vocab = Array(
+    "ledger", "invoice", "clause", "figure", "margin", "column",
+    "stream", "object", "layout", "render", "glyph", "serif",
+    "kern", "recto", "verso", "folio", "octavo", "quire")
+
+  private def draw(id: Long, tag: Long, n: Int): Int =
+    Math.floorMod(mix64(id * 0x9e3779b97f4a7c15L + tag), n.toLong).toInt
+
+  /** One planned run: page (0-based), column, PDF-space position, text. */
+  final case class Planned(page: Int, col: Int, x: Int, yPdf: Int, text: String)
+
+  /** Layout plan in GOLDEN READING ORDER: pages ascending; within a page
+    * column 0 top-down then column 1 top-down; a hash-chosen line is
+    * split into two same-y runs (x ascending) to exercise the final
+    * tie-break.
+    */
+  def plan(id: Long): Seq[Planned] = {
+    val nPages = 1 + draw(id, 0x01, 3)
+    val out = mutable.ArrayBuffer.empty[Planned]
+    for (p <- 0 until nPages) {
+      val twoCol = draw(id, 0x10 + p, 2) == 1
+      val cols = if (twoCol) 2 else 1
+      for (c <- 0 until cols) {
+        val nLines = 3 + draw(id, 0x20 + 7 * p + c, 4)
+        val baseX = if (c == 0) Col0X else Col1X
+        for (l <- 0 until nLines) {
+          val y = 720 - 24 * l // PDF y grows up: top line has the largest y
+          val t = lineText(id, p, c, l)
+          if (l == draw(id, 0x30 + p, nLines) && t.length > 4) {
+            // split one line into two same-y runs; x tie-break must order them
+            val cut = t.length / 2
+            out += Planned(p, c, baseX, y, t.substring(0, cut))
+            out += Planned(p, c, baseX + 8 * (1 + draw(id, 0x41 + l, 12)), y, t.substring(cut))
+          } else out += Planned(p, c, baseX + draw(id, 0x51 + 13 * l + p, 3) * 6, y, t)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def lineText(id: Long, p: Int, c: Int, l: Int): String = {
+    val n = 2 + draw(id, 0x60 + 31 * l + 7 * p + c, 4)
+    val words = (0 until n)
+      .map(w => vocab(draw(id, 0x70 + 131 * l + 17 * p + 5 * c + w, vocab.length)))
+    val base = words.mkString(" ")
+    draw(id, 0x80 + l + p, 5) match {
+      case 0 => base + " (nb: " + draw(id, 0x90, 100) + ")" // parens need escaping
+      case 1 => base + " a\\b path"                         // backslash needs escaping
+      case _ => base
+    }
+  }
+
+  /** Expected reading-ordered extraction (lines joined with \n) — by
+    * construction from the plan, never from a parser.
+    */
+  def goldenText(id: Long): String = plan(id).map(_.text).mkString("\n")
+
+  /** PDF string literal for `t`: escape the delimiters, and octal-encode
+    * one hash-chosen character so the escape decoder is genuinely
+    * exercised (decodes back to the identical text).
+    */
+  private def literal(id: Long, seq: Int, t: String): String = {
+    val esc = new StringBuilder
+    val octAt = if (t.nonEmpty && draw(id, 0xA0 + seq, 3) == 0) draw(id, 0xA1 + seq, t.length) else -1
+    t.zipWithIndex.foreach { case (ch, i) =>
+      if (i == octAt && ch < 128) esc ++= "\\%03o".format(ch.toInt)
+      else ch match {
+        case '('  => esc ++= "\\("
+        case ')'  => esc ++= "\\)"
+        case '\\' => esc ++= "\\\\"
+        case c    => esc += c
+      }
+    }
+    "(" + esc + ")"
+  }
+
+  /** Content-stream operator text for one page: runs emitted in a
+    * scrambled order (rotation by a hash draw), each via one of the four
+    * positioning modes. Tracks the text line matrix exactly as the
+    * interpreter does, so relative modes land on the planned positions.
+    */
+  private def pageContent(id: Long, page: Int, runs: Seq[Planned]): String = {
+    val rot = draw(id, 0xB0 + page, runs.length)
+    val order = runs.drop(rot) ++ runs.take(rot)
+    val sb = new StringBuilder
+    sb ++= "BT /F1 12 Tf"
+    var lx = 0; var ly = 0
+    order.zipWithIndex.foreach { case (r, i) =>
+      val seq = page * 100 + i
+      draw(id, 0xC0 + seq, 4) match {
+        case 0 => // absolute matrix + Tj
+          sb ++= s" 1 0 0 1 ${r.x} ${r.yPdf} Tm ${literal(id, seq, r.text)} Tj"
+        case 1 => // relative Td + Tj
+          sb ++= s" ${r.x - lx} ${r.yPdf - ly} Td ${literal(id, seq, r.text)} Tj"
+        case 2 => // absolute matrix + TJ with kern splits (concatenates)
+          val cut = math.max(1, r.text.length / 3)
+          val parts =
+            if (r.text.length > 2)
+              Seq(r.text.substring(0, cut), r.text.substring(cut))
+            else Seq(r.text)
+          val arr = parts.map(p => literal(id, seq, p))
+            .mkString(" ", s" -${20 + draw(id, 0xD0 + seq, 60)} ", " ")
+          sb ++= s" 1 0 0 1 ${r.x} ${r.yPdf} Tm [$arr] TJ"
+        case _ => // TL + Tm one line above + ' (T* then show)
+          val lead = 24
+          sb ++= s" $lead TL 1 0 0 1 ${r.x} ${r.yPdf + lead} Tm ${literal(id, seq, r.text)} '"
+      }
+      lx = r.x; ly = r.yPdf
+    }
+    sb ++= " ET"
+    sb.toString
+  }
+
+  /** The complete container bytes (Latin-1; all generated chars ASCII),
+    * with correct /Length values and a real xref table.
+    */
+  def pdf(id: Long): String = {
+    val planned = plan(id)
+    val nPages = planned.map(_.page).max + 1
+    // object numbering: 1 catalog, 2 pages, then per page (page obj,
+    // content obj), finally the font
+    val pageObj = (p: Int) => 3 + 2 * p
+    val contObj = (p: Int) => 4 + 2 * p
+    val fontObj = 3 + 2 * nPages
+    val objs = mutable.ArrayBuffer.empty[(Int, String)]
+    objs += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
+    objs += 2 -> ("<< /Type /Pages /Kids [" +
+      (0 until nPages).map(p => s"${pageObj(p)} 0 R").mkString(" ") +
+      s"] /Count $nPages >>")
+    for (p <- 0 until nPages) {
+      objs += pageObj(p) ->
+        (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $PageW $PageH] " +
+          s"/Contents ${contObj(p)} 0 R /Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+      val content = pageContent(id, p, planned.filter(_.page == p))
+      objs += contObj(p) ->
+        (s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    }
+    objs += fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    val offsets = mutable.ArrayBuffer.empty[(Int, Int)]
+    objs.sortBy(_._1).foreach { case (n, body) =>
+      offsets += n -> sb.length
+      sb ++= s"$n 0 obj\n$body\nendobj\n"
+    }
+    val xrefAt = sb.length
+    sb ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.sortBy(_._1).foreach { case (_, off) =>
+      sb ++= "%010d 00000 n \n".format(off)
+    }
+    sb ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+    sb.toString
+  }
+
+  /** Distributed raw table: (doc_id, pdf BINARY) — the container bytes
+    * as an opaque binary column, the multimodal-column discipline.
+    */
+  def docs(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs)
+      .map(id => (id, pdf(id).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+      .toDF("doc_id", "pdf")
+  }
+
+  /** Golden expectations: (doc_id, n_pages, n_runs, expected_text) — by
+    * construction from the plan (materialized by Verify for the oracle).
+    */
+  def golden(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs)
+      .map { id =>
+        val p = plan(id)
+        (id, p.map(_.page).max + 1, p.length, goldenText(id))
+      }
+      .toDF("doc_id", "n_pages", "n_runs", "expected_text")
+  }
+}

@@ -464,6 +464,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("pdf container extraction: a narrow per-doc map — zero exchanges, zero joins") {
+    val p = plan(graft.SparkEntry.queries("q192_pdf_container")(spark, dir))
+    assert(!p.contains("Exchange"), s"container extraction must stay narrow:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
   test("quantized ivf index scan: probing prunes the CODE index partitions at the scan") {
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-q-plan").toString
     val p = plan(graft.ops.SimilarityOps.ivfQuantizedIndexTopK(spark, dir, base))
