@@ -244,13 +244,26 @@ object StreamingExtract {
       .withColumn("blk", expr(s"event_id div $blockSize"))
     val blocks = src.select(col("blk")).distinct()
       .collect().map(_.getLong(0)).sorted // block count, not data, bounded
+    val maxUs = src.agg(max(col("us"))).head().getLong(0)
+    // Sentinel A (3 h past the corpus max) rides IN the last real
+    // block's file: its batch already ends with the watermark beyond
+    // every real window (admission of real events is untouched — their
+    // operating watermarks come from earlier batches), so only ONE
+    // trailing sentinel batch is needed to emit the closed windows.
+    import spark.implicits._
+    val landing = src.unionByName(
+      Seq((-1L, WatermarkSentinel, maxUs + 3L * 3600 * 1000000))
+        .toDF("event_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withColumn("blk", lit(blocks.last)))
+    // ONE partitioned write lands every block file (the per-block
+    // coalesce-write loop paid a full Spark job per block)
+    val tmp = s"$base/tmp_blocks"
+    landing.repartition(blocks.length, col("blk"))
+      .write.mode("overwrite").partitionBy("blk").parquet(tmp)
     blocks.zipWithIndex.foreach { case (b, i) =>
-      val tmp = s"$base/tmp_b$b"
-      src.filter(col("blk") === b).drop("blk")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = firstPartFile(tmp)
       val dest = java.nio.file.Paths.get(in, f"block-$b%05d.parquet")
-      java.nio.file.Files.move(part, dest,
+      java.nio.file.Files.move(firstPartFile(s"$tmp/blk=$b"), dest,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
@@ -270,28 +283,21 @@ object StreamingExtract {
         .start()
       q.awaitTermination()
     }
-    // Two sentinel files (3 h / 6 h past the corpus max, mod-times after
-    // every real block) close the watermark inside ONE drain: sentinel
-    // A's batch advances the watermark beyond every real window, and
-    // sentinel B's batch — operating under the post-A watermark — emits
-    // them all. The previous shape paid a full second AvailableNow
-    // start + checkpoint resume for the same effect; admission of real
-    // events is untouched (their batches precede both sentinels), and
-    // both sentinel rows filter out of the result by type.
-    val maxUs = src.agg(max(col("us"))).head().getLong(0)
-    import spark.implicits._
-    Seq((-1L, 1), (-2L, 2)).foreach { case (eid, k) =>
-      val sentinel = Seq((eid, WatermarkSentinel, maxUs + k * 3L * 3600 * 1000000))
-        .toDF("event_id", "event_type", "us")
-        .withColumn("ts", timestamp_micros(col("us")))
-      val stmp = s"$base/tmp_sentinel$k"
-      sentinel.coalesce(1).write.mode("overwrite").parquet(stmp)
-      val sdest = java.nio.file.Paths.get(in, s"block-zz-sentinel$k.parquet")
-      java.nio.file.Files.move(firstPartFile(stmp), sdest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(sdest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + (blocks.length + k) * 1000L))
-    }
+    // One trailing sentinel file (6 h past the corpus max, mod-time
+    // after every real block): its batch operates under the post-A
+    // watermark and emits every closed real window inside the SINGLE
+    // drain. (The original shape paid a full second AvailableNow start +
+    // checkpoint resume; both sentinel rows filter out by type.)
+    val sentinelB = Seq((-2L, WatermarkSentinel, maxUs + 6L * 3600 * 1000000))
+      .toDF("event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val stmp = s"$base/tmp_sentinel"
+    sentinelB.coalesce(1).write.mode("overwrite").parquet(stmp)
+    val sdest = java.nio.file.Paths.get(in, "block-zz-sentinel.parquet")
+    java.nio.file.Files.move(firstPartFile(stmp), sdest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(sdest,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + (blocks.length + 2) * 1000L))
     drain()
     val admitted = spark.read.parquet(out)
       .filter(col("event_type") =!= WatermarkSentinel)
