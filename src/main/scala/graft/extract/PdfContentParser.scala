@@ -4,8 +4,8 @@ import scala.collection.mutable
 
 /** From-scratch parser for UNCOMPRESSED PDF containers: object scan,
   * page-tree walk, and a content-stream text-operator interpreter
-  * (BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ, ') producing positioned text
-  * runs — the real-container upgrade of the pdfir stand-in (the
+  * (BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ, '; literal AND hex strings)
+  * producing positioned text runs — the real-container upgrade of the pdfir stand-in (the
   * reference extracts per-word text+position from PDFs via its OCR
   * service, ref: src/processing.py:55-84; this path derives the same
   * run stream from the PDF text operators directly, the PDFBox-style
@@ -139,14 +139,17 @@ object PdfContentParser {
           if (rm.find()) Seq(rm.group(1).toInt) else return Left("pdf_pages")
         }
       }
-      streamNums.foreach { sn =>
+      // a page's streams CONCATENATE into one content stream (PDF 7.8.2)
+      // — state persists across stream boundaries, so they are parsed
+      // as one unit, not stream-by-stream
+      val content = streamNums.map { sn =>
         val (dict, data) = objs.getOrElse(sn, return Left("pdf_stream"))
         if (dict.contains("/Filter")) return Left("pdf_filter")
-        val content = data.getOrElse(return Left("pdf_stream"))
-        interpret(content, pageIdx) match {
-          case Left(e)   => return Left(e)
-          case Right(rs) => runs ++= rs
-        }
+        data.getOrElse(return Left("pdf_stream"))
+      }.mkString("\n")
+      interpret(content, pageIdx) match {
+        case Left(e)   => return Left(e)
+        case Right(rs) => runs ++= rs
       }
     }
     Right(PdfDoc(runs.toSeq, heights.toSeq))
@@ -285,6 +288,27 @@ object PdfContentParser {
             i = next
           case None => return Left("pdf_string")
         }
+      } else if (c == '<') {
+        // hex string <48656c6c6f>; whitespace allowed inside, an odd
+        // final digit reads as high nibble. '<<' would be a dict — no
+        // dict belongs in a text stream we accept.
+        if (i + 1 < content.length && content.charAt(i + 1) == '<') return Left("pdf_textop")
+        val out = new java.lang.StringBuilder
+        var j = i + 1; var hi = -1; var closed = false
+        while (j < content.length && !closed) {
+          val h = content.charAt(j)
+          if (h == '>') closed = true
+          else if (!h.isWhitespace) {
+            val v = Character.digit(h, 16)
+            if (v < 0) return Left("pdf_string")
+            if (hi < 0) hi = v else { out.append(((hi << 4) | v).toChar); hi = -1 }
+          }
+          j += 1
+        }
+        if (!closed) return Left("pdf_string")
+        if (hi >= 0) out.append((hi << 4).toChar)
+        if (arrDepth > 0) arrBuf += TStr(out.toString) else stack ::= TStr(out.toString)
+        i = j
       } else if (c == '[') { arrDepth += 1; arrBuf.clear(); i += 1 }
       else if (c == ']') {
         if (arrDepth == 0) return Left("pdf_textop")

@@ -26,8 +26,10 @@ import scala.collection.mutable
   *    order;
   *  - four positioning-operator modes per run (Tm+Tj, relative Td+Tj,
   *    Tm+TJ with kern splits, TL/Tm/' next-line showing);
-  *  - escape-needing text: parens, backslash, and an octal-escaped
-  *    character on a hash-chosen subset.
+  *  - escape-needing text: parens, backslash, an octal-escaped
+  *    character, and fully HEX-encoded strings on hash-chosen subsets;
+  *  - container-shape variants: two-stream pages (`/Contents [a b]`,
+  *    split even mid-text-object) and an intermediate /Pages tree node.
   */
 object PdfDocs {
 
@@ -93,11 +95,14 @@ object PdfDocs {
     */
   def goldenText(id: Long): String = plan(id).map(_.text).mkString("\n")
 
-  /** PDF string literal for `t`: escape the delimiters, and octal-encode
-    * one hash-chosen character so the escape decoder is genuinely
-    * exercised (decodes back to the identical text).
+  /** PDF string literal for `t`: a hash-chosen quarter emit as HEX
+    * strings (`<48..>`); the rest as literals with escaped delimiters
+    * and one hash-chosen octal-escaped character — every decoder path
+    * is genuinely exercised and decodes back to the identical text.
     */
   private def literal(id: Long, seq: Int, t: String): String = {
+    if (t.nonEmpty && draw(id, 0xA8 + seq, 4) == 0)
+      return "<" + t.map(c => "%02x".format(c.toInt)).mkString + ">"
     val esc = new StringBuilder
     val octAt = if (t.nonEmpty && draw(id, 0xA0 + seq, 3) == 0) draw(id, 0xA1 + seq, t.length) else -1
     t.zipWithIndex.foreach { case (ch, i) =>
@@ -112,24 +117,29 @@ object PdfDocs {
     "(" + esc + ")"
   }
 
-  /** Content-stream operator text for one page: runs emitted in a
+  /** Content-stream operator CHUNKS for one page (token-complete units:
+    * the BT prefix, one chunk per run, the ET suffix): runs emitted in a
     * scrambled order (rotation by a hash draw), each via one of the four
     * positioning modes. Tracks the text line matrix exactly as the
     * interpreter does, so relative modes land on the planned positions.
+    * Chunk boundaries are where a page may split into TWO content
+    * streams — PDF concatenates a page's streams before parsing, so a
+    * split mid-text-object (BT in stream 1, ET in stream 2) is legal
+    * and exercises exactly that rule.
     */
-  private def pageContent(id: Long, page: Int, runs: Seq[Planned]): String = {
+  private def pageContentChunks(id: Long, page: Int, runs: Seq[Planned]): Seq[String] = {
     val rot = draw(id, 0xB0 + page, runs.length)
     val order = runs.drop(rot) ++ runs.take(rot)
-    val sb = new StringBuilder
-    sb ++= "BT /F1 12 Tf"
+    val chunks = mutable.ArrayBuffer.empty[String]
+    chunks += "BT /F1 12 Tf"
     var lx = 0; var ly = 0
     order.zipWithIndex.foreach { case (r, i) =>
       val seq = page * 100 + i
-      draw(id, 0xC0 + seq, 4) match {
+      chunks += (draw(id, 0xC0 + seq, 4) match {
         case 0 => // absolute matrix + Tj
-          sb ++= s" 1 0 0 1 ${r.x} ${r.yPdf} Tm ${literal(id, seq, r.text)} Tj"
+          s"1 0 0 1 ${r.x} ${r.yPdf} Tm ${literal(id, seq, r.text)} Tj"
         case 1 => // relative Td + Tj
-          sb ++= s" ${r.x - lx} ${r.yPdf - ly} Td ${literal(id, seq, r.text)} Tj"
+          s"${r.x - lx} ${r.yPdf - ly} Td ${literal(id, seq, r.text)} Tj"
         case 2 => // absolute matrix + TJ with kern splits (concatenates)
           val cut = math.max(1, r.text.length / 3)
           val parts =
@@ -138,41 +148,62 @@ object PdfDocs {
             else Seq(r.text)
           val arr = parts.map(p => literal(id, seq, p))
             .mkString(" ", s" -${20 + draw(id, 0xD0 + seq, 60)} ", " ")
-          sb ++= s" 1 0 0 1 ${r.x} ${r.yPdf} Tm [$arr] TJ"
+          s"1 0 0 1 ${r.x} ${r.yPdf} Tm [$arr] TJ"
         case _ => // TL + Tm one line above + ' (T* then show)
           val lead = 24
-          sb ++= s" $lead TL 1 0 0 1 ${r.x} ${r.yPdf + lead} Tm ${literal(id, seq, r.text)} '"
-      }
+          s"$lead TL 1 0 0 1 ${r.x} ${r.yPdf + lead} Tm ${literal(id, seq, r.text)} '"
+      })
       lx = r.x; ly = r.yPdf
     }
-    sb ++= " ET"
-    sb.toString
+    chunks += "ET"
+    chunks.toSeq
   }
 
   /** The complete container bytes (Latin-1; all generated chars ASCII),
-    * with correct /Length values and a real xref table.
+    * with correct /Length values and a real xref table. A hash-chosen
+    * subset of pages splits its content across TWO streams (`/Contents
+    * [a 0 R b 0 R]` — legal even mid-text-object, since a page's
+    * streams concatenate before parsing), and a subset of 3-page docs
+    * routes the tail pages through an intermediate /Pages node — both
+    * real container shapes the parser must walk.
     */
   def pdf(id: Long): String = {
     val planned = plan(id)
     val nPages = planned.map(_.page).max + 1
-    // object numbering: 1 catalog, 2 pages, then per page (page obj,
-    // content obj), finally the font
-    val pageObj = (p: Int) => 3 + 2 * p
-    val contObj = (p: Int) => 4 + 2 * p
-    val fontObj = 3 + 2 * nPages
     val objs = mutable.ArrayBuffer.empty[(Int, String)]
-    objs += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
-    objs += 2 -> ("<< /Type /Pages /Kids [" +
-      (0 until nPages).map(p => s"${pageObj(p)} 0 R").mkString(" ") +
-      s"] /Count $nPages >>")
+    var nextObj = 3 // 1 = catalog, 2 = root pages node
+    def alloc(): Int = { val n = nextObj; nextObj += 1; n }
+    val pageObjNums = (0 until nPages).map(_ => alloc())
+    val fontObj = alloc()
     for (p <- 0 until nPages) {
-      objs += pageObj(p) ->
+      val chunks = pageContentChunks(id, p, planned.filter(_.page == p))
+      val parts: Seq[String] =
+        if (chunks.length > 3 && draw(id, 0xE0 + p, 3) == 0) {
+          val cut = 1 + draw(id, 0xE8 + p, chunks.length - 2)
+          Seq(chunks.take(cut).mkString(" "), chunks.drop(cut).mkString(" "))
+        } else Seq(chunks.mkString(" "))
+      val contNums = parts.map { content =>
+        val n = alloc()
+        objs += n -> s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
+        n
+      }
+      val contents =
+        if (contNums.length == 1) s"${contNums.head} 0 R"
+        else "[" + contNums.map(n => s"$n 0 R").mkString(" ") + "]"
+      objs += pageObjNums(p) ->
         (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $PageW $PageH] " +
-          s"/Contents ${contObj(p)} 0 R /Resources << /Font << /F1 $fontObj 0 R >> >> >>")
-      val content = pageContent(id, p, planned.filter(_.page == p))
-      objs += contObj(p) ->
-        (s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+          s"/Contents $contents /Resources << /Font << /F1 $fontObj 0 R >> >> >>")
     }
+    val kids =
+      if (nPages >= 3 && draw(id, 0xF0, 2) == 0) {
+        val inner = alloc()
+        objs += inner -> ("<< /Type /Pages /Parent 2 0 R /Kids [" +
+          pageObjNums.tail.map(n => s"$n 0 R").mkString(" ") +
+          s"] /Count ${nPages - 1} >>")
+        s"${pageObjNums.head} 0 R $inner 0 R"
+      } else pageObjNums.map(n => s"$n 0 R").mkString(" ")
+    objs += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
+    objs += 2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"
     objs += fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     val sb = new StringBuilder

@@ -28,6 +28,13 @@ class PdfContainerSpec extends AnyFunSuite {
     }
     // octal escapes: \ followed by three octal digits
     assert("\\\\[0-7]{3}".r.findFirstIn(all).isDefined, "no octal escape planted")
+    // hex strings (not dict markers): <hex...> with even-ish digit runs
+    assert("<[0-9a-f]{6,}>".r.findFirstIn(all).isDefined, "no hex string planted")
+    // two-stream pages and an intermediate /Pages node exist
+    assert(all.contains("/Contents ["), "no multi-stream page planted")
+    assert((0L until 300L).exists(id =>
+      "/Type /Pages".r.findAllIn(PdfDocs.pdf(id)).size >= 2),
+      "no nested page tree planted")
     // multi-page docs and two-column pages exist
     assert((0L until 300L).exists(id => PdfDocs.plan(id).map(_.page).max >= 2))
     assert((0L until 300L).exists(id => PdfDocs.plan(id).exists(_.col == 1)))
