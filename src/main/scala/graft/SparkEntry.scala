@@ -818,6 +818,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_pages"), col("n_runs"),
           length(col("text")).as("n_chars"),
           sha2(col("text"), 256).as("text_sha"))
+    }),
+    // cross-producer PDF dedup: every fifth container also appears as a
+    // byte-DIFFERENT twin (re-rolled presentation: operator modes,
+    // scramble, encodings, stream splits) with byte-IDENTICAL content —
+    // dedup on the EXTRACTED text collapses what no byte-level dedup
+    // could ("same document, different PDF producer"). Narrow map +
+    // one sha-keyed aggregation.
+    "q193_pdf_producer_dedup" -> ((s, _) => {
+      import s.implicits._
+      graft.synth.PdfDocs.docsWithTwins(s, VerifyPdfDocs)
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          (id, graft.extract.PdfContainerExtractor.extractBytes(bytes).text)
+        }
+        .toDF("doc_id", "text")
+        .groupBy(sha2(col("text"), 256).as("text_sha"))
+        .agg(
+          min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          max(col("doc_id")).as("max_id"))
     })
   )
 
@@ -1941,6 +1961,21 @@ object SparkEntry {
                 CAST(length(expected_text) AS INTEGER) AS n_chars,
                 sha256(expected_text) AS text_sha
          FROM read_parquet('__SYNTH__/pdf_golden.parquet/*.parquet')""",
+    // q193: DuckDB rebuilds the twin overlay from the golden table (the
+    // twin's CONTENT is its base doc's by construction) and groups on
+    // the same content hash
+    "q193_pdf_producer_dedup" ->
+      s"""WITH g AS (SELECT doc_id, expected_text
+                    FROM read_parquet('__SYNTH__/pdf_golden.parquet/*.parquet')),
+         u AS (SELECT doc_id, expected_text FROM g
+               UNION ALL
+               SELECT doc_id + ${graft.synth.PdfDocs.TwinOffset}, expected_text
+               FROM g WHERE doc_id % 5 = 0)
+         SELECT sha256(expected_text) AS text_sha,
+                CAST(min(doc_id) AS BIGINT) AS keep_id,
+                CAST(count(*) AS BIGINT) AS n_copies,
+                CAST(max(doc_id) AS BIGINT) AS max_id
+         FROM u GROUP BY 1""",
     // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
     // backref dehyphenation + control class) and regroups both keys
     "q186_norm_dedup" ->

@@ -100,11 +100,13 @@ object PdfDocs {
     * and one hash-chosen octal-escaped character — every decoder path
     * is genuinely exercised and decodes back to the identical text.
     */
-  private def literal(id: Long, seq: Int, t: String): String = {
-    if (t.nonEmpty && draw(id, 0xA8 + seq, 4) == 0)
+  private def literal(styleId: Long, seq: Int, t: String): String = {
+    if (t.nonEmpty && draw(styleId, 0xA8 + seq, 4) == 0)
       return "<" + t.map(c => "%02x".format(c.toInt)).mkString + ">"
     val esc = new StringBuilder
-    val octAt = if (t.nonEmpty && draw(id, 0xA0 + seq, 3) == 0) draw(id, 0xA1 + seq, t.length) else -1
+    val octAt =
+      if (t.nonEmpty && draw(styleId, 0xA0 + seq, 3) == 0) draw(styleId, 0xA1 + seq, t.length)
+      else -1
     t.zipWithIndex.foreach { case (ch, i) =>
       if (i == octAt && ch < 128) esc ++= "\\%03o".format(ch.toInt)
       else ch match {
@@ -127,31 +129,31 @@ object PdfDocs {
     * split mid-text-object (BT in stream 1, ET in stream 2) is legal
     * and exercises exactly that rule.
     */
-  private def pageContentChunks(id: Long, page: Int, runs: Seq[Planned]): Seq[String] = {
-    val rot = draw(id, 0xB0 + page, runs.length)
+  private def pageContentChunks(id: Long, styleId: Long, page: Int, runs: Seq[Planned]): Seq[String] = {
+    val rot = draw(styleId, 0xB0 + page, runs.length)
     val order = runs.drop(rot) ++ runs.take(rot)
     val chunks = mutable.ArrayBuffer.empty[String]
     chunks += "BT /F1 12 Tf"
     var lx = 0; var ly = 0
     order.zipWithIndex.foreach { case (r, i) =>
       val seq = page * 100 + i
-      chunks += (draw(id, 0xC0 + seq, 4) match {
+      chunks += (draw(styleId, 0xC0 + seq, 4) match {
         case 0 => // absolute matrix + Tj
-          s"1 0 0 1 ${r.x} ${r.yPdf} Tm ${literal(id, seq, r.text)} Tj"
+          s"1 0 0 1 ${r.x} ${r.yPdf} Tm ${literal(styleId, seq, r.text)} Tj"
         case 1 => // relative Td + Tj
-          s"${r.x - lx} ${r.yPdf - ly} Td ${literal(id, seq, r.text)} Tj"
+          s"${r.x - lx} ${r.yPdf - ly} Td ${literal(styleId, seq, r.text)} Tj"
         case 2 => // absolute matrix + TJ with kern splits (concatenates)
           val cut = math.max(1, r.text.length / 3)
           val parts =
             if (r.text.length > 2)
               Seq(r.text.substring(0, cut), r.text.substring(cut))
             else Seq(r.text)
-          val arr = parts.map(p => literal(id, seq, p))
-            .mkString(" ", s" -${20 + draw(id, 0xD0 + seq, 60)} ", " ")
+          val arr = parts.map(p => literal(styleId, seq, p))
+            .mkString(" ", s" -${20 + draw(styleId, 0xD0 + seq, 60)} ", " ")
           s"1 0 0 1 ${r.x} ${r.yPdf} Tm [$arr] TJ"
         case _ => // TL + Tm one line above + ' (T* then show)
           val lead = 24
-          s"$lead TL 1 0 0 1 ${r.x} ${r.yPdf + lead} Tm ${literal(id, seq, r.text)} '"
+          s"$lead TL 1 0 0 1 ${r.x} ${r.yPdf + lead} Tm ${literal(styleId, seq, r.text)} '"
       })
       lx = r.x; ly = r.yPdf
     }
@@ -167,7 +169,22 @@ object PdfDocs {
     * routes the tail pages through an intermediate /Pages node — both
     * real container shapes the parser must walk.
     */
-  def pdf(id: Long): String = {
+  def pdf(id: Long): String = pdfStyled(id, id)
+
+  /** Twin-producer offset for [[docsWithTwins]]: twin doc ids are
+    * `base + TwinOffset` and must stay disjoint from base ids. */
+  val TwinOffset = 100000L
+
+  /** The SAME document (identical plan, identical golden text) emitted
+    * by a "different PDF producer": every presentation draw — operator
+    * modes, emission scramble, literal encodings, stream splits, tree
+    * shape — re-rolls under a shifted style seed, so the container
+    * BYTES differ while the content is byte-identical. The
+    * cross-producer dedup plant (q193).
+    */
+  def twinPdf(id: Long): String = pdfStyled(id, id + 0x5bd1e995L)
+
+  private def pdfStyled(id: Long, styleId: Long): String = {
     val planned = plan(id)
     val nPages = planned.map(_.page).max + 1
     val objs = mutable.ArrayBuffer.empty[(Int, String)]
@@ -176,10 +193,10 @@ object PdfDocs {
     val pageObjNums = (0 until nPages).map(_ => alloc())
     val fontObj = alloc()
     for (p <- 0 until nPages) {
-      val chunks = pageContentChunks(id, p, planned.filter(_.page == p))
+      val chunks = pageContentChunks(id, styleId, p, planned.filter(_.page == p))
       val parts: Seq[String] =
-        if (chunks.length > 3 && draw(id, 0xE0 + p, 3) == 0) {
-          val cut = 1 + draw(id, 0xE8 + p, chunks.length - 2)
+        if (chunks.length > 3 && draw(styleId, 0xE0 + p, 3) == 0) {
+          val cut = 1 + draw(styleId, 0xE8 + p, chunks.length - 2)
           Seq(chunks.take(cut).mkString(" "), chunks.drop(cut).mkString(" "))
         } else Seq(chunks.mkString(" "))
       val contNums = parts.map { content =>
@@ -195,7 +212,7 @@ object PdfDocs {
           s"/Contents $contents /Resources << /Font << /F1 $fontObj 0 R >> >> >>")
     }
     val kids =
-      if (nPages >= 3 && draw(id, 0xF0, 2) == 0) {
+      if (nPages >= 3 && draw(styleId, 0xF0, 2) == 0) {
         val inner = alloc()
         objs += inner -> ("<< /Type /Pages /Parent 2 0 R /Kids [" +
           pageObjNums.tail.map(n => s"$n 0 R").mkString(" ") +
@@ -229,6 +246,25 @@ object PdfDocs {
     import spark.implicits._
     spark.range(nDocs)
       .map(id => (id, pdf(id).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+      .toDF("doc_id", "pdf")
+  }
+
+  /** Base corpus plus cross-producer TWINS: every fifth base doc also
+    * appears as `doc_id + TwinOffset` with byte-DIFFERENT container
+    * bytes (re-rolled presentation) and byte-IDENTICAL content — the
+    * q193 dedup plant.
+    */
+  def docsWithTwins(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs)
+      .flatMap { boxed =>
+        val id: Long = boxed
+        val base = (id, pdf(id).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        if (id % 5 == 0)
+          Seq(base, (id + TwinOffset,
+            twinPdf(id).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+        else Seq(base)
+      }
       .toDF("doc_id", "pdf")
   }
 

@@ -44,6 +44,17 @@ class PdfContainerSpec extends AnyFunSuite {
     })
   }
 
+  test("cross-producer twins: different bytes, identical extraction — dedup can collapse them") {
+    (0L until 300L by 5).foreach { id =>
+      val a = PdfDocs.pdf(id); val b = PdfDocs.twinPdf(id)
+      assert(a != b, s"twin container bytes for $id must differ")
+      val ea = PdfContainerExtractor.extract(a)
+      val eb = PdfContainerExtractor.extract(b)
+      assert(ea.failure.isEmpty && eb.failure.isEmpty, s"twin parse $id")
+      assert(ea.text == eb.text && ea.text == PdfDocs.goldenText(id), s"twin text $id")
+    }
+  }
+
   test("truncation fuzz: every prefix parses to a failure class or a clean result, never throws") {
     (0L until 20L).foreach { id =>
       val pdf = PdfDocs.pdf(id)
