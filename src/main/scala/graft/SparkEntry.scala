@@ -40,6 +40,16 @@ object SparkEntry {
   /** Planted real-PDF container corpus size for q192. */
   val VerifyPdfDocs = 300L
 
+  /** q194 time-travel store shape: bucket count, buckets per commit, and
+    * the simulated-kill point — the deterministic commit schedule the
+    * oracle re-derives (completed after k commits = first min(3k, 8)
+    * buckets; the kill after 2 commits plus the resume yields exactly
+    * versions 1, 2, 3). Single-sourced into the oracle SQL.
+    */
+  val TtBuckets = 8
+  val TtPerBatch = 3
+  val TtKillAfter = 2
+
   /** Base conversations in the planted retry/loop corpus (q116-q118). */
   val VerifyRetryConvs = 240L
 
@@ -838,6 +848,36 @@ object SparkEntry {
           min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_copies"),
           max(col("doc_id")).as("max_id"))
+    }),
+    // Iceberg-style snapshot TIME TRAVEL over the extraction store: the
+    // corpus commits in three manifest versions (two commits, a
+    // simulated kill, one resume commit), and each frozen version is
+    // re-read AS OF its snapshot — a partition-pruned scan of that
+    // version's bucket set. Per version: bucket/conv/turn counts plus an
+    // order-insensitive exact content aggregate (sum of each turn's
+    // leading sha256 word), all re-derived by the oracle from the golden
+    // expectations + the materialized conv->bucket map + the documented
+    // deterministic commit schedule.
+    "q194_time_travel" -> ((s, _) => {
+      val root = scratchDir("snapshots_q194", "synth")
+      val store = new graft.pipeline.SnapshotStore(root, TtBuckets)
+      val turns = SynthDataset.turns(s, VerifyConvs)
+      try store.process(s, turns, "snap-1", TtPerBatch, Some(TtKillAfter))
+      catch { case _: RuntimeException => () } // the simulated kill
+      store.process(s, turns, "snap-2", TtPerBatch)
+      store.snapshotVersions().map { v =>
+        store.readExtractedAsOf(s, v)
+          .select(col("conv_id"), col("extracted_text"))
+          .agg(
+            lit(v).as("version"),
+            lit(store.completedBucketsAsOf(v).size).as("n_buckets"),
+            countDistinct(col("conv_id")).as("n_convs"),
+            count(lit(1)).as("n_turns"),
+            sum(expr("cast(conv(substr(sha2(extracted_text, 256), 1, 8), 16, 10) as bigint)"))
+              .as("sum_sha8"))
+          .select(col("version"), col("n_buckets"), col("n_convs"),
+            col("n_turns"), col("sum_sha8"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -1976,6 +2016,29 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_copies,
                 CAST(max(doc_id) AS BIGINT) AS max_id
          FROM u GROUP BY 1""",
+    // q194: DuckDB re-derives every snapshot's content from the golden
+    // expectations + the engine-materialized conv->bucket map + the
+    // DETERMINISTIC commit schedule (completed after k commits = first
+    // min(TtPerBatch*k, TtBuckets) buckets; kill-after-2 + resume =>
+    // versions 1..3) — the store's manifest files are never trusted
+    "q194_time_travel" -> {
+      val nv = (TtBuckets + TtPerBatch - 1) / TtPerBatch
+      s"""WITH b AS (SELECT conv_id, bucket
+                    FROM read_parquet('__SYNTH__/conv_buckets.parquet/*.parquet')),
+         g AS (SELECT conv_id, expected_text
+               FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
+         j AS (SELECT g.conv_id, g.expected_text, b.bucket FROM g JOIN b USING (conv_id)),
+         v AS (SELECT unnest(range(1, $nv + 1)) AS version),
+         p AS (SELECT version, least(version * $TtPerBatch, $TtBuckets) AS nb FROM v),
+         sel AS (SELECT p.version, p.nb, j.conv_id, j.expected_text
+                 FROM p JOIN j ON j.bucket < p.nb)
+         SELECT CAST(version AS INTEGER) AS version,
+                CAST(nb AS INTEGER) AS n_buckets,
+                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                CAST(count(*) AS BIGINT) AS n_turns,
+                CAST(sum(CAST('0x' || substr(sha256(expected_text), 1, 8) AS BIGINT)) AS BIGINT) AS sum_sha8
+         FROM sel GROUP BY 1, 2"""
+    },
     // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
     // backref dehyphenation + control class) and regroups both keys
     "q186_norm_dedup" ->

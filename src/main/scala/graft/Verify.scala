@@ -145,6 +145,16 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/pdf_golden.parquet")
       }
+      synthWrite("conv_buckets", "q194 time-travel oracle (the store's conv->bucket assignment; xxhash64 has no DuckDB equivalent, so the map materializes and the oracle verifies the DOWNSTREAM snapshot algebra — the q18/q22/q36 pattern)") {
+        synth.SynthDataset.turns(spark, SparkEntry.VerifyConvs)
+          .select(col("conv_id")).distinct()
+          .select(col("conv_id"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.xxhash64(col("conv_id")),
+              org.apache.spark.sql.functions.lit(SparkEntry.TtBuckets.toLong)).cast("int").as("bucket"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/conv_buckets.parquet")
+      }
       synthWrite("json_records", "q69") {
         synth.JsonRecords.docs(spark, SparkEntry.VerifyJsonRecords)
           .coalesce(1).write.mode("overwrite")

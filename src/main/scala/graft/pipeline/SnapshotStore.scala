@@ -89,12 +89,55 @@ final class SnapshotStore(root: String, nBuckets: Int) {
     }
   }
 
+  /** Immutable per-commit manifest copies (`_manifest.v<N>.json`, N
+    * monotone from 1) — the Iceberg snapshot-log emulation behind the
+    * time-travel readers below. `_manifest.json` stays the current
+    * pointer; each commit ALSO freezes its state under the next version
+    * number, so any historical completed-bucket set can be re-read.
+    */
+  def snapshotVersions(): Seq[Int] = {
+    val dir = Paths.get(root)
+    if (!Files.exists(dir)) return Seq.empty
+    val re = "_manifest\\.v(\\d+)\\.json".r
+    scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+        .toSeq.sorted
+    }
+  }
+
+  /** The completed-bucket set frozen at snapshot `version`. */
+  def completedBucketsAsOf(version: Int): Set[Int] = {
+    val p = Paths.get(s"$root/_manifest.v$version.json")
+    if (!Files.exists(p)) return Set.empty
+    val str = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val re = ("\"completed\":\\[([0-9,]*)\\]").r
+    re.findFirstMatchIn(str)
+      .map(_.group(1).split(",").filter(_.nonEmpty).map(_.toInt).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Time-travel read: the extracted table AS OF snapshot `version` —
+    * the data dir is partitioned by bucket and buckets are append-only
+    * (a bucket's content never changes after it registers), so the
+    * historical read is a PARTITION-PRUNED scan of the frozen bucket
+    * set, never a copy.
+    */
+  def readExtractedAsOf(spark: SparkSession, version: Int): DataFrame = {
+    val buckets = completedBucketsAsOf(version).toSeq.sorted
+    readExtracted(spark)
+      .filter(org.apache.spark.sql.functions.col("bucket")
+        .isin(buckets.map(Integer.valueOf): _*))
+  }
+
   private def writeManifest(
       completed: Set[Int], batchIds: Set[Int], inputSnapshot: String, ddl: String): Unit = {
     Files.createDirectories(Paths.get(root))
     val ddlJson = ddl.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
       s"""{"input_snapshot":"$inputSnapshot","n_buckets":$nBuckets,"schema_ddl":"$ddlJson","completed":[${completed.toSeq.sorted.mkString(",")}],"batches":[${batchIds.toSeq.sorted.mkString(",")}]}"""
+    val version = snapshotVersions().lastOption.getOrElse(0) + 1
+    Files.writeString(Paths.get(s"$root/_manifest.v$version.json"), json)
     val tmp = Paths.get(s"$root/_manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

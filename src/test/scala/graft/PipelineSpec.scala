@@ -257,6 +257,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(!inc.exists(_.conv_id == "conv-000003"), "deleted conv must not survive")
   }
 
+  test("time travel: each frozen version re-reads its exact prefix; latest equals the full table") {
+    import spark.implicits._
+    val turns = SynthDataset.turns(spark, 40L).cache()
+    val root = Files.createTempDirectory("graft-tt").toString
+    val store = new SnapshotStore(root, nBuckets = 8)
+    intercept[RuntimeException] {
+      store.process(spark, turns, "snap-1", bucketsPerBatch = 3, failAfterBatches = Some(2))
+    }
+    store.process(spark, turns, "snap-2", bucketsPerBatch = 3)
+    val versions = store.snapshotVersions()
+    assert(versions == Seq(1, 2, 3))
+    // bucket sets freeze as the documented deterministic prefix schedule
+    assert(store.completedBucketsAsOf(1) == Set(0, 1, 2))
+    assert(store.completedBucketsAsOf(2) == Set(0, 1, 2, 3, 4, 5))
+    assert(store.completedBucketsAsOf(3) == (0 until 8).toSet)
+    // as-of content: monotone prefixes, and v3 equals the full read
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select($"conv_id", $"turn_idx").as[(String, Int)].collect().toSet
+    val k1 = keys(store.readExtractedAsOf(spark, 1))
+    val k2 = keys(store.readExtractedAsOf(spark, 2))
+    val k3 = keys(store.readExtractedAsOf(spark, 3))
+    assert(k1.subsetOf(k2) && k2.subsetOf(k3))
+    assert(k1.size < k2.size && k2.size < k3.size, "each version must genuinely grow")
+    assert(k3 == keys(store.readExtracted(spark)))
+    // the historical read prunes partitions at the scan, never row-filters
+    val plan = store.readExtractedAsOf(spark, 1).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"as-of read must prune bucket partitions:\n$plan")
+    turns.unpersist()
+  }
+
   test("resume drops stale lineage partitions left by a crash before the manifest update") {
     import spark.implicits._
     val turns = SynthDataset.turns(spark, 40L).cache()
