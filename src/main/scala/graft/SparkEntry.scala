@@ -858,6 +858,41 @@ object SparkEntry {
     // leading sha256 word), all re-derived by the oracle from the golden
     // expectations + the materialized conv->bucket map + the documented
     // deterministic commit schedule.
+    // S2/S3 realized: REAL rasterization of really-parsed PDF containers
+    // — parsed runs -> synthetic-glyph page bitmaps (exact floor-div dpi
+    // scaling, point-space clipping) -> REAL PNG encode -> REAL PNG
+    // decode -> ink statistics from the DECODED raster. dpi 72 here so
+    // point == pixel and DuckDB re-derives every ink pixel from the
+    // golden runs + the shared glyph constants; the 600/300 dpi scale
+    // factors are pinned by PdfRasterizerSpec's analytic recompute.
+    "q195_pdf_rasterize" -> ((s, _) => {
+      import s.implicits._
+      graft.synth.PdfDocs.docs(s, VerifyPdfDocs)
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          graft.extract.PdfContentParser.parse(
+            new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)) match {
+            case Left(_) => Iterator.empty
+            case Right(doc) =>
+              graft.extract.PdfRasterizer.rasterize(doc, dpi = 72).iterator.map { pb =>
+                val img = new java.awt.image.BufferedImage(
+                  pb.width, pb.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                img.getRaster.setDataElements(0, 0, pb.width, pb.height, pb.pixels)
+                val bos = new java.io.ByteArrayOutputStream()
+                require(javax.imageio.ImageIO.write(img, "png", bos), s"png write $id")
+                val dec = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bos.toByteArray))
+                require(dec != null, s"png read $id")
+                val out = new Array[Byte](pb.width * pb.height)
+                dec.getRaster.getDataElements(0, 0, pb.width, pb.height, out)
+                val (ink, pos) = graft.extract.PdfRasterizer.inkStats(
+                  graft.extract.PdfRasterizer.PageBitmap(pb.page, pb.width, pb.height, out))
+                (id, pb.page, pb.width, pb.height, ink, pos)
+              }
+          }
+        }
+        .toDF("doc_id", "page", "width", "height", "n_ink", "pos_sum")
+    }),
     "q194_time_travel" -> ((s, _) => {
       val root = scratchDir("snapshots_q194", "synth")
       val store = new graft.pipeline.SnapshotStore(root, TtBuckets)
@@ -2038,6 +2073,43 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_turns,
                 CAST(sum(CAST('0x' || substr(sha256(expected_text), 1, 8) AS BIGINT)) AS BIGINT) AS sum_sha8
          FROM sel GROUP BY 1, 2"""
+    },
+    // q195: DuckDB re-derives every ink pixel from the golden RUN table
+    // + the shared 35-bit glyph constants (dpi 72: point == pixel;
+    // same cell layout, same point-space clipping), deduplicates
+    // overlapping pixels exactly like the raster compositing does, and
+    // aggregates count + placement checksum — the engine's numbers come
+    // from a DECODED real-PNG raster, so a green row proves layout,
+    // compositing AND the codec round trip at once
+    "q195_pdf_rasterize" -> {
+      val font = (33 to 126)
+        .map(c => s"($c, ${graft.extract.PdfRasterizer.glyphBits(c - 33)})")
+        .mkString(", ")
+      s"""WITH r AS (SELECT doc_id, page, x, y_pdf, text
+                    FROM read_parquet('__SYNTH__/pdf_golden_runs.parquet/*.parquet')),
+         f AS (SELECT * FROM (VALUES $font) AS f(code, bits)),
+         ch AS (SELECT doc_id, page, x, 792 - y_pdf AS y_top,
+                       unnest(range(0, len(text))) AS ci, text
+                FROM r),
+         cg AS (SELECT doc_id, page, x, y_top, ci,
+                       ord(substr(text, CAST(ci + 1 AS INTEGER), 1)) AS code
+                FROM ch),
+         g AS (SELECT cg.doc_id, cg.page, cg.x, cg.y_top, cg.ci, f.bits
+               FROM cg JOIN f ON f.code = cg.code),
+         bt AS (SELECT doc_id, page, x, y_top, ci, bits,
+                       unnest(range(0, 35)) AS b
+                FROM g),
+         px AS (SELECT doc_id, page,
+                       x + 6 * ci + (b % 5) AS px,
+                       y_top + (b // 5) AS py
+                FROM bt WHERE (bits >> CAST(b AS INTEGER)) & 1 = 1),
+         pix AS (SELECT DISTINCT doc_id, page, px, py FROM px
+                 WHERE px >= 0 AND px < 612 AND py >= 0 AND py < 792)
+         SELECT doc_id, CAST(page AS INTEGER) AS page,
+                CAST(612 AS INTEGER) AS width, CAST(792 AS INTEGER) AS height,
+                CAST(count(*) AS BIGINT) AS n_ink,
+                CAST(sum(px + py * 612) AS BIGINT) AS pos_sum
+         FROM pix GROUP BY 1, 2"""
     },
     // q186: DuckDB runs ITS OWN normalize chain (nfc_normalize + RE2
     // backref dehyphenation + control class) and regroups both keys

@@ -145,6 +145,11 @@ object Verify {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$synthDir/pdf_golden.parquet")
       }
+      synthWrite("pdf_golden_runs", "q195 rasterization oracle (the layout plan's positioned runs)") {
+        synth.PdfDocs.goldenRuns(spark, SparkEntry.VerifyPdfDocs)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$synthDir/pdf_golden_runs.parquet")
+      }
       synthWrite("conv_buckets", "q194 time-travel oracle (the store's conv->bucket assignment; xxhash64 has no DuckDB equivalent, so the map materializes and the oracle verifies the DOWNSTREAM snapshot algebra — the q18/q22/q36 pattern)") {
         synth.SynthDataset.turns(spark, SparkEntry.VerifyConvs)
           .select(col("conv_id")).distinct()

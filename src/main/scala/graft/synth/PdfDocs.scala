@@ -268,6 +268,20 @@ object PdfDocs {
       .toDF("doc_id", "pdf")
   }
 
+  /** Golden RUN table: (doc_id, page, x, y_pdf, text) straight from the
+    * layout plan — the q195 rasterization oracle re-derives every ink
+    * pixel from these plus the shared glyph constants.
+    */
+  def goldenRuns(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs)
+      .flatMap { boxed =>
+        val id: Long = boxed
+        plan(id).map(r => (id, r.page, r.x, r.yPdf, r.text))
+      }
+      .toDF("doc_id", "page", "x", "y_pdf", "text")
+  }
+
   /** Golden expectations: (doc_id, n_pages, n_runs, expected_text) — by
     * construction from the plan (materialized by Verify for the oracle).
     */
