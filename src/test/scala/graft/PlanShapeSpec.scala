@@ -464,6 +464,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("pdf producer dedup: one sha-keyed partial-agg exchange, no join") {
+    val p = plan(graft.SparkEntry.queries("q193_pdf_producer_dedup")(spark, dir))
+    assert("(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected only the content-hash aggregation exchange:\n$p")
+    assert(!p.contains("Join"), s"dedup must aggregate, not join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"missing map-side partial agg:\n$p")
+  }
+
+  test("pdf rasterization: a narrow per-doc flatMap — zero exchanges, zero joins") {
+    val p = plan(graft.SparkEntry.queries("q195_pdf_rasterize")(spark, dir))
+    assert(!p.contains("Exchange"), s"rasterization must stay narrow:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
   test("pdf container extraction: a narrow per-doc map — zero exchanges, zero joins") {
     val p = plan(graft.SparkEntry.queries("q192_pdf_container")(spark, dir))
     assert(!p.contains("Exchange"), s"container extraction must stay narrow:\n$p")
