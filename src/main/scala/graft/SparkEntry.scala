@@ -88,15 +88,21 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data-pipeline operator families).
     */
-  /** Fixed scratch dir per (query, input tag): wiped and recreated on
-    * every use, so repeated Verify/Bench invocations REUSE one path
+  /** Fixed scratch dir per (query, input tag, JVM): wiped and recreated
+    * on every use, so repeated Verify/Bench invocations REUSE one path
     * instead of accumulating checkpoint/index trees under /tmp (the
     * q169 bucketed-layout discipline; a fresh createTempDirectory per
-    * call leaked the full parquet index per run).
+    * call leaked the full parquet index per run). The key carries the
+    * process id (two concurrent JVMs on one host must not wipe each
+    * other's live trees) and a sha-derived input tag (String.hashCode
+    * collisions must not alias two inputs).
     */
   private def scratchDir(query: String, input: String): String = {
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(input.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val pid = java.lang.ProcessHandle.current().pid()
     val p = java.nio.file.Paths.get(
-      s"/tmp/graft_scratch/${query}_${java.lang.Integer.toHexString(input.hashCode)}")
+      s"/tmp/graft_scratch/${query}_${tag}_p$pid")
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>

@@ -207,14 +207,16 @@ object BpeOps {
   def train(docs: DataFrame, nMerges: Int, minCount: Long = MinWordCount)
       : (Seq[(Int, String, String, Long)], Seq[(String, String)]) = {
     val floored = trainHistogram(docs, minCount).persist()
-    val nTypes = floored.count()
-    require(nTypes <= MaxHistWords,
-      s"BPE training histogram has $nTypes word types above the cnt >= $minCount floor " +
-        s"(budget $MaxHistWords) — raise the floor before training")
-    val hist = floored.collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1) // deterministic word order for the mapping output
-    floored.unpersist()
+    val hist =
+      try {
+        val nTypes = floored.count()
+        require(nTypes <= MaxHistWords,
+          s"BPE training histogram has $nTypes word types above the cnt >= $minCount floor " +
+            s"(budget $MaxHistWords) — raise the floor before training")
+        floored.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1) // deterministic word order for the mapping output
+      } finally floored.unpersist() // incl. the fail-fast path — no pinned blocks
     val words = hist.map(_._1)
     val cnts = hist.map(_._2)
     // rtrim spaces only (DuckDB rtrim parity), not stripTrailing

@@ -138,15 +138,24 @@ object SqlSurface {
 
   /** Register the analytics frames as session temp views. `webDocs` is
     * the web corpus the scorecard grades; `turnsPrev`/`turnsNext` the
-    * two snapshots the drift report diffs.
+    * two snapshots the drift report diffs. Each frame is materialized
+    * ONCE via localCheckpoint before registering: the corpus-health
+    * statement hits every view with three distinct scalar subqueries,
+    * which would otherwise re-run the funnel/PageRank/IVF pipelines per
+    * subquery; the frames are bounded (stages / hosts / top-K movers /
+    * cells), so the checkpoint is cheap and released with the view.
     */
   def registerAnalyticsViews(
       spark: SparkSession, dir: String, webDocs: DataFrame,
       turnsPrev: DataFrame, turnsNext: DataFrame): Unit = {
-    CurationOps.curationFunnel(spark, dir).createOrReplaceTempView("curation_funnel")
-    WebOps.hostScorecard(webDocs).createOrReplaceTempView("host_scorecard")
-    TranscriptOps.vocabDrift(turnsPrev, turnsNext).createOrReplaceTempView("vocab_drift")
-    SimilarityOps.ivfCellDrift(spark, dir).createOrReplaceTempView("ivf_cell_drift")
+    val frames: Seq[DataFrame] = Seq(
+      CurationOps.curationFunnel(spark, dir),
+      WebOps.hostScorecard(webDocs),
+      TranscriptOps.vocabDrift(turnsPrev, turnsNext),
+      SimilarityOps.ivfCellDrift(spark, dir))
+    AnalyticsViews.zip(frames).foreach { case (name, df) =>
+      df.localCheckpoint().createOrReplaceTempView(name)
+    }
   }
 
   /** One ad-hoc corpus-health statement over the four analytics views:

@@ -98,7 +98,7 @@ final class SnapshotStore(root: String, nBuckets: Int) {
   def snapshotVersions(): Seq[Int] = {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return Seq.empty
-    val re = "_manifest\\.v(\\d+)\\.json".r
+    val re = "^_manifest\\.v(\\d+)\\.json$".r
     scala.util.Using.resource(Files.list(dir)) { st =>
       st.iterator().asScala
         .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
@@ -136,8 +136,16 @@ final class SnapshotStore(root: String, nBuckets: Int) {
     val ddlJson = ddl.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
       s"""{"input_snapshot":"$inputSnapshot","n_buckets":$nBuckets,"schema_ddl":"$ddlJson","completed":[${completed.toSeq.sorted.mkString(",")}],"batches":[${batchIds.toSeq.sorted.mkString(",")}]}"""
+    // the frozen snapshot copy gets the SAME temp+atomic-rename
+    // discipline as the current pointer: a crash can never leave a
+    // truncated version file (a stale complete v-file from a crash
+    // before the pointer move just becomes a duplicate of the re-run
+    // commit's state — correct reads, never wrong ones)
     val version = snapshotVersions().lastOption.getOrElse(0) + 1
-    Files.writeString(Paths.get(s"$root/_manifest.v$version.json"), json)
+    val vTmp = Paths.get(s"$root/_manifest.v$version.json.tmp")
+    Files.write(vTmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(vTmp, Paths.get(s"$root/_manifest.v$version.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val tmp = Paths.get(s"$root/_manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
