@@ -899,6 +899,34 @@ object SparkEntry {
         }
         .toDF("doc_id", "page", "width", "height", "n_ink", "pos_sum")
     }),
+    // Iceberg-style incremental CHANGELOG read — q194's companion: for
+    // each snapshot version, ONLY the buckets that arrived since the
+    // previous version are scanned (partition-pruned, the CDC shape a
+    // downstream incremental consumer reads); same commit schedule, same
+    // oracle independence.
+    "q196_snapshot_changelog" -> ((s, _) => {
+      val root = scratchDir("snapshots_q196", "synth")
+      val store = new graft.pipeline.SnapshotStore(root, TtBuckets)
+      val turns = SynthDataset.turns(s, VerifyConvs)
+      try store.process(s, turns, "snap-1", TtPerBatch, Some(TtKillAfter))
+      catch { case _: RuntimeException => () } // the simulated kill
+      store.process(s, turns, "snap-2", TtPerBatch)
+      store.snapshotVersions().map { v =>
+        val prev = store.completedBucketsAsOf(v - 1) // v=1 -> empty
+        val fresh = (store.completedBucketsAsOf(v) -- prev).toSeq.sorted
+        store.readExtracted(s)
+          .filter(col("bucket").isin(fresh.map(Integer.valueOf): _*))
+          .agg(
+            lit(v).as("version"),
+            lit(fresh.size).as("n_new_buckets"),
+            countDistinct(col("conv_id")).as("n_new_convs"),
+            count(lit(1)).as("n_new_turns"),
+            sum(expr("cast(conv(substr(sha2(extracted_text, 256), 1, 8), 16, 10) as bigint)"))
+              .as("new_sha8sum"))
+          .select(col("version"), col("n_new_buckets"), col("n_new_convs"),
+            col("n_new_turns"), col("new_sha8sum"))
+      }.reduce(_ unionByName _)
+    }),
     "q194_time_travel" -> ((s, _) => {
       val root = scratchDir("snapshots_q194", "synth")
       val store = new graft.pipeline.SnapshotStore(root, TtBuckets)
@@ -2078,6 +2106,30 @@ object SparkEntry {
                 CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
                 CAST(count(*) AS BIGINT) AS n_turns,
                 CAST(sum(CAST('0x' || substr(sha256(expected_text), 1, 8) AS BIGINT)) AS BIGINT) AS sum_sha8
+         FROM sel GROUP BY 1, 2"""
+    },
+    // q196: the q194 chain restricted to each version's NEW bucket range
+    // [TtPerBatch*(v-1), min(TtPerBatch*v, TtBuckets)) — the oracle's
+    // independent derivation of the changelog windows
+    "q196_snapshot_changelog" -> {
+      val nv = (TtBuckets + TtPerBatch - 1) / TtPerBatch
+      s"""WITH b AS (SELECT conv_id, bucket
+                    FROM read_parquet('__SYNTH__/conv_buckets.parquet/*.parquet')),
+         g AS (SELECT conv_id, expected_text
+               FROM read_parquet('__SYNTH__/golden_turns.parquet/*.parquet')),
+         j AS (SELECT g.conv_id, g.expected_text, b.bucket FROM g JOIN b USING (conv_id)),
+         v AS (SELECT unnest(range(1, $nv + 1)) AS version),
+         p AS (SELECT version,
+                      (version - 1) * $TtPerBatch AS lo,
+                      least(version * $TtPerBatch, $TtBuckets) AS hi
+               FROM v),
+         sel AS (SELECT p.version, p.hi - p.lo AS n_new_buckets, j.conv_id, j.expected_text
+                 FROM p JOIN j ON j.bucket >= p.lo AND j.bucket < p.hi)
+         SELECT CAST(version AS INTEGER) AS version,
+                CAST(n_new_buckets AS INTEGER) AS n_new_buckets,
+                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_new_convs,
+                CAST(count(*) AS BIGINT) AS n_new_turns,
+                CAST(sum(CAST('0x' || substr(sha256(expected_text), 1, 8) AS BIGINT)) AS BIGINT) AS new_sha8sum
          FROM sel GROUP BY 1, 2"""
     },
     // q195: DuckDB re-derives every ink pixel from the golden RUN table

@@ -78,6 +78,30 @@ class PdfRasterizerSpec extends AnyFunSuite {
     }
   }
 
+  test("S3's JPG leg: dpi-300 raster survives a real lossy JPEG round trip within tolerance") {
+    // the reference's signature path writes JPGs at dpi 300; JPEG is
+    // codec-version-defined on hard edges (the q98 policy), so the
+    // claims here are dimensional exactness + a bounded luma drift, not
+    // byte equality
+    val pb = PdfRasterizer.rasterize(parsed(5L), 300).head
+    assert(pb.width == 612 * 300 / 72 && pb.height == 792 * 300 / 72)
+    val img = new java.awt.image.BufferedImage(
+      pb.width, pb.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, pb.width, pb.height, pb.pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(dec.getWidth == pb.width && dec.getHeight == pb.height)
+    val out = new Array[Byte](pb.width * pb.height)
+    dec.getRaster.getDataElements(0, 0, pb.width, pb.height, out)
+    def meanLuma(a: Array[Byte]): Double =
+      a.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / a.length
+    val (orig, got) = (meanLuma(pb.pixels), meanLuma(out))
+    assert(orig > 0, "page must contain ink")
+    assert(math.abs(got - orig) <= 0.15 * orig + 1.0,
+      s"JPEG mean-luma drift: $orig -> $got")
+  }
+
   test("PNG round trip preserves the raster byte-for-byte") {
     val pb = PdfRasterizer.rasterize(parsed(3L), 72).head
     val img = new java.awt.image.BufferedImage(
