@@ -88,6 +88,27 @@ class PdfContainerSpec extends AnyFunSuite {
       .failure.isEmpty)
   }
 
+  test("page-tree cycle and dangling refs fail cleanly, never loop or throw") {
+    // a Pages node whose Kids include itself: the visited-set guard must
+    // fail with pdf_pages instead of recursing forever
+    val cyclic =
+      """%PDF-1.4
+        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+        |2 0 obj << /Type /Pages /Kids [2 0 R] /Count 1 >> endobj
+        |trailer << /Size 3 /Root 1 0 R >>
+        |%%EOF""".stripMargin
+    assert(PdfContainerExtractor.extract(cyclic).failure.contains("pdf_pages"))
+    // a /Contents array pointing at an object that does not exist
+    val dangling =
+      """%PDF-1.4
+        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+        |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+        |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents [9 0 R] >> endobj
+        |trailer << /Size 4 /Root 1 0 R >>
+        |%%EOF""".stripMargin
+    assert(PdfContainerExtractor.extract(dangling).failure.contains("pdf_stream"))
+  }
+
   test("string-literal decoder: nesting, escapes, octal, continuation") {
     def p(s: String) = PdfContentParser.parseString(s, 0)
     assert(p("abc)").contains(("abc", 4)))
